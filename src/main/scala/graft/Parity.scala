@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/** Cross-engine numeric parity helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * same ANSI SQL. Double summation is order-dependent, and Spark's partial
+  * aggregation order differs from DuckDB's scan order — so plain
+  * `sum(double)` can differ in the last ulps and flip a rounded digit.
+  *
+  * Fix: accumulate in DECIMAL(38,10) (exact, order-independent), cast the
+  * final value back to double, then round. The oracle SQL does the
+  * identical `sum(CAST(x AS DECIMAL(38,10)))` dance, so both engines land
+  * on the same bits. Per-row arithmetic (products, divisions) is plain
+  * IEEE double — identical on both engines for identical inputs.
+  *
+  * At cluster scale decimal partial aggregation is still map-side
+  * combinable (sum is algebraic over decimals), so this costs a constant
+  * factor, not a shuffle.
+  */
+object Parity {
+  private val Dec = DataTypes.createDecimalType(38, 10)
+
+  /** Exact sum via decimal accumulation, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Exact sum, rounded to `d` places. */
+  def dsum(c: Column, d: Int): Column = round(dsum(c), d)
+
+  /** Order-independent mean: exact decimal sum / count, then round. */
+  def davg(c: Column, d: Int): Column =
+    round(dsum(c) / count(c), d)
+
+  /** Oracle-SQL fragments mirroring the above (DuckDB dialect-safe ANSI). */
+  def sqlSum(x: String): String =
+    s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+  def sqlSum(x: String, d: Int): String = s"round(${sqlSum(x)}, $d)"
+  def sqlAvg(x: String, d: Int): String =
+    s"round(${sqlSum(x)} / count($x), $d)"
+}
