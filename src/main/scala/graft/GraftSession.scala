@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session defaults shared by every entrypoint (Verify/Bench/tests).
+  *
+  * - UTC session timezone (oracle parity)
+  * - AQE on: runtime coalescing + skew-join handling stand in for manual
+  *   partition tuning at scale
+  * - nanosAsLong: the driver's test parquet stores ns timestamps, which
+  *   Spark's reader otherwise rejects (Tables.events converts back)
+  * - shuffle.partitions sized to the local core count, NOT the 200
+  *   default; on a real cluster this is set ∝ executors
+  */
+object GraftSession {
+  def local(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

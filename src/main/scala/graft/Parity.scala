@@ -24,20 +24,33 @@ import org.apache.spark.sql.types.DataTypes
 object Parity {
   private val Dec = DataTypes.createDecimalType(38, 10)
 
+  /** Portable round-half-up: floor(x·10^d + 0.5)/10^d. Spark's `round`
+    * (decimal-string HALF_UP) and DuckDB's (binary) disagree when x sits
+    * exactly on a .5 boundary — e.g. the mean of two 6dp values — so we
+    * round with plain IEEE ops that are bit-identical in both engines. */
+  def r(c: Column, d: Int): Column = {
+    val m = math.pow(10, d)
+    floor(c * m + 0.5) / m
+  }
+
   /** Exact sum via decimal accumulation, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
   /** Exact sum, rounded to `d` places. */
-  def dsum(c: Column, d: Int): Column = round(dsum(c), d)
+  def dsum(c: Column, d: Int): Column = r(dsum(c), d)
 
   /** Order-independent mean: exact decimal sum / count, then round. */
   def davg(c: Column, d: Int): Column =
-    round(dsum(c) / count(c), d)
+    r(dsum(c) / count(c), d)
 
   /** Oracle-SQL fragments mirroring the above (DuckDB dialect-safe ANSI). */
+  def sqlR(x: String, d: Int): String = {
+    val m = s"1e$d"
+    s"floor(($x) * $m + 0.5) / $m"
+  }
   def sqlSum(x: String): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
-  def sqlSum(x: String, d: Int): String = s"round(${sqlSum(x)}, $d)"
+  def sqlSum(x: String, d: Int): String = sqlR(sqlSum(x), d)
   def sqlAvg(x: String, d: Int): String =
-    s"round(${sqlSum(x)} / count($x), $d)"
+    sqlR(s"${sqlSum(x)} / count($x)", d)
 }

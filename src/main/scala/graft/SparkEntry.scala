@@ -17,6 +17,18 @@ object SparkEntry {
     "q3_shipping" -> (Relational.q3Shipping _),
     "q5_local" -> (Relational.q5Local _),
     "q6_forecast" -> (Relational.q6Forecast _),
+    // MHW / time-series core (SURVEY §2 A)
+    "clim_doy" -> (Mhw.climDoyTable _),
+    "climatology_bp" -> (Mhw.climatologyBpRaw _),
+    "climatology_bp_smooth" -> (Mhw.climatologyBpSmooth _),
+    "threshold_bp" -> (Mhw.thresholdBpRaw _),
+    "threshold_bp_smooth" -> (Mhw.thresholdBpSmooth _),
+    "climatology_legacy" -> (Mhw.climatologyLegacy _),
+    "threshold_legacy" -> (Mhw.thresholdLegacy _),
+    "detrend" -> (Mhw.detrend _),
+    "severity" -> ((s, d) => Mhw.severityChain(s, d, 0.9)),
+    "mhw_events" -> (Mhw.mhwEvents _),
+    "mhw_category" -> (Mhw.mhwCategory _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,5 +38,16 @@ object SparkEntry {
     "q3_shipping" -> Relational.q3Sql,
     "q5_local" -> Relational.q5Sql,
     "q6_forecast" -> Relational.q6Sql,
+    "clim_doy" -> MhwSql.climDoySqlQ,
+    "climatology_bp" -> MhwSql.climatologyBp,
+    "climatology_bp_smooth" -> MhwSql.climatologyBpSmooth,
+    "threshold_bp" -> MhwSql.thresholdBp,
+    "threshold_bp_smooth" -> MhwSql.thresholdBpSmooth,
+    "climatology_legacy" -> MhwSql.climatologyLegacy,
+    "threshold_legacy" -> MhwSql.thresholdLegacy,
+    "detrend" -> MhwSql.detrend,
+    "severity" -> MhwSql.severity,
+    "mhw_events" -> MhwSql.mhwEvents,
+    "mhw_category" -> MhwSql.mhwCategory,
   )
 }

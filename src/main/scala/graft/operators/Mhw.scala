@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.sources.Tables
+import graft.time.DoyFunctions._
+
+/** Marine-heatwave analytics re-expressed Spark-first over long-format
+  * rows. The reference's `(time, lat, lon)` cube maps to rows keyed by a
+  * series key (`user_id` here) with one observation per day (SURVEY §3).
+  *
+  * Reference semantics preserved (file:line cites against
+  * /root/reference):
+  *  - leap-normalized DOY — src/mhw3d/common/core.py:5 `_clim_doy`
+  *  - ±w-day pooling on a per-year 366-slot grid with cross-year padding
+  *    (NOT pure circular: contributions into a neighbour year only count
+  *    if that year exists in the data) —
+  *    src/mhw3d/legacy/climatology.py:61 `_pool_window`,
+  *    src/mhw3d/best_practice/climatology.py:130 `compute_threshold`
+  *  - strict skipna: a measured-but-NaN value in a pooling window nulls
+  *    the threshold — best_practice/climatology.py:225
+  *  - legacy Feb-29: DOY 60 overwritten with 0.5·(DOY59+DOY61) after
+  *    pooling, before smoothing — legacy/climatology.py:13 `_interp_feb29`
+  *  - 31-slot circular running mean with min_periods=1 —
+  *    legacy/climatology.py:122 `_smooth_doy`
+  *  - events: runs of severity>1, duration filter THEN single-pass
+  *    gap-join (start−prev_end ≤ maxGap), metrics over the merged span
+  *    including gap days, first-argmax peak — common/core.py:37,89
+  *
+  * Scale design (100 TB): the per-(key,doy) climatology tables are tiny
+  * relative to facts (366 rows per key) → broadcast back to facts, so the
+  * fact table never shuffles for severity. Pooling explodes ×(2w+1)
+  * map-side then partially aggregates per (key,doy) before the shuffle.
+  * Exact `percentile` co-locates each (key,doy) group's values — group
+  * cardinality ∝ keys, no global hotspot; at extreme scale swap
+  * `approx_percentile` (algebraic t-digest) via the `exact` flag. Event
+  * detection is a single shuffle per series key: every window shares
+  * `partitionBy(user_id)`, so Catalyst plans one exchange+sort.
+  */
+object Mhw {
+
+  /** Daily series: one observation per (series key, calendar day).
+    * sst = mean event value that day, rounded (6dp) for cross-engine
+    * parity. Adds year + leap-normalized DOY. */
+  def daily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(davg(col("value"), 6).as("sst"))
+      .withColumn("yr", year(col("d")))
+      .withColumn("doy", climDoy(col("d")))
+
+  /** Distinct dates → leap-normalized DOY (query #1). */
+  def climDoyTable(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .withColumn("doy", climDoy(col("d")))
+
+  // ---------------------------------------------------------------- pooling
+
+  /** Explode each daily observation to the (2·hw+1) window centers it
+    * contributes to, with the reference's cross-year grid semantics: a
+    * center that falls off the [1,366] grid belongs to the adjacent year
+    * and only counts if that year is present in the data. */
+  private def poolSamples(dailyDf: DataFrame, hw: Int): DataFrame = {
+    val years = dailyDf.select(col("yr").as("c_yr")).distinct()
+    dailyDf
+      .withColumn("k", explode(sequence(lit(-hw), lit(hw))))
+      .withColumn("c_raw", col("doy") + col("k"))
+      .withColumn("c_yr", col("yr") +
+        when(col("c_raw") < 1, -1).when(col("c_raw") > 366, 1).otherwise(0))
+      .join(broadcast(years), "c_yr")
+      .select(col("user_id"), wrapDoy(col("c_raw")).as("doy"), col("sst"))
+  }
+
+  /** Linear-interpolation quantile over a pre-sorted array column, the
+    * explicit numpy-"linear" formula v_l + (v_u − v_l)·f. Spelled out
+    * (instead of Spark's `percentile`) so the oracle engine computes the
+    * bit-identical IEEE expression. */
+  private def linQuantile(vs: Column, p: Double): Column = {
+    val n = size(vs)
+    val h = (n - 1) * lit(p)
+    val l = floor(h).cast("int")
+    val f = h - l
+    val vl = element_at(vs, l + 1)
+    val vu = element_at(vs, least(l + 2, n))
+    vl + (vu - vl) * f
+  }
+
+  /** Pooled per-DOY quantile (best-practice threshold before smoothing).
+    * Strict skipna: any NaN observation in a window nulls that center.
+    * `exact=false` switches to approx_percentile for extreme scale; the
+    * exact path co-locates each (key,doy) group's ≤ years×(2w+1) values —
+    * bounded per group, no global hotspot. */
+  def pooledQuantile(dailyDf: DataFrame, hw: Int, pctile: Double,
+                     exact: Boolean = true): DataFrame = {
+    val q =
+      if (exact) linQuantile(col("vs"), pctile)
+      else element_at(col("vs"), 1)
+    val agg =
+      if (exact) sort_array(collect_list(col("sst")))
+      else expr(s"array(approx_percentile(sst, $pctile, 10000))")
+    poolSamples(dailyDf, hw)
+      .groupBy(col("user_id"), col("doy"))
+      .agg(agg.as("vs"),
+           max(when(isnan(col("sst")), 1).otherwise(0)).as("has_nan"))
+      .select(col("user_id"), col("doy"),
+              when(col("has_nan") === 1, lit(null)).otherwise(r(q, 6)).as("thresh"))
+  }
+
+  /** Pooled per-DOY mean (legacy climatology before Feb-29 + smoothing). */
+  def pooledMean(dailyDf: DataFrame, hw: Int): DataFrame =
+    poolSamples(dailyDf, hw)
+      .groupBy(col("user_id"), col("doy"))
+      .agg(davg(col("sst"), 6).as("seas"))
+
+  /** Plain per-DOY mean (best-practice climatology). */
+  def climatologyBp(dailyDf: DataFrame): DataFrame =
+    dailyDf.groupBy(col("user_id"), col("doy"))
+      .agg(davg(col("sst"), 6).as("seas"))
+
+  // ------------------------------------------------------------- smoothing
+
+  /** 31-slot circular running mean over the DOY grid, min_periods=1:
+    * smoothed[d] = mean of available values at circular slots d±15.
+    * Absent slots contribute nothing (nanmean); outputs every slot within
+    * 15 of an available one. */
+  def smoothDoy(climDf: DataFrame, valCol: String, half: Int = 15): DataFrame =
+    climDf
+      .withColumn("o", explode(sequence(lit(-half), lit(half))))
+      .groupBy(col("user_id"), wrapDoy(col("doy") + col("o")).as("doy"))
+      .agg(davg(col(valCol), 6).as(valCol))
+
+  /** Legacy Feb-29: replace every DOY-60 row with 0.5·(DOY59 + DOY61);
+    * if either neighbour is absent the row is absent (NaN semantics). */
+  def interpFeb29(climDf: DataFrame, valCol: String): DataFrame = {
+    val d59 = climDf.filter(col("doy") === 59)
+      .select(col("user_id"), col(valCol).as("v59"))
+    val d61 = climDf.filter(col("doy") === 61)
+      .select(col("user_id"), col(valCol).as("v61"))
+    val feb29 = d59.join(d61, "user_id")
+      .select(col("user_id"), lit(60).as("doy"),
+              r(lit(0.5) * col("v59") + lit(0.5) * col("v61"), 6).as(valCol))
+    climDf.filter(col("doy") =!= 60).unionByName(feb29)
+  }
+
+  // ------------------------------------------------- composed climatologies
+
+  /** best_practice.compute_climatology, smoothPercentile=false. */
+  def climatologyBpRaw(s: SparkSession, dir: String): DataFrame =
+    climatologyBp(daily(s, dir))
+
+  /** best_practice.compute_climatology, smoothPercentile=true. */
+  def climatologyBpSmooth(s: SparkSession, dir: String): DataFrame =
+    smoothDoy(climatologyBp(daily(s, dir)), "seas")
+
+  /** best_practice.compute_threshold, smoothPercentile=false, q=0.9. */
+  def thresholdBpRaw(s: SparkSession, dir: String): DataFrame =
+    pooledQuantile(daily(s, dir), 5, 0.9)
+
+  /** best_practice.compute_threshold, smoothPercentile=true, q=0.9. */
+  def thresholdBpSmooth(s: SparkSession, dir: String): DataFrame =
+    smoothDoy(pooledQuantile(daily(s, dir), 5, 0.9), "thresh")
+
+  /** legacy.compute_climatology: pooled mean + Feb-29 interp + smoothing. */
+  def climatologyLegacy(s: SparkSession, dir: String): DataFrame =
+    smoothDoy(interpFeb29(pooledMean(daily(s, dir), 5), "seas"), "seas")
+
+  /** legacy.compute_threshold: pooled quantile + Feb-29 interp + smoothing. */
+  def thresholdLegacy(s: SparkSession, dir: String): DataFrame =
+    smoothDoy(interpFeb29(pooledQuantile(daily(s, dir), 5, 0.9), "thresh"), "thresh")
+
+  // --------------------------------------------------------------- detrend
+
+  /** best_practice.detrend deg=1 per series: OLS fit of sst against
+    * elapsed days, trend subtracted over the full record. Slope/intercept
+    * from exact decimal moment sums (order-independent → cross-engine
+    * deterministic), final arithmetic IEEE double. One shuffle on the
+    * series key; moments are algebraic (map-side partials). */
+  def detrend(s: SparkSession, dir: String): DataFrame = {
+    val dl = daily(s, dir)
+    val origin = dl.agg(min(col("d")).as("d0"))
+    val t = dl.crossJoin(broadcast(origin))
+      .withColumn("t", datediff(col("d"), col("d0")))
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
+    val fit = t.groupBy(col("user_id")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("t").cast("long")).cast("double").as("st"),
+      sum(col("t").cast("long") * col("t")).cast("double").as("stt"),
+      sum(col("sst").cast(Dec)).cast("double").as("sy"),
+      // double-multiply THEN cast: IEEE product is engine-identical,
+      // decimal×int widening rules are not
+      sum((col("sst") * col("t")).cast(Dec)).cast("double").as("sty"))
+      .withColumn("slope",
+        (col("n") * col("sty") - col("st") * col("sy")) /
+        (col("n") * col("stt") - col("st") * col("st")))
+      .withColumn("intercept",
+        col("sy") / col("n") - col("slope") * (col("st") / col("n")))
+      .select(col("user_id"), col("slope"), col("intercept"))
+    t.join(broadcast(fit), "user_id")
+      .select(col("user_id"), col("d"),
+        r(col("sst") - col("intercept") - col("slope") * col("t"), 6)
+          .as("detrended"))
+  }
+
+  // -------------------------------------------------------------- severity
+
+  /** common.calculate_severity: T_anom = sst − seas(doy); severity =
+    * T_anom / (thresh(doy) − seas(doy) + 1e-9). Clim tables are
+    * broadcast — the fact side never shuffles. */
+  def severity(dailyDf: DataFrame, seas: DataFrame, thresh: DataFrame): DataFrame =
+    dailyDf
+      .join(broadcast(seas), Seq("user_id", "doy"))
+      .join(broadcast(thresh), Seq("user_id", "doy"))
+      .select(col("user_id"), col("d"),
+        r(col("sst") - col("seas"), 6).as("t_anom"),
+        r((col("sst") - col("seas")) /
+              (col("thresh") - col("seas") + lit(1e-9)), 6).as("severity"))
+
+  /** Severity over the bp-smooth chain at the given pctile. */
+  def severityChain(s: SparkSession, dir: String, pctile: Double = 0.9): DataFrame = {
+    val dl = daily(s, dir)
+    severity(dl,
+      smoothDoy(climatologyBp(dl), "seas"),
+      smoothDoy(pooledQuantile(dl, 5, pctile), "thresh"))
+  }
+
+  // ---------------------------------------------------------------- events
+
+  /** common.calculate_mhw_metrics: boolean runs of severity>1 on the
+    * shared calendar index (absent days break runs, like NaN→False in the
+    * reference), duration filter, then single-pass gap-join of kept runs
+    * (start − prev_end ≤ maxGap — chains merge transitively). Metrics
+    * computed over the merged index span INCLUDING gap days; peak is the
+    * first argmax of T_anom. One shuffle: all windows share
+    * partitionBy(user_id). */
+  def detectEvents(sev: DataFrame, minDuration: Int = 5, maxGap: Int = 2): DataFrame = {
+    val origin = sev.agg(min(col("d")).as("d0"))
+    val s = sev.crossJoin(broadcast(origin))
+      .withColumn("idx", datediff(col("d"), col("d0")))
+    val wU = Window.partitionBy("user_id")
+
+    val runs = s.filter(col("severity") > 1)
+      .withColumn("grp", col("idx") - row_number().over(wU.orderBy("idx")))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("idx")).as("i0"), max(col("idx")).as("i1"))
+      .filter(col("i1") - col("i0") + 1 >= minDuration)
+
+    val events = runs
+      .withColumn("brk",
+        when(col("i0") - lag("i1", 1).over(wU.orderBy("i0")) <= maxGap, 0)
+          .otherwise(1))
+      .withColumn("evt", sum("brk").over(
+        wU.orderBy("i0").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("evt"))
+      .agg(min(col("i0")).as("index_start"), max(col("i1")).as("index_end"))
+
+    // Span-join facts back (events are tiny → broadcast), window for the
+    // per-event max, then one grouped pass incl. first-argmax peak.
+    val span = s.join(broadcast(events),
+        s("user_id") === events("user_id") &&
+        col("idx").between(col("index_start"), col("index_end")))
+      .drop(events("user_id"))
+      .withColumn("mx", max(col("t_anom")).over(Window.partitionBy("user_id", "evt")))
+
+    span.groupBy(col("user_id"), col("evt"), col("index_start"), col("index_end"))
+      .agg(
+        min(when(col("t_anom") === col("mx"), col("idx"))).as("index_peak"),
+        max(col("t_anom")).as("intensity_max"),
+        davg(col("t_anom"), 6).as("intensity_mean"),
+        dsum(col("t_anom"), 6).as("intensity_cumul"),
+        r(max(col("severity")), 6).as("severity_max"))
+      .crossJoin(broadcast(origin))
+      .select(col("user_id"), col("evt"),
+        col("index_start"), col("index_end"),
+        date_add(col("d0"), col("index_start")).as("date_start"),
+        date_add(col("d0"), col("index_end")).as("date_end"),
+        (col("index_end") - col("index_start") + 1).as("duration"),
+        col("index_peak"),
+        date_add(col("d0"), col("index_peak")).as("date_peak"),
+        col("intensity_max"), col("intensity_mean"), col("intensity_cumul"),
+        col("severity_max"))
+  }
+
+  /** Hobday-2018 category from per-event max severity. */
+  def categoryOf(sevMax: Column): Column =
+    when(sevMax <= 2, "moderate")
+      .when(sevMax <= 3, "strong")
+      .when(sevMax <= 4, "severe")
+      .otherwise("extreme")
+
+  /** Query #10: full event metrics (pctile=0.6, minDuration=3, maxGap=2 —
+    * parameters chosen so the test data exercises duration filtering AND
+    * gap-merging; operator defaults stay Hobday 5/2). */
+  def mhwEvents(s: SparkSession, dir: String): DataFrame =
+    detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+      .drop("severity_max")
+
+  /** Query #11: Hobday-2018 category distribution over detected events. */
+  def mhwCategory(s: SparkSession, dir: String): DataFrame =
+    detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+      .groupBy(categoryOf(col("severity_max")).as("category"))
+      .agg(count(lit(1)).as("n_events"),
+           davg(col("duration").cast("double"), 4).as("avg_duration"),
+           max(col("intensity_max")).as("max_intensity"))
+}

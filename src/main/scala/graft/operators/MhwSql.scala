@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.time.DoyFunctions.climDoySql
+
+/** DuckDB oracle SQL mirroring [[Mhw]] stage-for-stage: identical
+  * floor-based rounding (see Parity.r — Spark and DuckDB `round` disagree
+  * on exact .5 boundaries), identical decimal-accumulated sums, the same
+  * explicit linear-interpolation quantile, and the same grid semantics,
+  * so both engines land on the same bits.
+  */
+object MhwSql {
+
+  private def rr(x: String, d: Int): String =
+    s"floor(($x) * 1e$d + 0.5) / 1e$d"
+  private def dsum(x: String): String =
+    s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+  private def davg(x: String, d: Int): String =
+    rr(s"${dsum(x)} / count($x)", d)
+
+  /** Explicit linear-interpolation quantile (numpy "linear"):
+    * v_l + (v_u − v_l)·f over a sorted list — same IEEE expression as
+    * Mhw.linQuantile. */
+  private def quantileSel(p: Double): String = {
+    val l = s"CAST(floor((count(sst) - 1) * $p) AS INT)"
+    val f = s"((count(sst) - 1) * $p - floor((count(sst) - 1) * $p))"
+    val vs = "list_sort(list(sst))"
+    val vl = s"$vs[$l + 1]"
+    val vu = s"$vs[LEAST($l + 2, CAST(count(sst) AS INT))]"
+    rr(s"$vl + ($vu - $vl) * $f", 6)
+  }
+
+  /** 31-slot circular running-mean smoothing CTE body. */
+  private def smooth(src: String, v: String): String =
+    s"""SELECT user_id, ((doy + o.o - 1 + 366) % 366) + 1 AS doy,
+       |       ${davg(v, 6)} AS $v
+       |FROM $src CROSS JOIN (SELECT range AS o FROM range(-15, 16)) o
+       |GROUP BY 1, 2""".stripMargin
+
+  private val doyExpr = climDoySql("CAST(ts AS DATE)")
+
+  /** Shared CTE chain. `p` = pctile of the severity chain's threshold. */
+  private def chain(p: Double): String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, year(CAST(ts AS DATE)) AS yr,
+       |         $doyExpr AS doy, ${davg("value", 6)} AS sst
+       |  FROM events GROUP BY 1, 2, 3, 4
+       |),
+       |yrs AS (SELECT DISTINCT yr FROM daily),
+       |pool AS (
+       |  SELECT user_id, ((doy + k.k - 1 + 366) % 366) + 1 AS doy,
+       |         yr + CASE WHEN doy + k.k < 1 THEN -1 WHEN doy + k.k > 366 THEN 1 ELSE 0 END AS c_yr,
+       |         sst
+       |  FROM daily CROSS JOIN (SELECT range AS k FROM range(-5, 6)) k
+       |),
+       |poolv AS (SELECT * FROM pool WHERE c_yr IN (SELECT yr FROM yrs)),
+       |clim_raw AS (
+       |  SELECT user_id, doy, ${davg("sst", 6)} AS seas FROM daily GROUP BY 1, 2
+       |),
+       |clim_sm AS (${smooth("clim_raw", "seas")}),
+       |thr09_raw AS (
+       |  SELECT user_id, doy, ${quantileSel(0.9)} AS thresh
+       |  FROM poolv GROUP BY 1, 2
+       |),
+       |thr09_sm AS (${smooth("thr09_raw", "thresh")}),
+       |lclim0 AS (
+       |  SELECT user_id, doy, ${davg("sst", 6)} AS seas FROM poolv GROUP BY 1, 2
+       |),
+       |lclim_f29 AS (
+       |  SELECT user_id, doy, seas FROM lclim0 WHERE doy <> 60
+       |  UNION ALL
+       |  SELECT a.user_id, 60 AS doy, ${rr("0.5 * a.seas + 0.5 * b.seas", 6)} AS seas
+       |  FROM (SELECT user_id, seas FROM lclim0 WHERE doy = 59) a
+       |  JOIN (SELECT user_id, seas FROM lclim0 WHERE doy = 61) b USING (user_id)
+       |),
+       |lclim_sm AS (${smooth("lclim_f29", "seas")}),
+       |lthr_f29 AS (
+       |  SELECT user_id, doy, thresh FROM thr09_raw WHERE doy <> 60
+       |  UNION ALL
+       |  SELECT a.user_id, 60 AS doy, ${rr("0.5 * a.thresh + 0.5 * b.thresh", 6)} AS thresh
+       |  FROM (SELECT user_id, thresh FROM thr09_raw WHERE doy = 59) a
+       |  JOIN (SELECT user_id, thresh FROM thr09_raw WHERE doy = 61) b USING (user_id)
+       |),
+       |lthr_sm AS (${smooth("lthr_f29", "thresh")}),
+       |thrP_raw AS (
+       |  SELECT user_id, doy, ${quantileSel(p)} AS thresh
+       |  FROM poolv GROUP BY 1, 2
+       |),
+       |thrP_sm AS (${smooth("thrP_raw", "thresh")}),
+       |origin AS (SELECT min(d) AS d0 FROM daily),
+       |sev AS (
+       |  SELECT dd.user_id, dd.d, datediff('day', o.d0, dd.d) AS idx,
+       |         ${rr("dd.sst - c.seas", 6)} AS t_anom,
+       |         ${rr("(dd.sst - c.seas) / (t.thresh - c.seas + 1e-9)", 6)} AS severity
+       |  FROM daily dd
+       |  JOIN clim_sm c ON c.user_id = dd.user_id AND c.doy = dd.doy
+       |  JOIN thrP_sm t ON t.user_id = dd.user_id AND t.doy = dd.doy
+       |  CROSS JOIN origin o
+       |),
+       |flagged AS (
+       |  SELECT user_id, idx,
+       |         idx - row_number() OVER (PARTITION BY user_id ORDER BY idx) AS grp
+       |  FROM sev WHERE severity > 1
+       |),
+       |runs AS (
+       |  SELECT user_id, grp, min(idx) AS i0, max(idx) AS i1
+       |  FROM flagged GROUP BY 1, 2
+       |),
+       |kept AS (SELECT * FROM runs WHERE i1 - i0 + 1 >= 3),
+       |numbered AS (
+       |  SELECT user_id, i0, i1,
+       |         CASE WHEN i0 - lag(i1) OVER (PARTITION BY user_id ORDER BY i0) <= 2
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM kept
+       |),
+       |events_tbl AS (
+       |  SELECT user_id, evt, min(i0) AS index_start, max(i1) AS index_end
+       |  FROM (SELECT user_id, i0, i1,
+       |               sum(brk) OVER (PARTITION BY user_id ORDER BY i0
+       |                              ROWS UNBOUNDED PRECEDING) AS evt
+       |        FROM numbered)
+       |  GROUP BY 1, 2
+       |),
+       |span AS (
+       |  SELECT e.user_id, e.evt, e.index_start, e.index_end,
+       |         s.idx, s.t_anom, s.severity,
+       |         max(s.t_anom) OVER (PARTITION BY e.user_id, e.evt) AS mx
+       |  FROM events_tbl e
+       |  JOIN sev s ON s.user_id = e.user_id
+       |            AND s.idx BETWEEN e.index_start AND e.index_end
+       |),
+       |evm AS (
+       |  SELECT span.user_id, CAST(evt AS BIGINT) AS evt,
+       |         CAST(index_start AS INT) AS index_start,
+       |         CAST(index_end AS INT) AS index_end,
+       |         o.d0 + CAST(index_start AS INT) AS date_start,
+       |         o.d0 + CAST(index_end AS INT) AS date_end,
+       |         CAST(index_end - index_start + 1 AS INT) AS duration,
+       |         CAST(min(CASE WHEN t_anom = mx THEN idx END) AS INT) AS index_peak,
+       |         o.d0 + CAST(min(CASE WHEN t_anom = mx THEN idx END) AS INT) AS date_peak,
+       |         max(t_anom) AS intensity_max,
+       |         ${davg("t_anom", 6)} AS intensity_mean,
+       |         ${rr(dsum("t_anom"), 6)} AS intensity_cumul,
+       |         ${rr("max(severity)", 6)} AS severity_max
+       |  FROM span CROSS JOIN origin o
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, o.d0
+       |)
+       |""".stripMargin
+
+  val climDoySqlQ: String =
+    s"""SELECT d, ${climDoySql("d")} AS doy
+       |FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)""".stripMargin
+
+  val climatologyBp: String =
+    chain(0.9) + "SELECT user_id, doy, seas FROM clim_raw"
+  val climatologyBpSmooth: String =
+    chain(0.9) + "SELECT user_id, doy, seas FROM clim_sm"
+  val thresholdBp: String =
+    chain(0.9) + "SELECT user_id, doy, thresh FROM thr09_raw"
+  val thresholdBpSmooth: String =
+    chain(0.9) + "SELECT user_id, doy, thresh FROM thr09_sm"
+  val climatologyLegacy: String =
+    chain(0.9) + "SELECT user_id, doy, seas FROM lclim_sm"
+  val thresholdLegacy: String =
+    chain(0.9) + "SELECT user_id, doy, thresh FROM lthr_sm"
+
+  val detrend: String =
+    chain(0.9) +
+    s""", tt AS (
+       |  SELECT user_id, d, sst, datediff('day', o.d0, d) AS t
+       |  FROM daily CROSS JOIN origin o
+       |),
+       |fit AS (
+       |  SELECT user_id,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(t AS BIGINT)) AS DOUBLE) AS st,
+       |    CAST(sum(CAST(t AS BIGINT) * t) AS DOUBLE) AS stt,
+       |    ${dsum("sst")} AS sy,
+       |    ${dsum("sst * t")} AS sty
+       |  FROM tt GROUP BY 1
+       |),
+       |fit2 AS (
+       |  SELECT user_id,
+       |    (n * sty - st * sy) / (n * stt - st * st) AS slope,
+       |    sy / n - (n * sty - st * sy) / (n * stt - st * st) * (st / n) AS intercept
+       |  FROM fit
+       |)
+       |SELECT tt.user_id, tt.d,
+       |       ${rr("tt.sst - f.intercept - f.slope * tt.t", 6)} AS detrended
+       |FROM tt JOIN fit2 f USING (user_id)""".stripMargin
+
+  val severity: String =
+    chain(0.9) + "SELECT user_id, d, t_anom, severity FROM sev"
+
+  val mhwEvents: String =
+    chain(0.6) +
+    """SELECT user_id, evt, index_start, index_end, date_start, date_end,
+      |       duration, index_peak, date_peak,
+      |       intensity_max, intensity_mean, intensity_cumul
+      |FROM evm""".stripMargin
+
+  val mhwCategory: String =
+    chain(0.6) +
+    s"""SELECT CASE WHEN severity_max <= 2 THEN 'moderate'
+       |            WHEN severity_max <= 3 THEN 'strong'
+       |            WHEN severity_max <= 4 THEN 'severe'
+       |            ELSE 'extreme' END AS category,
+       |       count(*) AS n_events,
+       |       ${davg("CAST(duration AS DOUBLE)", 4)} AS avg_duration,
+       |       max(intensity_max) AS max_intensity
+       |FROM evm GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Mhw
+import graft.time.DoyFunctions
+
+/** Semantics the DuckDB oracle can't pin on the 2024-January test data:
+  * leap normalization across years, gap-join transitivity, strict skipna,
+  * Feb-29 interpolation. */
+class MhwSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  test("climDoy: Feb 29 is always 60, Mar 1 always 61, in every year") {
+    val df = Seq("2023-02-28", "2023-03-01", "2023-12-31",
+                 "2024-02-28", "2024-02-29", "2024-03-01", "2024-12-31")
+      .toDF("s").select(to_date($"s").as("d"))
+      .withColumn("doy", DoyFunctions.climDoy($"d"))
+    val m = df.collect().map(r => r.getDate(0).toString -> r.getInt(1)).toMap
+    assert(m("2023-02-28") == 59)
+    assert(m("2023-03-01") == 61) // non-leap: natural 60 shifts to 61
+    assert(m("2023-12-31") == 366)
+    assert(m("2024-02-29") == 60)
+    assert(m("2024-03-01") == 61)
+    assert(m("2024-12-31") == 366)
+  }
+
+  private def sevDf(rows: Seq[(Long, String, Double, Double)]) =
+    rows.toDF("user_id", "ds", "t_anom", "severity")
+      .select($"user_id", to_date($"ds").as("d"), $"t_anom", $"severity")
+
+  test("detectEvents: duration filter, transitive gap-merge, metrics over gap days, first-argmax peak") {
+    // user 1: run 0-4, dip at 5, run 6-10, dip at 11, run 12-16 →
+    // gaps of 2 (i0-i1 = 2 ≤ maxGap) chain-merge into ONE event 0..16.
+    // t_anom max 3.0 occurs at idx 2 AND idx 8 → peak = first = idx 2.
+    val base = Date.valueOf("2024-01-01").toLocalDate
+    def day(i: Int) = base.plusDays(i).toString
+    val u1 = (0 to 16).map { i =>
+      val sev = if (i == 5 || i == 11) 0.5 else 2.0
+      val ta = if (i == 2 || i == 8) 3.0 else 1.0
+      (1L, day(i), ta, sev)
+    }
+    // user 2: run of 4 only → filtered by minDuration=5
+    val u2 = (0 to 3).map(i => (2L, day(i), 1.0, 2.0))
+    // user 3: two runs of 5 separated by 3 below-threshold days → NOT merged
+    val u3 = (0 to 12).map { i =>
+      val sev = if (i >= 5 && i <= 7) 0.5 else 2.0
+      (3L, day(i), 1.0, sev)
+    }
+    val ev = Mhw.detectEvents(sevDf(u1 ++ u2 ++ u3), minDuration = 5, maxGap = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("index_start"),
+        r.getAs[Int]("index_end"), r.getAs[Int]("duration"),
+        r.getAs[Int]("index_peak"), r.getAs[Double]("intensity_mean"),
+        r.getAs[Double]("intensity_cumul")))
+      .groupBy(_._1)
+
+    val e1 = ev(1L)
+    assert(e1.length == 1)
+    val (_, s1, x1, d1, p1, mean1, cum1) = e1.head
+    assert((s1, x1, d1) == (0, 16, 17)) // merged span includes the dips
+    assert(p1 == 2)                     // first argmax
+    // 17 days: 15 × 1.0 + 2 × 3.0 = 21.0 total (dips' t_anom included)
+    assert(cum1 == 21.0)
+    assert(math.abs(mean1 - 21.0 / 17) < 1e-6)
+
+    assert(!ev.contains(2L)) // too short
+    assert(ev(3L).length == 2) // gap of 3 does not merge
+  }
+
+  test("pooledQuantile: strict skipna nulls a window containing NaN") {
+    val base = Date.valueOf("2024-06-01").toLocalDate
+    val rows = (0 until 20).map { i =>
+      val v = if (i == 10) Double.NaN else 10.0 + i
+      (1L, java.sql.Date.valueOf(base.plusDays(i)), v)
+    }
+    val dl = rows.toDF("user_id", "d", "sst")
+      .withColumn("yr", year($"d"))
+      .withColumn("doy", DoyFunctions.climDoy($"d"))
+    val q = Mhw.pooledQuantile(dl, 5, 0.9)
+    val nanDoy = dl.filter(isnan($"sst")).select($"doy").as[Int].head()
+    val nulled = q.filter($"thresh".isNull).select($"doy").as[Int].collect().toSet
+    // every center within ±5 of the NaN observation must be null
+    assert((nanDoy - 5 to nanDoy + 5).toSet.subsetOf(nulled))
+    assert(q.filter($"thresh".isNotNull).count() > 0)
+  }
+
+  test("interpFeb29: DOY 60 replaced by neighbours' mean; absent if a neighbour is absent") {
+    val clim = Seq((1L, 59, 10.0), (1L, 60, 99.0), (1L, 61, 20.0),
+                   (2L, 59, 10.0), (2L, 60, 99.0))
+      .toDF("user_id", "doy", "seas")
+    val out = Mhw.interpFeb29(clim, "seas")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 60)) == 15.0)
+    assert(!out.contains((2L, 60))) // doy 61 missing → row absent
+  }
+}
