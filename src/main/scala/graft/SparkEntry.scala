@@ -29,6 +29,12 @@ object SparkEntry {
     "severity" -> ((s, d) => Mhw.severityChain(s, d, 0.9)),
     "mhw_events" -> (Mhw.mhwEvents _),
     "mhw_category" -> (Mhw.mhwCategory _),
+    // Event-stream relational (SURVEY §2 B16-B20)
+    "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "events_json" -> (Events.jsonStats _),
+    "events_window_stats" -> (Events.windowStats _),
+    "events_pivot" -> (Events.pivotTypes _),
+    "asof_join" -> (Events.asofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +55,10 @@ object SparkEntry {
     "severity" -> MhwSql.severity,
     "mhw_events" -> MhwSql.mhwEvents,
     "mhw_category" -> MhwSql.mhwCategory,
+    "events_sessionize" -> Events.sessionizeSql,
+    "events_json" -> Events.jsonStatsSql,
+    "events_window_stats" -> Events.windowStatsSql,
+    "events_pivot" -> Events.pivotTypesSql,
+    "asof_join" -> Events.asofJoinSql,
   )
 }

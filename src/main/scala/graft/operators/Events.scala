@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+import graft.Parity._
+import graft.sources.Tables
+
+/** Event-stream analytics: sessionization, JSON extraction, rolling
+  * windows, pivots, as-of joins. Every operator here is a single shuffle
+  * on the series key (`user_id`) — all window specs share the same
+  * partitioning+ordering so Catalyst plans one exchange+sort, and the
+  * deterministic (ts, event_id) ordering makes results reproducible
+  * across engines.
+  */
+object Events {
+
+  private val Dec = DataTypes.createDecimalType(38, 10)
+  private def wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** 30-minute-gap sessionization (SURVEY §2 #16). A session breaks when
+    * the gap to the previous event of the same user exceeds 30 min.
+    * Classic gaps-and-islands: one window pass + one aggregation, both on
+    * the same key — a single shuffle regardless of scale. */
+  def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val gapS = gapMinutes * 60L
+    ev.withColumn("prev_ts", lag("ts", 1).over(wUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapS, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_s"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |                OR floor(epoch(CAST(ts AS TIMESTAMP))) - floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)) > 1800
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+      |FROM sess GROUP BY 1, 2""".stripMargin
+
+  /** JSON property extraction + aggregation (#17). `get_json_object` is a
+    * codegen'd Catalyst expression — stays inside whole-stage codegen. */
+  def jsonStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+           davg(col("k").cast("double"), 6).as("avg_k"),
+           sum(col("k")).cast("long").as("sum_k"))
+
+  val jsonStatsSql: String =
+    s"""SELECT event_type, count(k) AS n,
+       |       ${sqlAvg("CAST(k AS DOUBLE)", 6)} AS avg_k,
+       |       CAST(sum(k) AS BIGINT) AS sum_k
+       |FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS INT) AS k
+       |      FROM events)
+       |GROUP BY 1""".stripMargin
+
+  /** Per-user rolling mean/max over the 4 preceding + current events
+    * (#18). The rolling sum accumulates in DECIMAL so the frame's
+    * summation order can't produce cross-engine ulp drift. */
+  def windowStats(s: SparkSession, dir: String): DataFrame = {
+    val frame = wUser.rowsBetween(-4, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("roll_mean",
+        r(sum(col("value").cast(Dec)).over(frame).cast("double") /
+          count(lit(1)).over(frame), 6))
+      .withColumn("roll_max", max(col("value")).over(frame))
+  }
+
+  val windowStatsSql: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |       floor((CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE)
+      |              / count(*) OVER w) * 1e6 + 0.5) / 1e6 AS roll_mean,
+      |       max(value) OVER w AS roll_max
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** event_type → columns per user via conditional aggregation (#19).
+    * Explicit conditionals rather than `.pivot()`: the output schema is
+    * static (no driver-side distinct scan) and the plan is one partial
+    * agg + one shuffle on user_id. */
+  def pivotTypes(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val counts = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    val sums = Seq(
+      dsum(when(col("event_type") === "purchase", col("value")), 4)
+        .as("purchase_value"))
+    ev.groupBy(col("user_id")).agg(counts.head, (counts.tail ++ sums): _*)
+  }
+
+  val pivotTypesSql: String =
+    s"""SELECT user_id,
+       |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       |  ${sqlSum("CASE WHEN event_type = 'purchase' THEN value END", 4)} AS purchase_value
+       |FROM events GROUP BY 1""".stripMargin
+
+  /** As-of join (#20): each purchase ↔ the latest prior click of the same
+    * user. Re-expressed as union + one window pass (max of click-ts over
+    * the preceding frame) instead of a fact×fact range join — shuffles
+    * each side once on user_id and never materializes the pair space. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    ev.withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts",
+        max(col("click_ts")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts").as("purchase_ts"), col("last_click_ts"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id AS purchase_id, user_id,
+      |       CAST(ts AS TIMESTAMP) AS purchase_ts, last_click_ts
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |)
+      |WHERE event_type = 'purchase'""".stripMargin
+}
