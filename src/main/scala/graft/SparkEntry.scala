@@ -35,6 +35,13 @@ object SparkEntry {
     "events_window_stats" -> (Events.windowStats _),
     "events_pivot" -> (Events.pivotTypes _),
     "asof_join" -> (Events.asofJoin _),
+    // Text analysis + dedup (SURVEY §2 C21-C24, D25-D26)
+    "text_tokens" -> (TextOps.textTokens _),
+    "text_quality" -> (TextOps.textQuality _),
+    "text_langid" -> (TextOps.textLangid _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
+    "dedup_exact" -> (TextOps.dedupExact _),
+    "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +67,11 @@ object SparkEntry {
     "events_window_stats" -> Events.windowStatsSql,
     "events_pivot" -> Events.pivotTypesSql,
     "asof_join" -> Events.asofJoinSql,
+    "text_tokens" -> TextOps.textTokensSql,
+    "text_quality" -> TextOps.textQualitySql,
+    "text_langid" -> TextOps.textLangidSql,
+    "text_fingerprint" -> TextOps.textFingerprintSql,
+    "dedup_exact" -> TextOps.dedupExactSql,
+    "dedup_ngram_jaccard" -> TextOps.dedupNgramJaccardSql,
   )
 }

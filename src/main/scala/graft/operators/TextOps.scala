@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text analysis + exact/n-gram deduplication over `documents`
+  * (SURVEY §2 C21-C24, D25-D26). All single-scan or inverted-index
+  * shaped — nothing materializes an O(n²) pair space.
+  */
+object TextOps {
+
+  /** #21 token statistics: whitespace tokens vs regex word/number runs. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).as("n_word_tokens"),
+      regexp_count(col("text"), lit("[0-9]+")).as("n_num_tokens"),
+      length(col("text")).as("len"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens,
+      |  length(text) AS len
+      |FROM documents""".stripMargin
+
+  /** #22 quality scoring: length/punctuation/stopword ratios combined
+    * into one fixed IEEE formula (identical on both engines). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = lowerTokens(col("text"))
+    val len = length(col("text"))
+    val punct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val stop = markerCount(toks, stopwordsEn)
+    val upper = regexp_count(col("text"), lit("[A-Z]"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      r(punct / len, 6).as("punct_ratio"),
+      r(stop / size(toks), 6).as("stop_ratio"),
+      r(upper / len, 6).as("upper_ratio"),
+      r(lit(0.4) * (stop / size(toks)) +
+        lit(0.3) * (lit(1.0) - punct / len) +
+        lit(0.3) * least(lit(1.0), len / lit(500.0)), 6).as("quality"))
+  }
+
+  val textQualitySql: String = {
+    val stopList = stopwordsEn.map(w => s"'$w'").mkString(", ")
+    val toks = "string_split(lower(trim(text)), ' ')"
+    val stop = s"len(list_filter($toks, x -> x IN ($stopList)))"
+    val punct = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    val upper = "len(regexp_extract_all(text, '[A-Z]'))"
+    val len = "length(text)"
+    s"""SELECT doc_id,
+       |  ${sqlR(s"$punct / $len", 6)} AS punct_ratio,
+       |  ${sqlR(s"$stop / len($toks)", 6)} AS stop_ratio,
+       |  ${sqlR(s"$upper / $len", 6)} AS upper_ratio,
+       |  ${sqlR(s"0.4 * ($stop / len($toks)) + 0.3 * (1.0 - $punct / $len)" +
+                 s" + 0.3 * LEAST(1.0, $len / 500.0)", 6)} AS quality
+       |FROM documents""".stripMargin
+  }
+
+  /** #23 language ID: stopword-marker profiles per language, argmax with
+    * a fixed priority order on ties, compared against the labeled lang.
+    * (The test corpus is synthetic shared-vocabulary text, so accuracy is
+    * meaningless here — the oracle pins the computation; linguistic
+    * behaviour is covered by TextSpec on real phrases.) */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = lowerTokens(col("text"))
+    val scored = Tables.documents(s, dir).select(
+      col("lang"),
+      markerCount(toks, langMarkers("en")).as("s_en"),
+      markerCount(toks, langMarkers("de")).as("s_de"),
+      markerCount(toks, langMarkers("es")).as("s_es"),
+      markerCount(toks, langMarkers("fr")).as("s_fr"),
+      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("s_zh"))
+    scored.withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+             col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+                col("s_de") >= col("s_zh"), "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val textLangidSql: String = {
+    def mc(ws: Seq[String]) = {
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($list)))"
+    }
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    ${mc(langMarkers("en"))} AS s_en,
+       |    ${mc(langMarkers("de"))} AS s_de,
+       |    ${mc(langMarkers("es"))} AS s_es,
+       |    ${mc(langMarkers("fr"))} AS s_fr,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+       |  FROM documents
+       |)
+       |SELECT lang,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS predicted,
+       |  count(*) AS n
+       |FROM scored GROUP BY 1, 2""".stripMargin
+  }
+
+  /** #24 document fingerprint: md5 of the whitespace-collapsed lowercase
+    * normal form, with the collision-group size alongside. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy("fp")))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |       count(*) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+      |         AS group_n
+      |FROM documents""".stripMargin
+
+  /** #25 exact dedup: group by normalized fingerprint, keep the min id.
+    * Pure hash groupBy — one shuffle on the fingerprint, partial aggs
+    * map-side; the canonical 100 TB exact-dedup shape. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** #26 n-gram Jaccard dedup: word-3-gram shingles → inverted-index
+    * self-join (pairs must share a shingle — never the full pair space)
+    * → Jaccard ≥ τ. Ultra-frequent shingles would be the skew risk at
+    * scale; AQE skew-join handles moderate cases, and a doc-frequency cap
+    * on shingles is the standard mitigation beyond that. */
+  def dedupNgramJaccard(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
+    val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        r(col("shared") / (col("n_a") + col("n_b") - col("shared")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"),
+              col("jaccard"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(CASE WHEN len(t) >= 3 THEN
+      |             list_transform(range(1, len(t) - 1),
+      |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |           ELSE [] END) AS s
+      |    FROM toks)
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, shared, c1.n AS n_a, c2.n AS n_b,
+      |       floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 AS jaccard
+      |FROM pairs JOIN cnt c1 ON id_a = c1.doc_id JOIN cnt c2 ON id_b = c2.doc_id
+      |WHERE floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 >= 0.3""".stripMargin
+}

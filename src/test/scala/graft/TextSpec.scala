@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+class TextSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  private def markersOf(s: String): Map[String, Int] = {
+    val toks = lowerTokens(lit(s))
+    Seq("en", "de", "es", "fr")
+      .map(l => l -> markerCount(toks, langMarkers(l)))
+      .foldLeft(spark.range(1).toDF()) { case (df, (l, c)) => df.withColumn(l, c) }
+      .collect().head.getValuesMap[Int](Seq("en", "de", "es", "fr"))
+  }
+
+  test("langid markers fire on real phrases") {
+    val en = markersOf("the quick brown fox jumps over the lazy dog and runs to the hills")
+    assert(en("en") > en("de") && en("en") > en("es") && en("en") > en("fr"))
+    val de = markersOf("der hund und die katze sind nicht das problem")
+    assert(de("de") > de("en"))
+    val fr = markersOf("le chat et les chiens mangent des croquettes dans un jardin")
+    assert(fr("fr") > fr("en"))
+  }
+
+  test("shingles3: distinct 3-gram shingles; empty below 3 tokens") {
+    val df = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")
+      .select(shingles3(lowerTokens(col("text"))).as("sh"))
+    val out = df.collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+    // 7 raw shingles but only 3 distinct rotations
+    assert(out(2).toSet == Set("x y z", "y z x", "z x y"))
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val df = Seq("Hello  World", "hello world", "hello  world!").toDF("text")
+      .select(fingerprint(col("text")).as("f"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
