@@ -42,6 +42,14 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    // MinHash/SimHash dedup (D27-D28, rows-only + spec-pinned recall)
+    "dedup_minhash" -> ((s, d) => LshDedup.dedupMinhash(s, d)),
+    "dedup_simhash" -> ((s, d) => LshDedup.dedupSimhash(s, d)),
+    // Similarity search (E29-E32)
+    "emb_norms" -> (Similarity.embNorms _),
+    "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "emb_dedup_cosine" -> ((s, d) => Similarity.embDedupCosine(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +81,8 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "dedup_exact" -> TextOps.dedupExactSql,
     "dedup_ngram_jaccard" -> TextOps.dedupNgramJaccardSql,
+    "emb_norms" -> Similarity.embNormsSql,
+    "knn_brute" -> Similarity.knnBruteSql,
+    "emb_dedup_cosine" -> Similarity.embDedupCosineSql,
   )
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/** Vector math over `array<float>` embedding columns, built entirely
+  * from codegen'd higher-order functions (zip_with / aggregate) — no
+  * UDFs, no explode: one row stays one row.
+  *
+  * Dot products accumulate in DECIMAL(38,10): per-term double products
+  * are IEEE-identical across engines and the decimal sum is
+  * order-independent, so results are bit-reproducible (and
+  * oracle-checkable) regardless of evaluation order.
+  */
+object VectorFunctions {
+
+  // Accumulator at (28,10) with (18,10) terms: Spark's decimal `+` at
+  // precision 38 would shave a scale digit ((38,10)+(38,10)→(38,9));
+  // these widths keep every step exact (|sum| < 1e18) and the merge cast
+  // restores the accumulator type losslessly.
+  private val DecAcc = DataTypes.createDecimalType(28, 10)
+  private val DecTerm = DataTypes.createDecimalType(18, 10)
+  private val zeroDec = lit(new java.math.BigDecimal(0)).cast(DecAcc)
+
+  /** Exact (decimal-accumulated) dot product, as double. */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecTerm)),
+      zeroDec, (acc, v) => (acc + v).cast(DecAcc)).cast("double")
+
+  /** Exact squared L2 norm. */
+  def normSqDec(a: Column): Column = dotDec(a, a)
+
+  /** L2 norm (sqrt of the exact squared norm — IEEE-identical). */
+  def norm(a: Column): Column = sqrt(normSqDec(a))
+
+  /** Cosine similarity from exact dot/norms. */
+  def cosine(a: Column, b: Column): Column =
+    dotDec(a, b) / (norm(a) * norm(b))
+
+  // ------------------------------------------------------- oracle fragments
+
+  /** DuckDB mirror of [[dotDec]] for list columns `a`, `b`. */
+  def sqlDotDec(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
+       |  i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(18,10))))
+       | AS DOUBLE)""".stripMargin.replace("\n", "")
+
+  def sqlNorm(a: String): String = s"sqrt(${sqlDotDec(a, a)})"
+
+  def sqlCosine(a: String, b: String): String =
+    s"${sqlDotDec(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
+}

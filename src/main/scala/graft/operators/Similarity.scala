@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY §2 E29-E32):
+  * exact stats, brute-force cosine top-k, random-hyperplane LSH ANN, and
+  * cosine near-dup pairs.
+  *
+  * Scale shape: queries are a broadcast dimension — the corpus is
+  * scanned map-only for scoring. The LSH path buckets the corpus once
+  * (reusable across query batches) and probes buckets instead of
+  * scanning; the bucketed join is the 100 TB path, brute force is the
+  * recall baseline it's measured against (SimilaritySpec).
+  */
+object Similarity {
+
+  /** #29 per-vector stats: dimension, exact component sum, L2 norm. */
+  def embNorms(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      r(aggregate(col("embedding"),
+          lit(new java.math.BigDecimal(0)).cast("decimal(28,10)"),
+          (acc, x) => (acc + x.cast("double").cast("decimal(18,10)"))
+            .cast("decimal(28,10)"))
+        .cast("double"), 6).as("comp_sum"),
+      r(norm(col("embedding")), 6).as("l2_norm"))
+
+  val embNormsSql: String =
+    s"""SELECT vec_id, label, len(embedding) AS dim,
+       |  floor((CAST(list_sum(list_transform(embedding,
+       |     x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,10)))) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |    AS comp_sum,
+       |  floor((${sqlNorm("embedding")}) * 1e6 + 0.5) / 1e6 AS l2_norm
+       |FROM embeddings""".stripMargin
+
+  private def queries(s: SparkSession, dir: String, nQueries: Int): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** #30 brute-force cosine top-k: broadcast the query set, score the
+    * corpus map-only, rank per query. Deterministic: cosine rounded
+    * before ranking, vec_id tiebreak. (The final per-query ranking
+    * shuffles only scored candidates; at extreme scale a two-stage
+    * partial top-k per partition would precede it.) */
+  def knnBrute(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+    corpus.join(broadcast(queries(s, dir, nQueries)), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", r(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  val knnBruteSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+       |),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         floor((${sqlCosine("q.q_emb", "e.embedding")}) * 1e6 + 0.5) / 1e6 AS cosine
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+       |)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  // ------------------------------------------------------------------- LSH
+
+  /** Deterministic pseudo-random hyperplanes: `tables` hash tables ×
+    * `bits` planes × `dim` components, seeded — identical across runs
+    * and JVMs, constant-folded into the plan as literals. */
+  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  private def bucketExpr(emb: Column, plane: Array[Array[Double]]): Column =
+    plane.zipWithIndex.map { case (w, i) =>
+      val dot = aggregate(
+        zip_with(emb, lit(w), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** #31 ANN via random-hyperplane LSH: bucket the corpus per hash
+    * table, probe the query's buckets, exact-cosine only the candidates,
+    * rank. Rows-only oracle; recall vs [[knnBrute]] is asserted in
+    * SimilaritySpec (random uniform vectors are LSH's worst case — real
+    * clustered embeddings bucket far better). */
+  def annLsh(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
+             tables: Int = 16, bits: Int = 6): DataFrame = {
+    val ps = planes(tables, bits, 64)
+    def withBuckets(df: DataFrame, embCol: String): DataFrame =
+      df.withColumn("tb", explode(array(
+        ps.zipWithIndex.map { case (p, t) =>
+          struct(lit(t).as("t"), bucketExpr(col(embCol), p).as("b"))
+        }: _*)))
+    val corpus = withBuckets(Tables.embeddings(s, dir), "embedding")
+      .select(col("vec_id"), col("embedding"), col("tb"))
+    val qs = withBuckets(queries(s, dir, nQueries), "q_emb")
+      .select(col("q_id"), col("q_emb"), col("tb"))
+    val cands = corpus.join(broadcast(qs), Seq("tb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+    cands
+      .withColumn("cosine", r(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** #32 cosine near-duplicate pairs, blocked by label (pairs are only
+    * scored within a label block — the blocking key bounds the pair
+    * space; at 100 TB the block is the shuffle key). */
+  def embDedupCosine(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", r(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  val embDedupCosineSql: String =
+    s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |       floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= 0.35""".stripMargin
+}

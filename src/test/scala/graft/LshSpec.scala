@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.operators.{LshDedup, Similarity, TextOps}
+
+/** Recall/precision pins for the probabilistic operators against their
+  * exact counterparts. Everything is xxhash64-seeded → fully
+  * deterministic: these are exact regression values, not flaky
+  * statistical bounds. */
+class LshSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedup_minhash: precision 1 vs exact Jaccard; J>=0.5 pairs always found") {
+    val exact = TextOps.dedupNgramJaccard(spark, sf)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mh = LshDedup.dedupMinhash(spark, sf)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1: every minhash pair is an exact pair with identical J
+    mh.foreach { case (k, j) => assert(exact.get(k).contains(j)) }
+    // the LSH s-curve guarantees J>=0.5 pairs at 32 bands x 2 rows
+    exact.filter(_._2 >= 0.5).keys.foreach(k => assert(mh.contains(k)))
+  }
+
+  test("dedup_simhash: identical docs collide at hamming 0; near-identical close") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a.replace("dog", "cat")
+    val bits = Seq(a, a, b).toDF("text")
+      .select(LshDedup.simhashBits(lowerTokens(col("text"))).as("bits"))
+      .collect().map(_.getSeq[Int](0))
+    assert(bits(0) == bits(1))
+    val hamAB = bits(0).zip(bits(2)).count { case (x, y) => x != y }
+    assert(hamAB > 0 && hamAB <= 16) // one word changed → few bits flip
+  }
+
+  test("ann_lsh: deterministic recall vs brute force on its worst case (uniform vectors)") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall") // uniform-random is LSH's floor
+    assert(ann.size <= brute.size)
+  }
+
+  test("minhash signature: permutation-min monotonicity (superset has <= minima)") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq("a b c", "b c d", "c d e"))).toDF("id", "sh")
+      .select($"id", LshDedup.minhashSignature($"sh", 16).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigs(1L).zip(sigs(2L)).foreach { case (s1, s2) => assert(s2 <= s1) }
+  }
+}
