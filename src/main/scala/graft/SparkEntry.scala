@@ -50,6 +50,12 @@ object SparkEntry {
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "emb_dedup_cosine" -> ((s, d) => Similarity.embDedupCosine(s, d)),
+    // Multimodal plumbing (F33-F34)
+    "mm_ingest" -> (multimodal.Multimodal.mmIngest _),
+    "mm_frames" -> (multimodal.Multimodal.mmFrames _),
+    // Structured Streaming (G35-G36)
+    "stream_window_counts" -> (streaming.Streaming.streamWindowCounts _),
+    "stream_sessionize" -> (streaming.Streaming.streamSessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,5 +90,8 @@ object SparkEntry {
     "emb_norms" -> Similarity.embNormsSql,
     "knn_brute" -> Similarity.knnBruteSql,
     "emb_dedup_cosine" -> Similarity.embDedupCosineSql,
+    "mm_ingest" -> multimodal.Multimodal.mmIngestSql,
+    "mm_frames" -> multimodal.Multimodal.mmFramesSql,
+    "stream_window_counts" -> streaming.Streaming.streamWindowCountsSql,
   )
 }

@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY §2 F33-F34): media as opaque
+  * `binary` payloads + typed metadata, with decode / frame-sample
+  * implemented as per-partition batch iterators — the real 100 TB shape
+  * (payload stays columnar, decode is a narrow map, no shuffle).
+  *
+  * The actual codec is STUBBED (no image/audio libs in this
+  * environment): `FakeDecoder` derives deterministic "frames" from the
+  * payload bytes via md5, so the pipeline is end-to-end testable and
+  * oracle-checkable while the decoder body is the single seam a real
+  * codec would replace.
+  */
+object Multimodal {
+
+  /** #33 ingest: text → binary payload + typed media metadata. The
+    * payload column is genuine binary; the compared output carries its
+    * md5 (parquet binary columns don't hash-compare portably). */
+  def mmIngest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("text/plain").as("mime"),
+      octet_length(col("text").cast("binary")).as("n_bytes"),
+      (lit(64) + col("doc_id") % 960).as("width"),
+      (lit(64) + (col("doc_id") * 7) % 960).as("height"),
+      lit(3).as("channels"))
+      .withColumn("payload_md5", md5(col("payload")))
+      .drop("payload")
+
+  val mmIngestSql: String =
+    """SELECT doc_id, 'text/plain' AS mime,
+      |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |       64 + doc_id % 960 AS width,
+      |       64 + (doc_id * 7) % 960 AS height,
+      |       3 AS channels,
+      |       md5(text) AS payload_md5
+      |FROM documents""".stripMargin
+
+  /** The decode seam: a real implementation would wrap an image/video
+    * codec here; the batch-iterator shape (one call per partition, lazy
+    * iterator in/out) is exactly what a JNI/native decoder needs. */
+  object FakeDecoder {
+    val frameBytes = 100
+
+    /** Deterministic fake frame extraction: one frame per 100 payload
+      * bytes, fingerprint = md5(payloadMd5:frameIdx). */
+    def decode(docId: Long, payload: Array[Byte]): Iterator[(Long, Int, String)] = {
+      val md = MessageDigest.getInstance("MD5")
+      val payloadMd5 = md.digest(payload).map("%02x".format(_)).mkString
+      val nFrames = 1 + payload.length / frameBytes
+      (0 until nFrames).iterator.map { i =>
+        val fp = MessageDigest.getInstance("MD5")
+          .digest(s"$payloadMd5:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (docId, i, fp)
+      }
+    }
+  }
+
+  /** #34 frame sampling through the decode seam: payload → per-frame
+    * rows via `mapPartitions` (narrow, partition-local batches — the
+    * plan is scan → decode-map → done, nothing wide). */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        FakeDecoder.decode(id, payload)
+      })
+      .toDF("doc_id", "frame_idx", "frame_fp")
+  }
+
+  val mmFramesSql: String =
+    """SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+      |       md5(md5(text) || ':' || CAST(f.f AS INT)) AS frame_fp
+      |FROM documents
+      |CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f""".stripMargin
+}

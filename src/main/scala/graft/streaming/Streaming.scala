@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.Parity._
+import graft.sources.Tables
+
+/** Input row for the stateful sessionizer (µs epoch event time). */
+case class SessEvent(user_id: Long, ts_us: Long)
+
+/** One open session per user carried across micro-batches. */
+case class OpenSession(start_us: Long, end_us: Long, n: Long)
+
+/** A closed (emitted) session. */
+case class ClosedSession(user_id: Long, session_start_us: Long,
+                         session_end_us: Long, n_events: Long)
+
+/** Structured Streaming operators (SURVEY §2 G35-G36).
+  *
+  * #35 is written once as a batch DataFrame expression and executed in
+  * both modes — the streaming run (file source → tumbling window agg →
+  * memory sink) is asserted equal to the batch run in StreamingSpec.
+  * #36 is genuine stateful processing: flatMapGroupsWithState carries an
+  * open session per user across micro-batches and emits sessions as
+  * their 30-minute gap closes. At scale both are a single shuffle on the
+  * grouping key; state size is O(open sessions) = O(active users).
+  */
+object Streaming {
+
+  // ----------------------------------------------------- #35 window counts
+
+  /** Tumbling 6-hour window aggregation — the shared batch/stream
+    * expression. */
+  def windowCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Batch entry (oracle-checked); the stream run of the same expression
+    * is compared against this in StreamingSpec. */
+  def streamWindowCounts(s: SparkSession, dir: String): DataFrame =
+    windowCounts(Tables.events(s, dir))
+
+  val streamWindowCountsSql: String =
+    s"""SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) * 21600 * 1000000) AS window_start,
+       |       event_type, count(*) AS n,
+       |       ${sqlSum("value", 4)} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Raw-parquet streaming schema (ns timestamps arrive as long under
+    * nanosAsLong, exactly like the batch reader). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // source wants a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Run [[windowCounts]] as a real stream (file source → memory sink,
+    * Trigger.AvailableNow) and return the sink table. */
+  def runWindowCountsStream(s: SparkSession, dir: String): DataFrame = {
+    val q = windowCounts(eventsStream(s, dir)).writeStream
+      .format("memory").queryName("wc_stream")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("wc_stream")
+  }
+
+  // ------------------------------------------------------ #36 sessionize
+
+  private val gapUs = 30L * 60 * 1000000
+
+  /** Per-group state transition: fold this batch's (sorted) events into
+    * the carried open session, emitting every session that closes. */
+  private[streaming] def foldGroup(
+      uid: Long, events: Iterator[SessEvent],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    val sorted = events.map(_.ts_us).toArray.sorted
+    var open = state.getOption
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { t =>
+      open match {
+        case Some(o) if t - o.end_us <= gapUs =>
+          open = Some(OpenSession(o.start_us, t, o.n + 1))
+        case Some(o) =>
+          closed += ClosedSession(uid, o.start_us, o.end_us, o.n)
+          open = Some(OpenSession(t, t, 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+    }
+    open.foreach(state.update)
+    closed.result().iterator
+  }
+
+  /** Stateful streaming sessionization. Returns the CLOSED sessions
+    * observed while draining the source (each user's final session stays
+    * open in state — StreamingSpec pins parity against the batch
+    * sessionizer modulo those). */
+  def runSessionizeStream(s: SparkSession, dir: String,
+                          name: String = "sess_stream"): DataFrame = {
+    import s.implicits._
+    val events = eventsStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessEvent]
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldGroup)
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("user_id"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        timestamp_micros(col("session_end_us")).as("session_end"),
+        col("n_events"))
+  }
+
+  /** Driver-contract entry for #36 (rows-only oracle). */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    runSessionizeStream(s, dir, s"sess_${System.nanoTime()}")
+}
