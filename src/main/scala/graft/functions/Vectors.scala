@@ -29,6 +29,12 @@ object VectorFunctions {
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecTerm)),
       zeroDec, (acc, v) => (acc + v).cast(DecAcc)).cast("double")
 
+  /** Plain-double dot product — fast path for prefilters where last-ulp
+    * reproducibility doesn't matter (|error| vs dotDec < ~1e-12). */
+  def dotFast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Exact squared L2 norm. */
   def normSqDec(a: Column): Column = dotDec(a, a)
 

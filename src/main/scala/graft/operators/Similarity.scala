@@ -51,9 +51,14 @@ object Similarity {
     * shuffles only scored candidates; at extreme scale a two-stage
     * partial top-k per partition would precede it.) */
   def knnBrute(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
+    // norms are computed once per vector BEFORE the pair join — the pair
+    // space then costs one decimal dot, not three
     val corpus = Tables.embeddings(s, dir)
-    corpus.join(broadcast(queries(s, dir, nQueries)), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", r(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("e_norm", norm(col("embedding")))
+    val qs = queries(s, dir, nQueries).withColumn("q_norm", norm(col("q_emb")))
+    corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        r(dotDec(col("q_emb"), col("embedding")) / (col("q_norm") * col("e_norm")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -114,7 +119,9 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
       .distinct()
     cands
-      .withColumn("cosine", r(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("cosine",
+        r(dotDec(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding"))), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -125,12 +132,20 @@ object Similarity {
     * scored within a label block — the blocking key bounds the pair
     * space; at 100 TB the block is the shuffle key). */
   def embDedupCosine(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val e = Tables.embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("n_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("n_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", r(cosine(col("emb_a"), col("emb_b")), 6))
+      // fast-double prefilter: |dotFast − dotDec| < 1e-12, so a 1e-9
+      // slack can't drop a pair the exact cosine would keep; the (slow)
+      // decimal dot then runs only on survivors
+      .filter(dotFast(col("emb_a"), col("emb_b")) /
+              (col("n_a") * col("n_b")) >= tau - 1e-9)
+      .withColumn("cosine",
+        r(dotDec(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cosine") >= tau)
       .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
   }

@@ -148,8 +148,13 @@ object TextOps {
     * scale; AQE skew-join handles moderate cases, and a doc-frequency cap
     * on shingles is the standard mitigation beyond that. */
   def dedupNgramJaccard(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    // persisted: the shingle table feeds both self-join sides and the
+    // per-doc counts — without it Spark re-derives the (expensive)
+    // shingle arrays per reference, and column-pruned explode re-runs
+    // the whole expression
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val pairs = inv.as("a").join(inv.as("b"),

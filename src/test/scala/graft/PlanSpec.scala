@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Events, Mhw, Relational}
+
+/** Physical-plan shape guards: the properties that make these operators
+  * scale (pushdown reaching the parquet scan, dimensions broadcast, a
+  * single exchange for co-partitioned window chains) are asserted here
+  * so a refactor can't silently regress them. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6: every predicate is pushed to the parquet scan") {
+    val p = plan(Relational.q6Forecast(spark, sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    // scan reads only the needed columns
+    assert(!p.contains("l_orderkey"))
+  }
+
+  test("q3/q5: dimension sides broadcast — no fact-fact sort-merge join") {
+    val p3 = plan(Relational.q3Shipping(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q5Local(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("severity: clim tables broadcast back to facts") {
+    val p = plan(Mhw.severityChain(spark, sf, 0.9))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("sessionize: windows + aggregation share one exchange on user_id") {
+    val p = plan(Events.sessionize(spark, sf))
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected a single user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("asof join: single exchange, no join operator at all") {
+    val p = plan(Events.asofJoin(spark, sf))
+    assert(!p.contains("Join"))
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1)
+  }
+}
