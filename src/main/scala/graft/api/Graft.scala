@@ -1,0 +1,115 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mhw
+import graft.time.DoyFunctions
+
+/** Column mapping from a user's long-format DataFrame onto the engine's
+  * canonical series layout: `keyCol` identifies a series (the reference's
+  * spatial cell), `timeCol` is a date/timestamp, `valueCol` the measured
+  * variable (SST in the reference). */
+case class SeriesConfig(keyCol: String = "key", timeCol: String = "time",
+                        valueCol: String = "value")
+
+/** User-facing API mirroring the reference's public surface
+  * (mhw3d.legacy / mhw3d.best_practice / mhw3d.common — see
+  * /root/reference/src/mhw3d) over any long-format DataFrame.
+  *
+  * Defaults match the reference exactly: windowHalfWidth=5, pctile=0.9,
+  * smoothPercentile=true, smoothPercentileWidth=31, minDuration=5,
+  * maxGap=2, baseline = full record. Climatology outputs are per-(key,
+  * dayofyear) tables — the Spark-first re-expression of the reference's
+  * `dayofyear`-indexed DataArrays — meant to be broadcast-joined back to
+  * facts.
+  *
+  * NOTE on smoothing width: the reference's `_smooth_doy` runs a
+  * 31-position centered running mean, i.e. ±15 slots; `smoothWidth` here
+  * is the full window (odd), converted to the half-width internally.
+  */
+object Graft {
+
+  /** Leap-normalized DOY (Feb 29 = 60, Mar 1 = 61, every year). */
+  def climDoy(c: Column): Column = DoyFunctions.climDoy(c)
+
+  /** Normalize a user DataFrame to the canonical daily-series layout
+    * (one row per key per day; multiple observations per day averaged),
+    * optionally restricted to an inclusive year baseline. */
+  def dailySeries(df: DataFrame, cfg: SeriesConfig = SeriesConfig(),
+                  baseline: Option[(Int, Int)] = None): DataFrame = {
+    val base = df.select(
+      col(cfg.keyCol).as("user_id"),
+      to_date(col(cfg.timeCol)).as("d"),
+      col(cfg.valueCol).cast("double").as("v"))
+    val filtered = baseline match {
+      case Some((y0, y1)) => base.filter(year(col("d")).between(y0, y1))
+      case None => base
+    }
+    filtered.groupBy(col("user_id"), col("d"))
+      .agg(graft.Parity.davg(col("v"), 6).as("sst"))
+      .withColumn("yr", year(col("d")))
+      .withColumn("doy", climDoy(col("d")))
+  }
+
+  private def half(smoothWidth: Int): Int = smoothWidth / 2
+
+  /** best_practice.compute_climatology: per-DOY mean (+ optional
+    * circular running-mean smoothing). */
+  def computeClimatology(daily: DataFrame, smoothPercentile: Boolean = true,
+                         smoothPercentileWidth: Int = 31): DataFrame = {
+    val c = Mhw.climatologyBp(daily)
+    if (smoothPercentile) Mhw.smoothDoy(c, "seas", half(smoothPercentileWidth)) else c
+  }
+
+  /** best_practice.compute_threshold: ±windowHalfWidth cross-year pooled
+    * quantile, strict skipna (+ optional smoothing). */
+  def computeThreshold(daily: DataFrame, pctile: Double = 0.9,
+                       windowHalfWidth: Int = 5,
+                       smoothPercentile: Boolean = true,
+                       smoothPercentileWidth: Int = 31,
+                       exact: Boolean = true): DataFrame = {
+    val t = Mhw.pooledQuantile(daily, windowHalfWidth, pctile, exact)
+    if (smoothPercentile) Mhw.smoothDoy(t, "thresh", half(smoothPercentileWidth)) else t
+  }
+
+  /** legacy.compute_climatology: pooled mean + Feb-29 interpolation +
+    * smoothing (Hobday/Oliver 2016 contract). */
+  def computeClimatologyLegacy(daily: DataFrame, windowHalfWidth: Int = 5,
+                               smoothPercentile: Boolean = true,
+                               smoothPercentileWidth: Int = 31): DataFrame = {
+    val c = Mhw.interpFeb29(Mhw.pooledMean(daily, windowHalfWidth), "seas")
+    if (smoothPercentile) Mhw.smoothDoy(c, "seas", half(smoothPercentileWidth)) else c
+  }
+
+  /** legacy.compute_threshold: pooled quantile + Feb-29 interpolation +
+    * smoothing. */
+  def computeThresholdLegacy(daily: DataFrame, pctile: Double = 0.9,
+                             windowHalfWidth: Int = 5,
+                             smoothPercentile: Boolean = true,
+                             smoothPercentileWidth: Int = 31,
+                             exact: Boolean = true): DataFrame = {
+    val t = Mhw.interpFeb29(
+      Mhw.pooledQuantile(daily, windowHalfWidth, pctile, exact), "thresh")
+    if (smoothPercentile) Mhw.smoothDoy(t, "thresh", half(smoothPercentileWidth)) else t
+  }
+
+  /** best_practice.detrend (deg=1): OLS fit per key over the baseline
+    * years, trend evaluated and subtracted over the FULL record. */
+  def detrend(df: DataFrame, cfg: SeriesConfig = SeriesConfig(),
+              baseline: Option[(Int, Int)] = None): DataFrame =
+    Mhw.detrendDaily(dailySeries(df, cfg), baseline)
+
+  /** common.calculate_severity: T_anom and severity from climatology +
+    * threshold tables (broadcast back to the facts — the fact side never
+    * shuffles). */
+  def calculateSeverity(daily: DataFrame, seas: DataFrame,
+                        thresh: DataFrame): DataFrame =
+    Mhw.severity(daily, seas, thresh)
+
+  /** common.calculate_mhw_metrics: event detection (runs of severity>1,
+    * duration filter, transitive gap-join) + per-event metrics. */
+  def calculateMhwMetrics(severity: DataFrame, minDuration: Int = 5,
+                          maxGap: Int = 2): DataFrame =
+    Mhw.detectEvents(severity, minDuration, maxGap)
+}

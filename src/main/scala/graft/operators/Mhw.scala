@@ -42,15 +42,22 @@ import graft.time.DoyFunctions._
   */
 object Mhw {
 
+  private val dailyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Daily series: one observation per (series key, calendar day).
     * sst = mean event value that day, rounded (6dp) for cross-engine
-    * parity. Adds year + leap-normalized DOY. */
+    * parity. Adds year + leap-normalized DOY. Memoized + persisted per
+    * (session, dir): every operator in the MHW chain starts here, and
+    * the table is tiny relative to the events it aggregates. */
   def daily(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-      .agg(davg(col("value"), 6).as("sst"))
-      .withColumn("yr", year(col("d")))
-      .withColumn("doy", climDoy(col("d")))
+    dailyCache.getOrElseUpdate((s, dir),
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(davg(col("value"), 6).as("sst"))
+        .withColumn("yr", year(col("d")))
+        .withColumn("doy", climDoy(col("d")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Distinct dates → leap-normalized DOY (query #1). */
   def climDoyTable(s: SparkSession, dir: String): DataFrame =
@@ -179,13 +186,24 @@ object Mhw {
     * from exact decimal moment sums (order-independent → cross-engine
     * deterministic), final arithmetic IEEE double. One shuffle on the
     * series key; moments are algebraic (map-side partials). */
-  def detrend(s: SparkSession, dir: String): DataFrame = {
-    val dl = daily(s, dir)
+  def detrend(s: SparkSession, dir: String): DataFrame =
+    detrendDaily(daily(s, dir))
+
+  /** Generalized detrend over a canonical daily series: fit on the
+    * baseline years (inclusive, None = full record), subtract the trend
+    * over the full record — reference evaluates `xr.polyval(da.time)`
+    * over everything after fitting on the period slice. */
+  def detrendDaily(dl: DataFrame,
+                   baseline: Option[(Int, Int)] = None): DataFrame = {
     val origin = dl.agg(min(col("d")).as("d0"))
     val t = dl.crossJoin(broadcast(origin))
       .withColumn("t", datediff(col("d"), col("d0")))
+    val tFit = baseline match {
+      case Some((y0, y1)) => t.filter(col("yr").between(y0, y1))
+      case None => t
+    }
     val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
-    val fit = t.groupBy(col("user_id")).agg(
+    val fit = tFit.groupBy(col("user_id")).agg(
       count(lit(1)).cast("double").as("n"),
       sum(col("t").cast("long")).cast("double").as("st"),
       sum(col("t").cast("long") * col("t")).cast("double").as("stt"),
