@@ -237,12 +237,15 @@ object Mhw {
         r((col("sst") - col("seas")) /
               (col("thresh") - col("seas") + lit(1e-9)), 6).as("severity"))
 
-  /** Severity over the bp-smooth chain at the given pctile. */
+  /** Severity over the bp-smooth chain at the given pctile. The clim
+    * tables are persisted — they're broadcast to the facts and reused by
+    * every consumer of the chain. */
   def severityChain(s: SparkSession, dir: String, pctile: Double = 0.9): DataFrame = {
     val dl = daily(s, dir)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     severity(dl,
-      smoothDoy(climatologyBp(dl), "seas"),
-      smoothDoy(pooledQuantile(dl, 5, pctile), "thresh"))
+      smoothDoy(climatologyBp(dl), "seas").persist(lvl),
+      smoothDoy(pooledQuantile(dl, 5, pctile), "thresh").persist(lvl))
   }
 
   // ---------------------------------------------------------------- events
@@ -255,8 +258,13 @@ object Mhw {
     * first argmax of T_anom. One shuffle: all windows share
     * partitionBy(user_id). */
   def detectEvents(sev: DataFrame, minDuration: Int = 5, maxGap: Int = 2): DataFrame = {
-    val origin = sev.agg(min(col("d")).as("d0"))
-    val s = sev.crossJoin(broadcast(origin))
+    // persist FIRST: the severity table feeds the origin scalar, run
+    // detection AND the span metrics join — otherwise the entire
+    // upstream chain (pooled quantiles, smoothing, clim joins) is
+    // re-evaluated once per consumer
+    val sevP = sev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val origin = sevP.agg(min(col("d")).as("d0"))
+    val s = sevP.crossJoin(broadcast(origin))
       .withColumn("idx", datediff(col("d"), col("d0")))
     val wU = Window.partitionBy("user_id")
 
