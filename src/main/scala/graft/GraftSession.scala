@@ -16,6 +16,7 @@ object GraftSession {
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -91,9 +91,9 @@ object Similarity {
 
   private def bucketExpr(emb: Column, plane: Array[Array[Double]]): Column =
     plane.zipWithIndex.map { case (w, i) =>
-      val dot = aggregate(
-        zip_with(emb, lit(w), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      // native codegen'd FloatDot (GraftExtensions) — a tight primitive
+      // loop instead of the boxed aggregate/zip_with lambda chain
+      val dot = call_function("float_dot", emb, lit(w.map(_.toFloat)))
       when(dot >= 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
 
@@ -139,10 +139,11 @@ object Similarity {
       col("embedding").as("emb_b"), col("nrm").as("n_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      // fast-double prefilter: |dotFast − dotDec| < 1e-12, so a 1e-9
-      // slack can't drop a pair the exact cosine would keep; the (slow)
-      // decimal dot then runs only on survivors
-      .filter(dotFast(col("emb_a"), col("emb_b")) /
+      // fast prefilter via the native FloatDot expression: its IEEE sum
+      // differs from dotDec by < 1e-12, so a 1e-9 slack can't drop a
+      // pair the exact cosine would keep; the (slow) decimal dot then
+      // runs only on survivors
+      .filter(call_function("float_dot", col("emb_a"), col("emb_b")) /
               (col("n_a") * col("n_b")) >= tau - 1e-9)
       .withColumn("cosine",
         r(dotDec(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b")), 6))
