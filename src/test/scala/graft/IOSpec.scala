@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, IO, Tables}
+
+class IOSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"graft_io_$name").toString
+
+  test("round-trip through csv and json preserves values") {
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val expected = src.collect().map(_.toSeq).toSet
+    for (fmt <- Seq("csv", "json")) {
+      val dir = tmp(fmt)
+      IO.write(src, dir, fmt)
+      val back = IO.read(spark, dir, fmt, Some(src.schema))
+      assert(back.schema == src.schema)
+      assert(back.collect().map(_.toSeq).toSet == expected, fmt)
+    }
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = tmp("part")
+    IO.write(Tables.events(spark, sf), dir, partitionBy = Seq("event_type"))
+    // hive-style layout on disk
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("event_type="))
+    assert(dirs.length == 5)
+    // a filtered read plans only the matching partition
+    val filtered = IO.read(spark, dir).filter(col("event_type") === "click")
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"))
+    assert(filtered.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "click").count())
+  }
+
+  test("convert lands csv as partitioned parquet") {
+    val src = Tables.nation(spark, sf)
+    val csvDir = tmp("csv_src"); val pqDir = tmp("pq_out")
+    IO.write(src, csvDir, "csv")
+    IO.convert(spark, csvDir, "csv", src.schema, pqDir, partitionBy = Seq("n_regionkey"))
+    val back = IO.read(spark, pqDir)
+    assert(back.count() == src.count())
+  }
+
+  test("catalog registers every table for spark.sql") {
+    GraftCatalog.registerAll(spark, sf)
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+}
