@@ -5,6 +5,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    // Untimed warmup at the smallest SF: pays JIT + whole-stage-codegen
+    // compilation once so the timed numbers measure the operators, not
+    // Janino. Disable with SPARK_GRAFT_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
