@@ -40,6 +40,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_langid" -> (TextOps.textLangid _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    "text_winnow_fp" -> ((s, d) => TextOps.textWinnowFp(s, d)),
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     // MinHash/SimHash dedup (D27-D28, rows-only + spec-pinned recall)
@@ -85,6 +86,7 @@ object SparkEntry {
     "text_quality" -> TextOps.textQualitySql,
     "text_langid" -> TextOps.textLangidSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
+    "text_winnow_fp" -> TextOps.textWinnowFpSql,
     "dedup_exact" -> TextOps.dedupExactSql,
     "dedup_ngram_jaccard" -> TextOps.dedupNgramJaccardSql,
     "emb_norms" -> Similarity.embNormsSql,

@@ -142,6 +142,51 @@ object TextOps {
       |       min(doc_id) AS keep_id, count(*) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken style):
+    * rolling char k-gram hashes, minimum selected per w-window, distinct
+    * minima emitted as the document's fingerprint set. Plagiarism/
+    * near-dup detection at sub-document granularity; entirely map-side
+    * (one scan → explode), the fingerprint set is the join key for any
+    * downstream pair search. Hash = first 8 md5 hex digits as int (md5
+    * is the portable cross-engine hash; xxhash64 would be faster but
+    * DuckDB can't mirror it). */
+  def textWinnowFp(s: SparkSession, dir: String, k: Int = 8, w: Int = 16): DataFrame = {
+    val norm = normalize(col("text"))
+    val n = length(norm)
+    val grams = transform(sequence(lit(1), n - (k - 1)), i =>
+      conv(substring(md5(norm.substr(i, lit(k)).cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    val minima = transform(sequence(lit(1), size(col("hs")) - (w - 1)), j =>
+      array_min(slice(col("hs"), j, lit(w))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(n >= k + w - 1, grams)
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          when(size(col("hs")) >= w, minima)
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))).as("fp"))
+  }
+
+  val textWinnowFpSql: String =
+    """WITH nrm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(t) >= 23 THEN
+      |           list_transform(range(1, length(t) - 6),
+      |             i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 8)), 1, 8)) AS BIGINT))
+      |         ELSE [] END AS hs
+      |  FROM nrm
+      |)
+      |SELECT doc_id, unnest(list_distinct(
+      |         CASE WHEN len(hs) >= 16 THEN
+      |           list_transform(range(1, len(hs) - 14), j -> list_min(hs[j:j+15]))
+      |         ELSE [] END)) AS fp
+      |FROM grams""".stripMargin
+
   /** #26 n-gram Jaccard dedup: word-3-gram shingles → inverted-index
     * self-join (pairs must share a shingle — never the full pair space)
     * → Jaccard ≥ τ. Ultra-frequent shingles would be the skew risk at
