@@ -50,6 +50,7 @@ object SparkEntry {
     "emb_norms" -> (Similarity.embNorms _),
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "emb_dedup_cosine" -> ((s, d) => Similarity.embDedupCosine(s, d)),
     // Multimodal plumbing (F33-F34)
     "mm_ingest" -> (multimodal.Multimodal.mmIngest _),

@@ -128,6 +128,82 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic Lloyd iterations entirely in DataFrame ops: centroid
+    * means use decimal-exact averaging (order-independent → identical
+    * assignments every run); only the k×dim centroid table is ever
+    * collected (the "model" — tiny). */
+  private def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
+    var centroids: Array[(Int, Array[Float])] =
+      corpus.filter(col("vec_id") < k).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    for (_ <- 1 to iters) {
+      val assigned = assignNearest(corpus, centroids)
+      val dims = centroids.head._2.length
+      val meanCols = (0 until dims).map(j =>
+        graft.Parity.davg(element_at(col("embedding"), j + 1).cast("double"), 8)
+          .as(s"c$j"))
+      val means = assigned.groupBy(col("cluster"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      centroids = means.map { r =>
+        (r.getInt(0), (0 until dims).map(j => r.getDouble(j + 1).toFloat).toArray)
+      }.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment via the native FloatDot expression:
+    * argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2); centroids are plan literals. */
+  private def assignNearest(df: DataFrame, centroids: Array[(Int, Array[Float])],
+                            embCol: String = "embedding"): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct(
+        (call_function("float_dot", col(embCol), lit(c)) - lit(half)).as("score"),
+        lit(cid).as("cluster"))
+    }
+    df.withColumn("cluster", greatest(scored: _*).getField("cluster"))
+  }
+
+  /** #31b ANN via IVF (inverted-file index): k-means coarse quantizer,
+    * corpus partitioned by nearest centroid ONCE, queries probe only the
+    * `nProbe` nearest cells — the standard billion-vector layout (the
+    * cluster id is the partition/bucket key at 100 TB; probing touches
+    * nProbe/k of the corpus). Rows-only oracle; recall vs brute is
+    * spec-pinned alongside the LSH path. */
+  def annIvf(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+    val centroids = trainCentroids(corpus, nCells, iters)
+    val bucketed = assignNearest(corpus, centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    // query-side: nProbe nearest cells via the same scoring, as array
+    val qs = queries(s, dir, nQueries)
+    val qScored = centroids.map { case (cid, c) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct(
+        (call_function("float_dot", col("q_emb"), lit(c)) - lit(half)).as("score"),
+        lit(cid).as("cluster"))
+    }
+    val probed = qs
+      .withColumn("p", explode(slice(reverse(array_sort(array(qScored: _*))), 1, nProbe)))
+      .select(col("q_id"), col("q_emb"), col("p.cluster").as("probe"))
+    val cands = bucketed.join(broadcast(probed), col("cluster") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+    cands
+      .withColumn("cosine",
+        r(dotDec(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding"))), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
   /** #32 cosine near-duplicate pairs, blocked by label (pairs are only
     * scored within a label block — the blocking key bounds the pair
     * space; at 100 TB the block is the shuffle key). */

