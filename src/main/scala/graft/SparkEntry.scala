@@ -30,6 +30,8 @@ object SparkEntry {
     "mhw_events" -> (Mhw.mhwEvents _),
     "mhw_category" -> (Mhw.mhwCategory _),
     // Event-stream relational (SURVEY §2 B16-B20)
+    "ts_fill_forward" -> (TimeSeries.fillForward _),
+    "ts_resample_weekly" -> (TimeSeries.resampleWeekly _),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_json" -> (Events.jsonStats _),
     "events_window_stats" -> (Events.windowStats _),
@@ -78,6 +80,8 @@ object SparkEntry {
     "severity" -> MhwSql.severity,
     "mhw_events" -> MhwSql.mhwEvents,
     "mhw_category" -> MhwSql.mhwCategory,
+    "ts_fill_forward" -> TimeSeries.fillForwardSql,
+    "ts_resample_weekly" -> TimeSeries.resampleWeeklySql,
     "events_sessionize" -> Events.sessionizeSql,
     "events_json" -> Events.jsonStatsSql,
     "events_window_stats" -> Events.windowStatsSql,
