@@ -73,5 +73,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[Expression]) => FloatDot(children.head, children(1))))
+    // Catalyst's partial-aggregating bounded top-k (map-side k-element
+    // heaps; the shuffle carries ≤ k rows per partition per group) —
+    // shipped in catalyst but not exposed as a SQL function by default.
+    e.injectFunction((
+      new FunctionIdentifier("collect_top_k"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK].getName,
+        "collect_top_k"),
+      (children: Seq[Expression]) => {
+        // the companion's literal helpers are private[aggregate]; the
+        // class itself is public — fold the k/reverse literals directly
+        val num = children(1).eval().asInstanceOf[Int]
+        val rev = children(2).eval().asInstanceOf[Boolean]
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          children.head, num, rev, 0, 0)
+      }))
   }
 }

@@ -40,16 +40,29 @@ object Similarity {
        |  floor((${sqlNorm("embedding")}) * 1e6 + 0.5) / 1e6 AS l2_norm
        |FROM embeddings""".stripMargin
 
+  /** Bounded top-k per query via CollectTopK: map-side k-element heaps,
+    * the shuffle carries ≤ k rows per partition per query — the
+    * scale-correct replacement for ranking-window top-k (which shuffles
+    * every scored row). Ordering matches row_number(cosine DESC, vec_id
+    * ASC): the heap key is (cosine, −vec_id) descending. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(call_function("collect_top_k",
+        struct(col("cosine"), (-col("vec_id")).as("neg_id")), lit(k), lit(false))
+        .as("arr"))
+      .select(col("q_id"), posexplode(reverse(array_sort(col("arr")))))
+      .select(col("q_id"), (-col("col.neg_id")).as("vec_id"),
+              col("col.cosine").as("cosine"),
+              (col("pos") + 1).cast("int").as("rank"))
+
   private def queries(s: SparkSession, dir: String, nQueries: Int): DataFrame =
     Tables.embeddings(s, dir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   /** #30 brute-force cosine top-k: broadcast the query set, score the
-    * corpus map-only, rank per query. Deterministic: cosine rounded
-    * before ranking, vec_id tiebreak. (The final per-query ranking
-    * shuffles only scored candidates; at extreme scale a two-stage
-    * partial top-k per partition would precede it.) */
+    * corpus map-only, bounded partial top-k per query (see [[topK]]).
+    * Deterministic: cosine rounded before ranking, vec_id tiebreak. */
   def knnBrute(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
     // norms are computed once per vector BEFORE the pair join — the pair
     // space then costs one decimal dot, not three
@@ -59,10 +72,7 @@ object Similarity {
     corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
         r(dotDec(col("q_emb"), col("embedding")) / (col("q_norm") * col("e_norm")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+      .transform(topK(_, k))
   }
 
   val knnBruteSql: String =
@@ -122,10 +132,7 @@ object Similarity {
       .withColumn("cosine",
         r(dotDec(col("q_emb"), col("embedding")) /
           (norm(col("q_emb")) * norm(col("embedding"))), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+      .transform(topK(_, k))
   }
 
   // ------------------------------------------------------------------- IVF
@@ -198,10 +205,7 @@ object Similarity {
       .withColumn("cosine",
         r(dotDec(col("q_emb"), col("embedding")) /
           (norm(col("q_emb")) * norm(col("embedding"))), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+      .transform(topK(_, k))
   }
 
   /** #32 cosine near-duplicate pairs, blocked by label (pairs are only
