@@ -81,7 +81,7 @@ object Streaming {
 
   /** Per-group state transition: fold this batch's (sorted) events into
     * the carried open session, emitting every session that closes. */
-  private[streaming] def foldGroup(
+  private[graft] def foldGroup(
       uid: Long, events: Iterator[SessEvent],
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
     val sorted = events.map(_.ts_us).toArray.sorted

@@ -23,6 +23,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream_sessionize: state carries across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split events at the median ts into two files; maxFilesPerTrigger=1
+    // forces two micro-batches, so sessions spanning the split only
+    // close if per-user state survives the batch boundary
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet") // keep raw long ts
+    raw.filter(expr(s"ts div 1000 <= $cut")).coalesce(1).write.parquet(s"$dir/in/b=0")
+    raw.filter(expr(s"ts div 1000 > $cut")).coalesce(1).write.parquet(s"$dir/in/b=1")
+
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType),
+      StructField("b", IntegerType)))
+    import spark.implicits._
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[graft.streaming.SessEvent]
+    val q = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        graft.streaming.Streaming.foldGroup _)
+      .writeStream.format("memory").queryName("sess_batches")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2) // really two batches
+
+    val streamed = spark.table("sess_batches")
+      .select(col("user_id"), timestamp_micros(col("session_start_us")).as("session_start"),
+              timestamp_micros(col("session_end_us")).as("session_end"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+
+    val batch = Events.sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+    val lastPerUser = batch.groupBy("user_id").agg(max("session_start").as("session_start"))
+    val expected = batch.join(lastPerUser, Seq("user_id", "session_start"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+  }
+
   test("stream_sessionize: closed sessions equal batch sessions minus each user's open tail") {
     val batch = Events.sessionize(spark, sf)
       .select("user_id", "session_start", "session_end", "n_events")
