@@ -1,0 +1,70 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{LshDedup, Similarity, TextOps}
+
+/** Column mapping for a document corpus. */
+case class DocConfig(idCol: String = "doc_id", textCol: String = "text")
+
+/** Column mapping for an embedding corpus. */
+case class VecConfig(idCol: String = "vec_id", vecCol: String = "embedding",
+                     labelCol: String = "label")
+
+/** User-facing training-data pipeline API over arbitrary DataFrames —
+  * the dedup / similarity operators unbound from the test tables.
+  * Every method normalizes the caller's columns onto the canonical
+  * layout and delegates to the operator cores; see the operator
+  * scaladocs for semantics and scale shapes.
+  */
+object Pipeline {
+
+  private def docs(df: DataFrame, cfg: DocConfig): DataFrame =
+    df.select(col(cfg.idCol).cast("long").as("doc_id"),
+              col(cfg.textCol).as("text"))
+
+  private def vecs(df: DataFrame, cfg: VecConfig): DataFrame =
+    df.select(col(cfg.idCol).cast("long").as("vec_id"),
+              col(cfg.vecCol).as("embedding"),
+              col(cfg.labelCol).as("label"))
+
+  /** Exact dedup: (fp, keep_id, n_dups) per normalized-content group. */
+  def dedupExact(df: DataFrame, cfg: DocConfig = DocConfig()): DataFrame =
+    TextOps.dedupExactDf(docs(df, cfg))
+
+  /** Near-dup pairs with exact word-3-gram Jaccard ≥ tau. */
+  def dedupNgramJaccard(df: DataFrame, tau: Double = 0.3,
+                        cfg: DocConfig = DocConfig()): DataFrame =
+    TextOps.dedupNgramJaccardDf(docs(df, cfg), tau)
+
+  /** MinHash+LSH near-dup pairs (banded, exact-verified). */
+  def dedupMinhash(df: DataFrame, tau: Double = 0.3,
+                   cfg: DocConfig = DocConfig()): DataFrame =
+    LshDedup.dedupMinhashDf(docs(df, cfg), tau)
+
+  /** SimHash near-dup pairs (64-bit fingerprints, hamming-verified). */
+  def dedupSimhash(df: DataFrame, maxHamming: Int = 8,
+                   cfg: DocConfig = DocConfig()): DataFrame =
+    LshDedup.dedupSimhashDf(docs(df, cfg), maxHamming)
+
+  /** Winnowing fingerprint set per document. */
+  def winnowFingerprints(df: DataFrame, k: Int = 8, w: Int = 16,
+                         cfg: DocConfig = DocConfig()): DataFrame =
+    TextOps.textWinnowFpDf(docs(df, cfg), k, w)
+
+  /** Brute-force cosine top-k of `queryDf` against `corpusDf`. */
+  def knn(corpusDf: DataFrame, queryDf: DataFrame, k: Int = 5,
+          corpusCfg: VecConfig = VecConfig(),
+          queryCfg: VecConfig = VecConfig()): DataFrame =
+    Similarity.knnBruteDf(
+      vecs(corpusDf, corpusCfg).drop("label"),
+      queryDf.select(col(queryCfg.idCol).cast("long").as("q_id"),
+                     col(queryCfg.vecCol).as("q_emb")),
+      k)
+
+  /** Embedding near-dup pairs with cosine ≥ tau, blocked by label. */
+  def dedupCosine(df: DataFrame, tau: Double = 0.35,
+                  cfg: VecConfig = VecConfig()): DataFrame =
+    Similarity.embDedupCosineDf(vecs(df, cfg), tau)
+}

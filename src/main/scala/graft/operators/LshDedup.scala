@@ -41,9 +41,14 @@ object LshDedup {
     * k-wide row per doc per partition), then band keys from the min
     * columns. */
   def dedupMinhash(s: SparkSession, dir: String, tau: Double = 0.3,
-                   k: Int = 64, bands: Int = 32): DataFrame = {
+                   k: Int = 64, bands: Int = 32): DataFrame =
+    dedupMinhashDf(Tables.documents(s, dir), tau, k, bands)
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def dedupMinhashDf(input: DataFrame, tau: Double = 0.3,
+                     k: Int = 64, bands: Int = 32): DataFrame = {
     val rows = k / bands
-    val docs = Tables.documents(s, dir)
+    val docs = input
       .select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -110,8 +115,12 @@ object LshDedup {
     * default maxHamming=3; larger thresholds trade recall like any LSH.
     * (Default maxHamming=8 keeps only near-identical term profiles;
     * precision stays exact — hamming is verified.) */
-  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
+    dedupSimhashDf(Tables.documents(s, dir), maxHamming)
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def dedupSimhashDf(input: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val docs = input
       .select(col("doc_id"), simhashBits(lowerTokens(col("text"))).as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = docs.select(col("doc_id"),

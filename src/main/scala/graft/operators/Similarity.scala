@@ -63,12 +63,16 @@ object Similarity {
   /** #30 brute-force cosine top-k: broadcast the query set, score the
     * corpus map-only, bounded partial top-k per query (see [[topK]]).
     * Deterministic: cosine rounded before ranking, vec_id tiebreak. */
-  def knnBrute(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
+  def knnBrute(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame =
+    knnBruteDf(Tables.embeddings(s, dir), queries(s, dir, nQueries), k)
+
+  /** DataFrame-generic core: corpus (vec_id, embedding), queries
+    * (q_id, q_emb). */
+  def knnBruteDf(corpusIn: DataFrame, qsIn: DataFrame, k: Int = 5): DataFrame = {
     // norms are computed once per vector BEFORE the pair join — the pair
     // space then costs one decimal dot, not three
-    val corpus = Tables.embeddings(s, dir)
-      .withColumn("e_norm", norm(col("embedding")))
-    val qs = queries(s, dir, nQueries).withColumn("q_norm", norm(col("q_emb")))
+    val corpus = corpusIn.withColumn("e_norm", norm(col("embedding")))
+    val qs = qsIn.withColumn("q_norm", norm(col("q_emb")))
     corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
         r(dotDec(col("q_emb"), col("embedding")) / (col("q_norm") * col("e_norm")), 6))
@@ -211,8 +215,12 @@ object Similarity {
   /** #32 cosine near-duplicate pairs, blocked by label (pairs are only
     * scored within a label block — the blocking key bounds the pair
     * space; at 100 TB the block is the shuffle key). */
-  def embDedupCosine(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
+  def embDedupCosine(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame =
+    embDedupCosineDf(Tables.embeddings(s, dir), tau)
+
+  /** DataFrame-generic core: expects (vec_id, embedding, label). */
+  def embDedupCosineDf(input: DataFrame, tau: Double = 0.35): DataFrame = {
+    val e = input.withColumn("nrm", norm(col("embedding")))
     val a = e.select(col("label"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("n_a"))
     val b = e.select(col("label"), col("vec_id").as("id_b"),

@@ -133,7 +133,11 @@ object TextOps {
     * Pure hash groupBy — one shuffle on the fingerprint, partial aggs
     * map-side; the canonical 100 TB exact-dedup shape. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    dedupExactDf(Tables.documents(s, dir))
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def dedupExactDf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -150,7 +154,11 @@ object TextOps {
     * downstream pair search. Hash = first 8 md5 hex digits as int (md5
     * is the portable cross-engine hash; xxhash64 would be faster but
     * DuckDB can't mirror it). */
-  def textWinnowFp(s: SparkSession, dir: String, k: Int = 8, w: Int = 16): DataFrame = {
+  def textWinnowFp(s: SparkSession, dir: String, k: Int = 8, w: Int = 16): DataFrame =
+    textWinnowFpDf(Tables.documents(s, dir), k, w)
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def textWinnowFpDf(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
     val norm = normalize(col("text"))
     val n = length(norm)
     val grams = transform(sequence(lit(1), n - (k - 1)), i =>
@@ -158,7 +166,7 @@ object TextOps {
         .cast("long"))
     val minima = transform(sequence(lit(1), size(col("hs")) - (w - 1)), j =>
       array_min(slice(col("hs"), j, lit(w))))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"),
         when(n >= k + w - 1, grams)
           .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("hs"))
@@ -192,12 +200,16 @@ object TextOps {
     * → Jaccard ≥ τ. Ultra-frequent shingles would be the skew risk at
     * scale; AQE skew-join handles moderate cases, and a doc-frequency cap
     * on shingles is the standard mitigation beyond that. */
-  def dedupNgramJaccard(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame =
+    dedupNgramJaccardDf(Tables.documents(s, dir), tau)
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def dedupNgramJaccardDf(input: DataFrame, tau: Double = 0.3): DataFrame = {
     // persisted: the shingle table feeds both self-join sides and the
     // per-doc counts — without it Spark re-derives the (expensive)
     // shingle arrays per reference, and column-pruned explode re-runs
     // the whole expression
-    val docs = Tables.documents(s, dir)
+    val docs = input
       .select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
