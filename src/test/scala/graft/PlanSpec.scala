@@ -46,6 +46,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected a single user_id exchange, got $exchanges:\n$p")
   }
 
+  test("knn: bounded partial top-k — no ranking window in the plan") {
+    val p = plan(graft.operators.Similarity.knnBrute(spark, sf))
+    assert(!p.contains("Window"))
+    assert(p.contains("collect_top_k"))
+    assert(p.contains("partial_collect_top_k")) // map-side heaps
+  }
+
   test("asof join: single exchange, no join operator at all") {
     val p = plan(Events.asofJoin(spark, sf))
     assert(!p.contains("Join"))
