@@ -159,14 +159,16 @@ object TextOps {
 
   /** DataFrame-generic core: expects canonical (doc_id, text). */
   def textWinnowFpDf(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
-    val norm = normalize(col("text"))
-    val n = length(norm)
+    // normalize() is hoisted to its own projection: referenced inside
+    // the per-gram lambda it would re-run the regex once per gram
+    val n = length(col("t"))
     val grams = transform(sequence(lit(1), n - (k - 1)), i =>
-      conv(substring(md5(norm.substr(i, lit(k)).cast("binary")), 1, 8), 16, 10)
+      conv(substring(md5(col("t").substr(i, lit(k)).cast("binary")), 1, 8), 16, 10)
         .cast("long"))
     val minima = transform(sequence(lit(1), size(col("hs")) - (w - 1)), j =>
       array_min(slice(col("hs"), j, lit(w))))
     docs
+      .select(col("doc_id"), normalize(col("text")).as("t"))
       .select(col("doc_id"),
         when(n >= k + w - 1, grams)
           .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("hs"))
