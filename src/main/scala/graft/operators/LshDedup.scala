@@ -44,14 +44,13 @@ object LshDedup {
                    k: Int = 64, bands: Int = 32): DataFrame =
     dedupMinhashDf(Tables.documents(s, dir), tau, k, bands)
 
-  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  /** DataFrame-generic core: expects canonical (doc_id, text). The
+    * shingle table comes from TextOps.shingleTable — memoized, so the
+    * n-gram Jaccard and MinHash operators share one evaluation. */
   def dedupMinhashDf(input: DataFrame, tau: Double = 0.3,
                      k: Int = 64, bands: Int = 32): DataFrame = {
     val rows = k / bands
-    val docs = input
-      .select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = TextOps.shingleTable(input).filter(size(col("sh")) > 0)
     val sigs = docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
       // one string hash per shingle, then k cheap long re-hashes — vs

@@ -237,16 +237,22 @@ object Mhw {
         r((col("sst") - col("seas")) /
               (col("thresh") - col("seas") + lit(1e-9)), 6).as("severity"))
 
+  private val sevCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame]
+
   /** Severity over the bp-smooth chain at the given pctile. The clim
-    * tables are persisted — they're broadcast to the facts and reused by
-    * every consumer of the chain. */
-  def severityChain(s: SparkSession, dir: String, pctile: Double = 0.9): DataFrame = {
-    val dl = daily(s, dir)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    severity(dl,
-      smoothDoy(climatologyBp(dl), "seas").persist(lvl),
-      smoothDoy(pooledQuantile(dl, 5, pctile), "thresh").persist(lvl))
-  }
+    * tables are persisted (broadcast to facts, reused by every consumer)
+    * and the chain itself is memoized per (session, dir, pctile) — the
+    * event and category queries share one evaluation. */
+  def severityChain(s: SparkSession, dir: String, pctile: Double = 0.9): DataFrame =
+    sevCache.getOrElseUpdate((s, dir, pctile), {
+      val dl = daily(s, dir)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      severity(dl,
+        smoothDoy(climatologyBp(dl), "seas").persist(lvl),
+        smoothDoy(pooledQuantile(dl, 5, pctile), "thresh").persist(lvl))
+        .persist(lvl)
+    })
 
   // ---------------------------------------------------------------- events
 

@@ -203,17 +203,26 @@ object TextOps {
     * scale; AQE skew-join handles moderate cases, and a doc-frequency cap
     * on shingles is the standard mitigation beyond that. */
   def dedupNgramJaccard(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame =
-    dedupNgramJaccardDf(Tables.documents(s, dir), tau)
+    dedupNgramJaccardSh(shingleTable(Tables.documents(s, dir)), tau)
+
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
+
+  /** Persisted (doc_id, sh) shingle table, memoized per input plan —
+    * the n-gram Jaccard and MinHash operators share one evaluation.
+    * Persisted because it feeds both self-join sides and the per-doc
+    * counts; without it Spark re-derives the (expensive) shingle arrays
+    * per reference, and column-pruned explode re-runs the expression. */
+  def shingleTable(input: DataFrame): DataFrame =
+    shingleCache.getOrElseUpdate(input.semanticHash().toLong << 32 | System.identityHashCode(input.sparkSession),
+      input.select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** DataFrame-generic core: expects canonical (doc_id, text). */
-  def dedupNgramJaccardDf(input: DataFrame, tau: Double = 0.3): DataFrame = {
-    // persisted: the shingle table feeds both self-join sides and the
-    // per-doc counts — without it Spark re-derives the (expensive)
-    // shingle arrays per reference, and column-pruned explode re-runs
-    // the whole expression
-    val docs = input
-      .select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def dedupNgramJaccardDf(input: DataFrame, tau: Double = 0.3): DataFrame =
+    dedupNgramJaccardSh(shingleTable(input), tau)
+
+  /** Core over a pre-shingled (doc_id, sh) table. */
+  def dedupNgramJaccardSh(docs: DataFrame, tau: Double = 0.3): DataFrame = {
     val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val pairs = inv.as("a").join(inv.as("b"),
