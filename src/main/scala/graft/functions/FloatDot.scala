@@ -64,6 +64,23 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Idempotent per-session registration for sessions NOT built through
+  * GraftSession (e.g. a host harness owning its own SparkSession) —
+  * operators call this defensively before using the functions. */
+object GraftFunctions {
+  def ensure(s: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    if (!reg.functionExists(new FunctionIdentifier("float_dot"))) {
+      reg.createOrReplaceTempFunction("float_dot",
+        exprs => FloatDot(exprs.head, exprs(1)), "builtin")
+      reg.createOrReplaceTempFunction("collect_top_k",
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          exprs.head, exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Boolean], 0, 0), "builtin")
+    }
+  }
+}
+
 /** Session extensions registering graft's native expressions for SQL and
   * `expr(...)` use (`SparkSession.builder().withExtensions(new
   * GraftExtensions)` — GraftSession does this). */

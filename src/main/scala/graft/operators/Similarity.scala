@@ -45,7 +45,8 @@ object Similarity {
     * scale-correct replacement for ranking-window top-k (which shuffles
     * every scored row). Ordering matches row_number(cosine DESC, vec_id
     * ASC): the heap key is (cosine, −vec_id) descending. */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensure(scored.sparkSession)
     scored.groupBy(col("q_id"))
       .agg(call_function("collect_top_k",
         struct(col("cosine"), (-col("vec_id")).as("neg_id")), lit(k), lit(false))
@@ -54,6 +55,7 @@ object Similarity {
       .select(col("q_id"), (-col("col.neg_id")).as("vec_id"),
               col("col.cosine").as("cosine"),
               (col("pos") + 1).cast("int").as("rank"))
+  }
 
   private def queries(s: SparkSession, dir: String, nQueries: Int): DataFrame =
     Tables.embeddings(s, dir)
@@ -118,6 +120,7 @@ object Similarity {
     * clustered embeddings bucket far better). */
   def annLsh(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
              tables: Int = 16, bits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
     val ps = planes(tables, bits, 64)
     def withBuckets(df: DataFrame, embCol: String): DataFrame =
       df.withColumn("tb", explode(array(
@@ -188,6 +191,7 @@ object Similarity {
     * spec-pinned alongside the LSH path. */
   def annIvf(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
     val corpus = Tables.embeddings(s, dir)
     val centroids = trainCentroids(corpus, nCells, iters)
     val bucketed = assignNearest(corpus, centroids)
@@ -220,6 +224,7 @@ object Similarity {
 
   /** DataFrame-generic core: expects (vec_id, embedding, label). */
   def embDedupCosineDf(input: DataFrame, tau: Double = 0.35): DataFrame = {
+    graft.functions.GraftFunctions.ensure(input.sparkSession)
     val e = input.withColumn("nrm", norm(col("embedding")))
     val a = e.select(col("label"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("n_a"))
