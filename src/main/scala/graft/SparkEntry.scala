@@ -57,6 +57,8 @@ object SparkEntry {
     // Multimodal plumbing (F33-F34)
     "mm_ingest" -> (multimodal.Multimodal.mmIngest _),
     "mm_frames" -> (multimodal.Multimodal.mmFrames _),
+    "mm_features" -> (multimodal.Multimodal.mmFeatures _),
+    "mm_resize" -> (multimodal.Multimodal.mmResize _),
     // Structured Streaming (G35-G36)
     "stream_window_counts" -> (streaming.Streaming.streamWindowCounts _),
     "stream_sessionize" -> (streaming.Streaming.streamSessionize _),
@@ -99,6 +101,8 @@ object SparkEntry {
     "emb_dedup_cosine" -> Similarity.embDedupCosineSql,
     "mm_ingest" -> multimodal.Multimodal.mmIngestSql,
     "mm_frames" -> multimodal.Multimodal.mmFramesSql,
+    "mm_features" -> multimodal.Multimodal.mmFeaturesSql,
+    "mm_resize" -> multimodal.Multimodal.mmResizeSql,
     "stream_window_counts" -> streaming.Streaming.streamWindowCountsSql,
   )
 }

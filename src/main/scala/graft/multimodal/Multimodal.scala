@@ -65,6 +65,49 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction through the stub decoder: an 8-dim deterministic
+    * pseudo-feature vector per payload (hash-derived — the seam a real
+    * image/audio featurizer replaces). Emitted as wide columns so the
+    * oracle compares scalars. Map-only: one scan, no shuffle. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val pm = md5(col("text").cast("binary"))
+    val feats = (0 until 8).map { j =>
+      graft.Parity.r(
+        conv(substring(md5(concat(pm, lit(s":$j")).cast("binary")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0), 6).as(s"f$j")
+    }
+    Tables.documents(s, dir).select(col("doc_id") +: feats: _*)
+  }
+
+  val mmFeaturesSql: String = {
+    val feats = (0 until 8).map { j =>
+      s"floor((CAST(('0x' || substr(md5(md5(text) || ':$j'), 1, 8)) AS BIGINT) / 4294967296.0) * 1e6 + 0.5) / 1e6 AS f$j"
+    }.mkString(",\n       ")
+    s"""SELECT doc_id,
+       |       $feats
+       |FROM documents""".stripMargin
+  }
+
+  /** Resize through the stub decoder: metadata transform (halved dims,
+    * clamped at 1) + re-fingerprinted payload — the shape of a real
+    * thumbnailing pass (binary in → binary out, metadata updated). */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    mmIngest(s, dir)
+      .select(col("doc_id"),
+        greatest(lit(1), (col("width") / 2).cast("int")).as("width"),
+        greatest(lit(1), (col("height") / 2).cast("int")).as("height"),
+        col("channels"),
+        md5(concat(col("payload_md5"), lit(":resized")).cast("binary"))
+          .as("resized_md5"))
+
+  val mmResizeSql: String =
+    """SELECT doc_id,
+      |       GREATEST(1, CAST(floor((64 + doc_id % 960) / 2) AS INT)) AS width,
+      |       GREATEST(1, CAST(floor((64 + (doc_id * 7) % 960) / 2) AS INT)) AS height,
+      |       3 AS channels,
+      |       md5(md5(text) || ':resized') AS resized_md5
+      |FROM documents""".stripMargin
+
   /** #34 frame sampling through the decode seam: payload → per-frame
     * rows via `mapPartitions` (narrow, partition-local batches — the
     * plan is scan → decode-map → done, nothing wide). */
