@@ -17,6 +17,8 @@ object SparkEntry {
     "q3_shipping" -> (Relational.q3Shipping _),
     "q5_local" -> (Relational.q5Local _),
     "q6_forecast" -> (Relational.q6Forecast _),
+    "q10_returns" -> (Relational.q10Returns _),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     // MHW / time-series core (SURVEY §2 A)
     "clim_doy" -> (Mhw.climDoyTable _),
     "climatology_bp" -> (Mhw.climatologyBpRaw _),
@@ -71,6 +73,8 @@ object SparkEntry {
     "q3_shipping" -> Relational.q3Sql,
     "q5_local" -> Relational.q5Sql,
     "q6_forecast" -> Relational.q6Sql,
+    "q10_returns" -> Relational.q10Sql,
+    "q18_large_orders" -> Relational.q18Sql,
     "clim_doy" -> MhwSql.climDoySqlQ,
     "climatology_bp" -> MhwSql.climatologyBp,
     "climatology_bp_smooth" -> MhwSql.climatologyBpSmooth,

@@ -114,6 +114,66 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q10: returned-item revenue by customer. Dims broadcast;
+    * orders⋈lineitem co-shuffles once on orderkey; top-20 by revenue. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+       |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q18: large-volume orders. The HAVING-aggregate runs first
+    * (one shuffle on orderkey, partial aggs map-side); the surviving
+    * keys are a tiny set that semi-joins everything else broadcast. */
+  def q18LargeOrders(s: SparkSession, dir: String, minQty: Double = 300): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity"), 4).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    ord.join(broadcast(big), col("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM (
+       |  SELECT l_orderkey, ${sqlSum("l_quantity", 4)} AS sum_qty
+       |  FROM lineitem GROUP BY 1
+       |) big
+       |JOIN orders ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE sum_qty > 300
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
   /** TPC-H Q6: forecasting revenue change. Pure filter+agg — every
     * predicate pushes to the parquet scan; result is a single row. */
   def q6Forecast(s: SparkSession, dir: String): DataFrame = {
