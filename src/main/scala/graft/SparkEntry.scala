@@ -39,6 +39,7 @@ object SparkEntry {
     "events_window_stats" -> (Events.windowStats _),
     "events_pivot" -> (Events.pivotTypes _),
     "asof_join" -> (Events.asofJoin _),
+    "events_funnel" -> (Events.funnel _),
     // Text analysis + dedup (SURVEY §2 C21-C24, D25-D26)
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "events_window_stats" -> Events.windowStatsSql,
     "events_pivot" -> Events.pivotTypesSql,
     "asof_join" -> Events.asofJoinSql,
+    "events_funnel" -> Events.funnelSql,
     "text_tokens" -> TextOps.textTokensSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_langid" -> TextOps.textLangidSql,

@@ -129,6 +129,65 @@ object Events {
        |  ${sqlSum("CASE WHEN event_type = 'purchase' THEN value END", 4)} AS purchase_value
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Conversion funnel: earliest view → first click after it → first
+    * purchase after that, per user; emits per-stage user counts and
+    * median stage latencies. Three keyed aggregations co-partitioned on
+    * user_id (AQE coalesces the repeated exchanges); stage tables are
+    * per-user and join back on the same key — no broadcast needed, no
+    * row explosion. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      .filter(col("t_view").isNotNull)
+    val c = ev.join(v, "user_id")
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+        col("ts"))).as("t_click"))
+      .filter(col("t_click").isNotNull)
+    val p = ev.join(c, "user_id")
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+        col("ts"))).as("t_purchase"))
+    p.agg(
+      count(col("t_view")).as("n_view"),
+      count(col("t_click")).as("n_click"),
+      count(col("t_purchase")).as("n_purchase"),
+      sum(unix_timestamp(col("t_click")) - unix_timestamp(col("t_view")))
+        .cast("long").as("sum_view_to_click_s"),
+      sum(when(col("t_purchase").isNotNull,
+        unix_timestamp(col("t_purchase")) - unix_timestamp(col("t_click"))))
+        .cast("long").as("sum_click_to_purchase_s"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |),
+      |v AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      |  FROM ev GROUP BY 1 HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+      |),
+      |c AS (
+      |  SELECT ev.user_id, t_view,
+      |         min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END) AS t_click
+      |  FROM ev JOIN v USING (user_id) GROUP BY 1, 2
+      |  HAVING min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END) IS NOT NULL
+      |),
+      |p AS (
+      |  SELECT ev.user_id, t_view, t_click,
+      |         min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END) AS t_purchase
+      |  FROM ev JOIN c USING (user_id) GROUP BY 1, 2, 3
+      |)
+      |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+      |       count(t_purchase) AS n_purchase,
+      |       CAST(sum(floor(epoch(t_click)) - floor(epoch(t_view))) AS BIGINT) AS sum_view_to_click_s,
+      |       CAST(sum(CASE WHEN t_purchase IS NOT NULL
+      |                THEN floor(epoch(t_purchase)) - floor(epoch(t_click)) END) AS BIGINT)
+      |         AS sum_click_to_purchase_s
+      |FROM p""".stripMargin
+
   /** As-of join (#20): each purchase ↔ the latest prior click of the same
     * user. Re-expressed as union + one window pass (max of click-ts over
     * the preceding frame) instead of a fact×fact range join — shuffles
