@@ -40,6 +40,7 @@ object SparkEntry {
     "events_pivot" -> (Events.pivotTypes _),
     "asof_join" -> (Events.asofJoin _),
     "events_funnel" -> (Events.funnel _),
+    "events_retention" -> (Events.retention _),
     // Text analysis + dedup (SURVEY §2 C21-C24, D25-D26)
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "events_pivot" -> Events.pivotTypesSql,
     "asof_join" -> Events.asofJoinSql,
     "events_funnel" -> Events.funnelSql,
+    "events_retention" -> Events.retentionSql,
     "text_tokens" -> TextOps.textTokensSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_langid" -> TextOps.textLangidSql,

@@ -129,6 +129,32 @@ object Events {
        |  ${sqlSum("CASE WHEN event_type = 'purchase' THEN value END", 4)} AS purchase_value
        |FROM events GROUP BY 1""".stripMargin
 
+  /** Cohort retention: users grouped by first-active day, counted by
+    * days-since-cohort offset. Two keyed aggregations — first-seen per
+    * user (one shuffle on user_id), then the cohort matrix (one shuffle
+    * on the tiny (cohort, offset) key with map-side partials). */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |),
+      |first AS (
+      |  SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1
+      |)
+      |SELECT cohort, datediff('day', cohort, d) AS day_offset,
+      |       count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN first USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Conversion funnel: earliest view → first click after it → first
     * purchase after that, per user; emits per-stage user counts and
     * median stage latencies. Three keyed aggregations co-partitioned on
