@@ -112,5 +112,6 @@ object SparkEntry {
     "mm_features" -> multimodal.Multimodal.mmFeaturesSql,
     "mm_resize" -> multimodal.Multimodal.mmResizeSql,
     "stream_window_counts" -> streaming.Streaming.streamWindowCountsSql,
+    "stream_sessionize" -> streaming.Streaming.streamSessionizeSql,
   )
 }

@@ -124,7 +124,37 @@ object Streaming {
         col("n_events"))
   }
 
-  /** Driver-contract entry for #36 (rows-only oracle). */
+  /** Driver-contract entry for #36. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame =
     runSessionizeStream(s, dir, s"sess_${System.nanoTime()}")
+
+  /** Oracle for #36: the stream emits exactly the CLOSED sessions — every
+    * session except each user's last (which stays open in state when the
+    * source drains). The gap test is µs-precision (`ts_us` diffs), unlike
+    * the batch sessionizer's truncated-seconds contract, so the SQL
+    * mirrors the µs semantics via `epoch_us`. */
+  val streamSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |),
+      |agg AS (
+      |  SELECT user_id, session_id,
+      |         min(ts) AS session_start, max(ts) AS session_end,
+      |         count(*) AS n_events
+      |  FROM sess GROUP BY 1, 2
+      |)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid FROM agg)
+      |WHERE session_id < last_sid""".stripMargin
 }

@@ -14,6 +14,9 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if len(sys.argv) > 3:  # optional name filter for fast iteration
+    only = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for name, sql in sorted(oracle.items()):
     pdir = f"{outdir}/{name}"
