@@ -49,7 +49,7 @@ object SparkEntry {
     "text_winnow_fp" -> ((s, d) => TextOps.textWinnowFp(s, d)),
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
-    // MinHash/SimHash dedup (D27-D28, rows-only + spec-pinned recall)
+    // MinHash/SimHash dedup (D27-D28, md5-portable hashing → oracle-checked)
     "dedup_minhash" -> ((s, d) => LshDedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => LshDedup.dedupSimhash(s, d)),
     // Similarity search (E29-E32)
@@ -104,6 +104,8 @@ object SparkEntry {
     "text_winnow_fp" -> TextOps.textWinnowFpSql,
     "dedup_exact" -> TextOps.dedupExactSql,
     "dedup_ngram_jaccard" -> TextOps.dedupNgramJaccardSql,
+    "dedup_minhash" -> LshDedup.dedupMinhashSql(),
+    "dedup_simhash" -> LshDedup.dedupSimhashSql(),
     "emb_norms" -> Similarity.embNormsSql,
     "knn_brute" -> Similarity.knnBruteSql,
     "emb_dedup_cosine" -> Similarity.embDedupCosineSql,

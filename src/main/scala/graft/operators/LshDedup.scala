@@ -12,23 +12,50 @@ import graft.sources.Tables
   * sketch → band-bucket → candidate-join → exact-verify shape: the pair
   * space is never materialized, bucket joins bound the candidates, and
   * every emitted pair is exactly verified — so precision is 1 and only
-  * recall is probabilistic (pinned by LshDedupSpec against the exact
+  * recall is probabilistic (pinned by LshSpec against the exact
   * n-gram Jaccard operator).
   *
-  * All hashing is `xxhash64` (seeded, deterministic across runs/JVMs/
-  * partitionings) built from codegen'd higher-order functions — no UDFs.
+  * All hashing is md5-derived (one md5 per shingle/token, then cheap
+  * affine integer re-hashes) — deterministic across runs/JVMs/
+  * partitionings AND portable to the DuckDB oracle, so both operators
+  * are hash-checked end-to-end, not rows-only. No UDFs: md5/conv/
+  * arithmetic are codegen'd Catalyst expressions.
   */
 object LshDedup {
 
+  /** Modulus for the affine re-hash family: 2^31−1 (Mersenne prime).
+    * Products a·s stay < 2^62 — no 64-bit overflow in either engine
+    * (DuckDB raises on BIGINT overflow; Spark would wrap). */
+  private val P = 2147483647L
+
+  /** Deterministic affine-rehash coefficients (a_i, b_i), embedded as
+    * literals in both the Spark plan and the generated oracle SQL. */
+  private def coef(i: Int): (Long, Long) = {
+    val a = (2654435761L * (2 * i + 1)) % P
+    val b = (1013904223L * (i + 1) + 12820163L) % P
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** Portable 48-bit shingle hash: first 12 hex digits of md5, as a
+    * long, reduced mod P. DuckDB mirror: `('0x' || substr(md5(s),1,12))
+    * ::BIGINT % P`. */
+  private def smCol(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 12), 16, 10).cast("long") % P
+
   // ------------------------------------------------------------- MinHash
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(i, s).
-    * (Array-lambda form — kept for the spec's algebraic property test;
-    * the operator below uses the columnar min-aggregate form, which is
-    * ~30× faster: plain codegen'd min aggs, no per-row array churn.) */
+  /** MinHash signature in array-lambda form — kept for LshSpec's
+    * algebraic property test; the operator uses the columnar
+    * min-aggregate form (plain codegen'd min aggs, no per-row array
+    * churn). Same hash family as the operator. */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      // affine coefficients for lambda-variable i (computed in-plan from
+      // the same constants coef() embeds)
+      val a = (lit(2654435761L) * (i * 2 + 1)) % P
+      val b = (lit(1013904223L) * (i + 1) + 12820163L) % P
+      array_min(transform(sh, s => (a * smCol(s) + b) % P))
+    })
 
   /** #27 MinHash+LSH dedup: k=64 hashes, 32 bands × 2 rows. Band keys
     * bucket-join candidates; exact Jaccard (on the full shingle sets)
@@ -36,10 +63,10 @@ object LshDedup {
     * ≈0.23 at J=0.3 — τ defaults to 0.3 so the spec can measure recall
     * in the probabilistic region while J≥0.5 pairs are near-certain.
     *
-    * Shape: explode shingles once, k hash columns, one partial-agg
-    * groupBy(doc) of k mins (map-side combine — the shuffle carries one
-    * k-wide row per doc per partition), then band keys from the min
-    * columns. */
+    * Shape: explode shingles once, one md5 + k affine re-hashes per
+    * shingle, one partial-agg groupBy(doc) of k mins (map-side combine —
+    * the shuffle carries one k-wide row per doc per partition), then
+    * band keys from the min columns. */
   def dedupMinhash(s: SparkSession, dir: String, tau: Double = 0.3,
                    k: Int = 64, bands: Int = 32): DataFrame =
     dedupMinhashDf(Tables.documents(s, dir), tau, k, bands)
@@ -53,17 +80,20 @@ object LshDedup {
     val docs = TextOps.shingleTable(input).filter(size(col("sh")) > 0)
     val sigs = docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      // one string hash per shingle, then k cheap long re-hashes — vs
+      // one md5 per shingle, then k cheap affine long re-hashes — vs
       // hashing the string k times (~6× less hashing work)
-      .select(col("doc_id"), xxhash64(col("s")).as("s64"))
-      .select(col("doc_id") +: (0 until k).map(i =>
-        xxhash64(lit(i), col("s64")).as(s"h$i")): _*)
+      .select(col("doc_id"), smCol(col("s")).as("sm"))
+      .select(col("doc_id") +: (0 until k).map { i =>
+        val (a, b) = coef(i)
+        ((lit(a) * col("sm") + lit(b)) % P).as(s"h$i")
+      }: _*)
       .groupBy(col("doc_id"))
       .agg(min(col("h0")).as("m0"),
            (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
     val bandKeys = sigs.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
-        xxhash64(lit(b) +: (0 until rows).map(j => col(s"m${b * rows + j}")): _*)
+        concat_ws(":", (lit(b) +: (0 until rows).map(j =>
+          col(s"m${b * rows + j}"))).map(_.cast("string")): _*)
       }: _*)).as("band_key"))
     val candidates = bandKeys.as("a")
       .join(bandKeys.as("b"),
@@ -81,16 +111,74 @@ object LshDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** DuckDB oracle for [[dedupMinhash]] — the identical sketch: same
+    * md5-affine hash family (coefficients embedded as literals), same
+    * banding, exact-Jaccard verify via the inverted-index shared-shingle
+    * count (≡ array_intersect on distinct shingle sets). */
+  def dedupMinhashSql(tau: Double = 0.3, k: Int = 64, bands: Int = 32): String = {
+    val rows = k / bands
+    val mins = (0 until k).map { i =>
+      val (a, b) = coef(i); s"min(($a * sm + $b) % $P) AS m$i"
+    }.mkString(",\n         ")
+    val bandExprs = (0 until bands).map { b =>
+      val ms = (0 until rows).map(j => s"m${b * rows + j}").mkString(", ")
+      s"concat_ws(':', $b, $ms)"
+    }.mkString(",\n           ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |           unnest(CASE WHEN len(t) >= 3 THEN
+       |             list_transform(range(1, len(t) - 1),
+       |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |           ELSE [] END) AS s
+       |    FROM toks)
+       |),
+       |hs AS (
+       |  SELECT doc_id, (('0x' || substr(md5(s), 1, 12))::BIGINT) % $P AS sm FROM sh
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hs GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id,
+       |         unnest([$bandExprs]) AS band_key
+       |  FROM sig
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.id_a
+       |  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |       floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM shared JOIN cnt c1 ON id_a = c1.doc_id JOIN cnt c2 ON id_b = c2.doc_id
+       |WHERE floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 >= $tau""".stripMargin
+  }
+
   // ------------------------------------------------------------- SimHash
 
-  /** 64 signed bit-sums over the token stream: for each token, bit j of
-    * xxhash64(token) votes +1/−1; the sign of the sum is fingerprint
-    * bit j. Bit extraction goes through lpad(bin(hash)) — pure codegen'd
-    * string ops (shiftright doesn't take a lambda-variable shift). */
+  /** 64 signed bit-sums over the token stream: each token's md5 yields a
+    * 64-bit string (4 × 16-bit hex chunks through lpad(bin(conv(...)))),
+    * bit j votes +1/−1; the sign of the per-position sum is fingerprint
+    * bit j. md5 runs once per token (nested transform); everything is
+    * codegen'd string/arithmetic ops, portable to the oracle. */
   def simhashBits(toks: Column): Column = {
-    // hash+bin+lpad once per token (hoisted out of the per-bit lambda —
-    // inside it the subexpression would be re-evaluated 64× per token)
-    val bitStrings = transform(toks, t => lpad(bin(xxhash64(t)), 64, "0"))
+    val hexes = transform(toks, t => md5(t.cast("binary")))
+    val bitStrings = transform(hexes, h =>
+      concat((0 until 4).map(c =>
+        lpad(bin(conv(substring(h, 1 + 4 * c, 4), 16, 10).cast("long")), 16, "0")): _*))
     val sums = aggregate(
       bitStrings,
       transform(sequence(lit(1), lit(64)), _ => lit(0)),
@@ -124,17 +212,66 @@ object LshDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = docs.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), bandOf(col("bits"), b).as("key"))): _*)).as("bk"))
+        concat_ws(":", lit(b).cast("string"),
+          bandOf(col("bits"), b).cast("string"))): _*)).as("band_key"))
     val candidates = bandKeys.as("a")
       .join(bandKeys.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     candidates
       .join(docs.select(col("doc_id").as("id_a"), col("bits").as("bits_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("bits").as("bits_b")), "id_b")
-      .withColumn("hamming", hamming(col("bits_a"), col("bits_b")))
+      .withColumn("hamming", hamming(col("bits_a"), col("bits_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** DuckDB oracle for [[dedupSimhash]] — identical md5 bitstrings,
+    * votes, band packing (list_reduce acc*2+x ≡ aggregate acc*2+x), and
+    * hamming verify. */
+  def dedupSimhashSql(maxHamming: Int = 8): String = {
+    val chunks = (0 until 4).map(c =>
+      s"lpad(bin(('0x' || substr(h, ${1 + 4 * c}, 4))::BIGINT), 16, '0')")
+      .mkString(" ||\n         ")
+    val bandExprs = (0 until 4).map(b =>
+      s"'$b:' || list_reduce(bits[${b * 16 + 1}:${b * 16 + 16}], (a, x) -> a*2 + x)")
+      .mkString(",\n           ")
+    s"""WITH th AS (
+       |  SELECT doc_id, md5(t) AS h FROM (
+       |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+       |    FROM documents)
+       |),
+       |bstr AS (
+       |  SELECT doc_id,
+       |         $chunks AS bs
+       |  FROM th
+       |),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN substr(bs, CAST(j AS INT), 1) = '1' THEN 1 ELSE -1 END) AS v
+       |  FROM bstr CROSS JOIN range(1, 65) r(j) GROUP BY 1, 2
+       |),
+       |fp AS (
+       |  SELECT doc_id, list(CASE WHEN v >= 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
+       |  FROM votes GROUP BY 1
+       |),
+       |bands AS (
+       |  SELECT doc_id,
+       |         unnest([$bandExprs]) AS band_key
+       |  FROM fp
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |           i -> abs(fa.bits[i] - fb.bits[i]))) AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN fp fa ON fa.doc_id = c.id_a
+       |  JOIN fp fb ON fb.doc_id = c.id_b)
+       |WHERE hamming <= $maxHamming""".stripMargin
   }
 }
