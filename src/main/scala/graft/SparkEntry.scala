@@ -108,6 +108,8 @@ object SparkEntry {
     "dedup_simhash" -> LshDedup.dedupSimhashSql(),
     "emb_norms" -> Similarity.embNormsSql,
     "knn_brute" -> Similarity.knnBruteSql,
+    "ann_lsh" -> Similarity.annLshSql(),
+    "ann_ivf" -> Similarity.annIvfSql(),
     "emb_dedup_cosine" -> Similarity.embDedupCosineSql,
     "mm_ingest" -> multimodal.Multimodal.mmIngestSql,
     "mm_frames" -> multimodal.Multimodal.mmFramesSql,

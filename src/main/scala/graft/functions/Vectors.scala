@@ -57,4 +57,18 @@ object VectorFunctions {
 
   def sqlCosine(a: String, b: String): String =
     s"${sqlDotDec(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
+
+  /** DuckDB mirror of the native FloatDot expression: strict left-to-
+    * right IEEE-double fold (`list_reduce` is a left fold; float×float
+    * products are exact in double), so the result is bit-identical to
+    * FloatDot for identical float inputs. */
+  def sqlDotSeq(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |  d -> CAST($a[d] AS DOUBLE) * CAST($b[d] AS DOUBLE)), (x, y) -> x + y)""".stripMargin.replace("\n", "")
+
+  /** DuckDB mirror of a left-fold double sum of squares / 2 (the
+    * centroid half-norm in the IVF scorer). */
+  def sqlHalfNormSeq(a: String): String =
+    s"""(list_reduce(list_transform($a,
+       |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v) / 2)""".stripMargin.replace("\n", "")
 }

@@ -97,27 +97,39 @@ object Similarity {
 
   // ------------------------------------------------------------------- LSH
 
-  /** Deterministic pseudo-random hyperplanes: `tables` hash tables ×
-    * `bits` planes × `dim` components, seeded — identical across runs
-    * and JVMs, constant-folded into the plan as literals. */
-  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  /** First 48 bits of md5 as a long — the portable cross-engine hash
+    * (DuckDB: `('0x' || substr(md5(s),1,12))::BIGINT`). */
+  private def md5hex48(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
   }
 
-  private def bucketExpr(emb: Column, plane: Array[Array[Double]]): Column =
+  /** Deterministic md5-derived hyperplanes: `tables` hash tables ×
+    * `bits` planes × `dim` components, each w = (md5₄₈("p:t:i:d") mod
+    * 2001 − 1000)/1000 quantized to float — identical across runs/JVMs,
+    * constant-folded into the plan as literals, and reproducible inside
+    * the DuckDB oracle from the same formula. */
+  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(tables, bits, dim) { (t, i, d) =>
+      ((md5hex48(s"p:$t:$i:$d") % 2001 - 1000) / 1000.0).toFloat
+    }
+
+  private def bucketExpr(emb: Column, plane: Array[Array[Float]]): Column =
     plane.zipWithIndex.map { case (w, i) =>
       // native codegen'd FloatDot (GraftExtensions) — a tight primitive
       // loop instead of the boxed aggregate/zip_with lambda chain
-      val dot = call_function("float_dot", emb, lit(w.map(_.toFloat)))
+      val dot = call_function("float_dot", emb, lit(w))
       when(dot >= 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
 
   /** #31 ANN via random-hyperplane LSH: bucket the corpus per hash
     * table, probe the query's buckets, exact-cosine only the candidates,
-    * rank. Rows-only oracle; recall vs [[knnBrute]] is asserted in
-    * SimilaritySpec (random uniform vectors are LSH's worst case — real
-    * clustered embeddings bucket far better). */
+    * rank. Oracle-checked end-to-end: the SQL regenerates the planes
+    * from the md5 formula and mirrors FloatDot's sequential IEEE sum, so
+    * bucket signs are bit-identical. Recall vs [[knnBrute]] is asserted
+    * in SimilaritySpec (random uniform vectors are LSH's worst case —
+    * real clustered embeddings bucket far better). */
   def annLsh(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
              tables: Int = 16, bits: Int = 6): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
@@ -141,6 +153,44 @@ object Similarity {
           (norm(col("q_emb")) * norm(col("embedding"))), 6))
       .transform(topK(_, k))
   }
+
+  /** DuckDB oracle for [[annLsh]]: planes regenerated in-SQL from the
+    * md5 formula, dots via the sequential-fold mirror of FloatDot
+    * (bit-identical signs), then the same bucket join + exact cosine +
+    * top-k as the brute oracle. */
+  def annLshSql(k: Int = 5, nQueries: Int = 5,
+                tables: Int = 16, bits: Int = 6): String =
+    s"""WITH w AS (
+       |  SELECT t, i, d,
+       |         CAST(CAST(((('0x' || substr(md5('p:' || t || ':' || i || ':' || d), 1, 12))::BIGINT % 2001) - 1000) / 1000.0 AS FLOAT) AS DOUBLE) AS w
+       |  FROM range(0, $tables) rt(t) CROSS JOIN range(0, $bits) ri(i) CROSS JOIN range(0, 64) rd(d)
+       |),
+       |wl AS (SELECT t, i, list(w ORDER BY d) AS wl FROM w GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+       |  FROM (
+       |    SELECT e.vec_id, wl.t, wl.i,
+       |           list_reduce(list_transform(range(1, 65),
+       |             d -> CAST(e.embedding[d] AS DOUBLE) * wl.wl[d]), (x, y) -> x + y) AS dot
+       |    FROM embeddings e CROSS JOIN wl)
+       |  GROUP BY 1, 2
+       |),
+       |qb AS (SELECT vec_id AS q_id, t, b FROM cb WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id
+       |  FROM cb c JOIN qb q ON c.t = q.t AND c.b = q.b AND c.vec_id <> q.q_id
+       |),
+       |scored AS (
+       |  SELECT n.q_id, n.vec_id,
+       |         floor((${sqlCosine("q.embedding", "e.embedding")}) * 1e6 + 0.5) / 1e6 AS cosine
+       |  FROM cand n
+       |  JOIN embeddings q ON q.vec_id = n.q_id
+       |  JOIN embeddings e ON e.vec_id = n.vec_id
+       |)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
 
   // ------------------------------------------------------------------- IVF
 
@@ -175,13 +225,17 @@ object Similarity {
   private def assignNearest(df: DataFrame, centroids: Array[(Int, Array[Float])],
                             embCol: String = "embedding"): DataFrame = {
     val scored = centroids.map { case (cid, c) =>
-      val half = c.map(x => x * x).sum / 2.0
       struct(
-        (call_function("float_dot", col(embCol), lit(c)) - lit(half)).as("score"),
+        (call_function("float_dot", col(embCol), lit(c)) - lit(halfNorm(c))).as("score"),
         lit(cid).as("cluster"))
     }
     df.withColumn("cluster", greatest(scored: _*).getField("cluster"))
   }
+
+  /** ‖c‖²/2 as a left-fold double sum — the same order the oracle's
+    * sequential-fold fragment uses, so scores are bit-identical. */
+  private def halfNorm(c: Array[Float]): Double =
+    c.map(x => x.toDouble * x.toDouble).sum / 2.0
 
   /** #31b ANN via IVF (inverted-file index): k-means coarse quantizer,
     * corpus partitioned by nearest centroid ONCE, queries probe only the
@@ -199,9 +253,8 @@ object Similarity {
     // query-side: nProbe nearest cells via the same scoring, as array
     val qs = queries(s, dir, nQueries)
     val qScored = centroids.map { case (cid, c) =>
-      val half = c.map(x => x * x).sum / 2.0
       struct(
-        (call_function("float_dot", col("q_emb"), lit(c)) - lit(half)).as("score"),
+        (call_function("float_dot", col("q_emb"), lit(c)) - lit(halfNorm(c))).as("score"),
         lit(cid).as("cluster"))
     }
     val probed = qs
@@ -214,6 +267,67 @@ object Similarity {
         r(dotDec(col("q_emb"), col("embedding")) /
           (norm(col("q_emb")) * norm(col("embedding"))), 6))
       .transform(topK(_, k))
+  }
+
+  /** DuckDB oracle for [[annIvf]]: the identical deterministic k-means —
+    * init cells = first `nCells` vectors, `iters` Lloyd rounds as
+    * chained CTEs (assignment via the sequential-fold FloatDot mirror,
+    * centroid means via the decimal-exact 8dp average, quantized to
+    * float), then the same probe + exact cosine + top-k. */
+  def annIvfSql(k: Int = 5, nQueries: Int = 5,
+                nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): String = {
+    def score(emb: String) =
+      s"(${sqlDotSeq(emb, "c.c")} - ${sqlHalfNormSeq("c.c")})"
+    def assign(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, embedding, cl FROM (
+         |    SELECT e.vec_id, e.embedding, c.cl,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${score("e.embedding")} DESC, c.cl DESC) AS rn
+         |    FROM embeddings e CROSS JOIN $prev c)
+         |  WHERE rn = 1
+         |)"""
+    def update(prevAssign: String, out: String) =
+      s"""$out AS (
+         |  SELECT cl, list(CAST(m AS FLOAT) ORDER BY d) AS c FROM (
+         |    SELECT cl, d, ${graft.Parity.sqlAvg("CAST(x AS DOUBLE)", 8)} AS m FROM (
+         |      SELECT cl, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d
+         |      FROM $prevAssign)
+         |    GROUP BY cl, d)
+         |  GROUP BY cl
+         |)"""
+    val lloyd = (1 to iters).map(it =>
+      assign(s"c${it - 1}", s"a$it") + ",\n" + update(s"a$it", s"c$it"))
+      .mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < $nCells
+       |),
+       |$lloyd,
+       |${assign(s"c$iters", "bucketed")},
+       |probed AS (
+       |  SELECT q_id, cl FROM (
+       |    SELECT e.vec_id AS q_id, c.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${score("e.embedding")} DESC, c.cl DESC) AS rn
+       |    FROM embeddings e CROSS JOIN c$iters c
+       |    WHERE e.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe
+       |),
+       |cand AS (
+       |  SELECT p.q_id, b.vec_id
+       |  FROM bucketed b JOIN probed p ON b.cl = p.cl AND b.vec_id <> p.q_id
+       |),
+       |scored AS (
+       |  SELECT n.q_id, n.vec_id,
+       |         floor((${sqlCosine("q.embedding", "e.embedding")}) * 1e6 + 0.5) / 1e6 AS cosine
+       |  FROM cand n
+       |  JOIN embeddings q ON q.vec_id = n.q_id
+       |  JOIN embeddings e ON e.vec_id = n.vec_id
+       |)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** #32 cosine near-duplicate pairs, blocked by label (pairs are only
