@@ -4,17 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated subset for local iteration (driver sets none)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.local(cpus)
     // Untimed warmup pass over the measured SF: pays JIT, whole-stage
     // codegen (Janino), OS page-cache population, and operator-cache
     // materialization once, so the timed pass measures steady-state
     // operator throughput. Disable with SPARK_GRAFT_WARMUP=0.
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

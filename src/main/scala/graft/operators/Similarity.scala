@@ -57,6 +57,32 @@ object Similarity {
               (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Exact top-k over candidate pairs with a lossless fast prefilter.
+    *
+    * Input: (q_id, q_emb, q_norm, vec_id, embedding, e_norm) pair rows.
+    * The codegen'd FloatDot cosine ranks all pairs; only pairs within
+    * 2e-6 of the per-query kth-best fast cosine are re-scored with the
+    * decimal-exact dot. Losslessness: |fast − exact| < 1e-12, so any
+    * pair excluded by the 2e-6 slack has a rounded (6dp) exact cosine
+    * strictly below every kept pair's — it can neither beat nor tie into
+    * the exact top-k. Turns O(pairs) decimal lambda evaluations into
+    * O(pairs) primitive loops + O(k·queries) decimal ones. */
+  private def topKExact(cands: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensure(cands.sparkSession)
+    val fast = cands.withColumn("fc",
+      call_function("float_dot", col("q_emb"), col("embedding")) /
+        (col("q_norm") * col("e_norm")))
+    // kth-largest fast cosine per query: same bounded heap, k values only
+    val th = fast.groupBy(col("q_id"))
+      .agg(call_function("collect_top_k", col("fc"), lit(k), lit(false)).as("arr"))
+      .select(col("q_id"), array_min(col("arr")).as("fc_kth"))
+    fast.join(broadcast(th), "q_id")
+      .filter(col("fc") >= col("fc_kth") - 2e-6)
+      .withColumn("cosine",
+        r(dotDec(col("q_emb"), col("embedding")) / (col("q_norm") * col("e_norm")), 6))
+      .transform(topK(_, k))
+  }
+
   private def queries(s: SparkSession, dir: String, nQueries: Int): DataFrame =
     Tables.embeddings(s, dir)
       .filter(col("vec_id") < nQueries)
@@ -72,13 +98,11 @@ object Similarity {
     * (q_id, q_emb). */
   def knnBruteDf(corpusIn: DataFrame, qsIn: DataFrame, k: Int = 5): DataFrame = {
     // norms are computed once per vector BEFORE the pair join — the pair
-    // space then costs one decimal dot, not three
+    // space then costs one primitive-loop dot, not three decimal ones
     val corpus = corpusIn.withColumn("e_norm", norm(col("embedding")))
     val qs = qsIn.withColumn("q_norm", norm(col("q_emb")))
     corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        r(dotDec(col("q_emb"), col("embedding")) / (col("q_norm") * col("e_norm")), 6))
-      .transform(topK(_, k))
+      .transform(topKExact(_, k))
   }
 
   val knnBruteSql: String =
@@ -139,19 +163,24 @@ object Similarity {
         ps.zipWithIndex.map { case (p, t) =>
           struct(lit(t).as("t"), bucketExpr(col(embCol), p).as("b"))
         }: _*)))
-    val corpus = withBuckets(Tables.embeddings(s, dir), "embedding")
-      .select(col("vec_id"), col("embedding"), col("tb"))
-    val qs = withBuckets(queries(s, dir, nQueries), "q_emb")
-      .select(col("q_id"), col("q_emb"), col("tb"))
-    val cands = corpus.join(broadcast(qs), Seq("tb"))
+    // the bucket join carries only (vec_id, tb) — the candidate pair
+    // space is deduped on bare ids (cheap long-pair distinct, no array
+    // shuffle), then vectors + norms (computed once per vector) join
+    // back: broadcast on the query side, co-partitioned on vec_id on the
+    // corpus side
+    val emb = Tables.embeddings(s, dir)
+    val corpusB = withBuckets(emb, "embedding").select(col("vec_id"), col("tb"))
+    val qsB = withBuckets(queries(s, dir, nQueries), "q_emb")
+      .select(col("q_id"), col("tb"))
+    val candIds = corpusB.join(broadcast(qsB), Seq("tb"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .select(col("q_id"), col("vec_id"))
       .distinct()
-    cands
-      .withColumn("cosine",
-        r(dotDec(col("q_emb"), col("embedding")) /
-          (norm(col("q_emb")) * norm(col("embedding"))), 6))
-      .transform(topK(_, k))
+    val cands = candIds
+      .join(emb.withColumn("e_norm", norm(col("embedding"))), "vec_id")
+      .join(broadcast(queries(s, dir, nQueries)
+        .withColumn("q_norm", norm(col("q_emb")))), "q_id")
+    cands.transform(topKExact(_, k))
   }
 
   /** DuckDB oracle for [[annLsh]]: planes regenerated in-SQL from the
@@ -248,8 +277,8 @@ object Similarity {
     graft.functions.GraftFunctions.ensure(s)
     val corpus = Tables.embeddings(s, dir)
     val centroids = trainCentroids(corpus, nCells, iters)
-    val bucketed = assignNearest(corpus, centroids)
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val bucketed = assignNearest(corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
+      .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
     // query-side: nProbe nearest cells via the same scoring, as array
     val qs = queries(s, dir, nQueries)
     val qScored = centroids.map { case (cid, c) =>
@@ -258,15 +287,12 @@ object Similarity {
         lit(cid).as("cluster"))
     }
     val probed = qs
+      .withColumn("q_norm", norm(col("q_emb")))
       .withColumn("p", explode(slice(reverse(array_sort(array(qScored: _*))), 1, nProbe)))
-      .select(col("q_id"), col("q_emb"), col("p.cluster").as("probe"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("p.cluster").as("probe"))
     val cands = bucketed.join(broadcast(probed), col("cluster") === col("probe"))
       .filter(col("vec_id") =!= col("q_id"))
-    cands
-      .withColumn("cosine",
-        r(dotDec(col("q_emb"), col("embedding")) /
-          (norm(col("q_emb")) * norm(col("embedding"))), 6))
-      .transform(topK(_, k))
+    cands.transform(topKExact(_, k))
   }
 
   /** DuckDB oracle for [[annIvf]]: the identical deterministic k-means —
