@@ -19,6 +19,22 @@ object SparkEntry {
     "q6_forecast" -> (Relational.q6Forecast _),
     "q10_returns" -> (Relational.q10Returns _),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q4_priority" -> (Relational2.q4Priority _),
+    "q7_volume" -> ((s, d) => Relational2.q7Volume(s, d)),
+    "q12_priority" -> (Relational2.q12Priority _),
+    "q13_custdist" -> (Relational2.q13Custdist _),
+    "q14_promo" -> (Relational2.q14Promo _),
+    "q15_top_supplier" -> (Relational2.q15TopSupplier _),
+    "q17_small_qty" -> ((s, d) => Relational2.q17SmallQty(s, d)),
+    "q19_discounted" -> (Relational2.q19Discounted _),
+    "q22_no_orders" -> (Relational2.q22NoOrders _),
+    // Warehouse/pipeline analytics (SURVEY §2 H)
+    "events_rollup" -> (Analytics.eventsRollup _),
+    "events_salted_agg" -> ((s, d) => Analytics.eventsSaltedAgg(s, d)),
+    "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
+    "sample_stratified" -> (Analytics.sampleStratified _),
+    "emb_centroids" -> (Analytics.embCentroids _),
+    "dedup_clusters" -> ((s, d) => Analytics.dedupClusters(s, d)),
     // MHW / time-series core (SURVEY §2 A)
     "clim_doy" -> (Mhw.climDoyTable _),
     "climatology_bp" -> (Mhw.climatologyBpRaw _),
@@ -66,6 +82,7 @@ object SparkEntry {
     // Structured Streaming (G35-G36)
     "stream_window_counts" -> (streaming.Streaming.streamWindowCounts _),
     "stream_sessionize" -> (streaming.Streaming.streamSessionize _),
+    "stream_dedup" -> (streaming.Streaming.streamDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,6 +94,21 @@ object SparkEntry {
     "q6_forecast" -> Relational.q6Sql,
     "q10_returns" -> Relational.q10Sql,
     "q18_large_orders" -> Relational.q18Sql,
+    "q4_priority" -> Relational2.q4Sql,
+    "q7_volume" -> Relational2.q7Sql,
+    "q12_priority" -> Relational2.q12Sql,
+    "q13_custdist" -> Relational2.q13Sql,
+    "q14_promo" -> Relational2.q14Sql,
+    "q15_top_supplier" -> Relational2.q15Sql,
+    "q17_small_qty" -> Relational2.q17Sql,
+    "q19_discounted" -> Relational2.q19Sql,
+    "q22_no_orders" -> Relational2.q22Sql,
+    "events_rollup" -> Analytics.eventsRollupSql,
+    "events_salted_agg" -> Analytics.eventsSaltedAggSql,
+    "events_anomaly" -> Analytics.eventsAnomalySql,
+    "sample_stratified" -> Analytics.sampleStratifiedSql,
+    "emb_centroids" -> Analytics.embCentroidsSql,
+    "dedup_clusters" -> Analytics.dedupClustersSql(),
     "clim_doy" -> MhwSql.climDoySqlQ,
     "climatology_bp" -> MhwSql.climatologyBp,
     "climatology_bp_smooth" -> MhwSql.climatologyBpSmooth,
@@ -117,5 +149,6 @@ object SparkEntry {
     "mm_resize" -> multimodal.Multimodal.mmResizeSql,
     "stream_window_counts" -> streaming.Streaming.streamWindowCountsSql,
     "stream_sessionize" -> streaming.Streaming.streamSessionizeSql,
+    "stream_dedup" -> streaming.Streaming.streamDedupSql,
   )
 }

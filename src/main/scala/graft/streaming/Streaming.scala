@@ -128,6 +128,32 @@ object Streaming {
   def streamSessionize(s: SparkSession, dir: String): DataFrame =
     runSessionizeStream(s, dir, s"sess_${System.nanoTime()}")
 
+  // ------------------------------------------------------- #37 stream dedup
+
+  /** Streaming deduplication: `dropDuplicates` holds one state entry per
+    * distinct key and emits each key's first arrival — the streaming
+    * half of exact dedup (at scale the state store is RocksDB, keyed by
+    * the same hash the batch groupBy shuffles on; with a watermark the
+    * state is bounded to the lateness horizon). Output = the distinct
+    * key set, which the batch oracle checks exactly. */
+  def runDedupStream(s: SparkSession, dir: String,
+                     name: String = "dedup_stream"): DataFrame = {
+    val q = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Driver-contract entry for #37 (batch-exact oracle). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    runDedupStream(s, dir, s"dedup_${System.nanoTime()}")
+
+  val streamDedupSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   /** Oracle for #36: the stream emits exactly the CLOSED sessions — every
     * session except each user's last (which stays open in state when the
     * source drains). The gap test is µs-precision (`ts_us` diffs), unlike
