@@ -67,4 +67,25 @@ object Pipeline {
   def dedupCosine(df: DataFrame, tau: Double = 0.35,
                   cfg: VecConfig = VecConfig()): DataFrame =
     Similarity.embDedupCosineDf(vecs(df, cfg), tau)
+
+  /** Duplicate clusters: connected components over the n-gram Jaccard
+    * near-dup graph; (doc_id, cluster) with cluster = min member id. */
+  def dedupClusters(df: DataFrame, tau: Double = 0.3,
+                    cfg: DocConfig = DocConfig()): DataFrame =
+    graft.operators.Analytics.dedupClustersDf(docs(df, cfg), tau)
+
+  /** Deterministic stratified sample: keep rows whose md5(id) bucket
+    * (0-99) falls below the stratum's percentage rate — reproducible
+    * across engines, runs, and partitionings. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 100
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, v).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
 }

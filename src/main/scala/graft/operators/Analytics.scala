@@ -126,6 +126,132 @@ object Analytics {
        |      FROM embeddings)
        |GROUP BY 1, 2""".stripMargin
 
+  /** #43 TF-IDF top terms per document: tf from one token explode, df
+    * from the distinct-term inverted index, idf = ln((N+1)/(df+1))
+    * (rounded before the product so cross-engine libm ulps can't leak
+    * into the ranking). The per-doc top-5 is a row_number window on the
+    * doc key — the same single shuffle the tf groupBy already made. */
+  def docTfidf(s: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val terms = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("idf", r(log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("score", r(col("tf") * col("idf"), 4))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= topN)
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+              col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
+  val docTfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  FROM documents
+      |),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |         floor((tf * (floor(ln((n_docs + 1.0) / (df + 1.0)) * 1e6 + 0.5) / 1e6)) * 1e4 + 0.5) / 1e4 AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tf, score, rnk FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5""".stripMargin
+
+  /** #44 heavy hitters: global top-10 hottest (user, event_type) pairs.
+    * The aggregate shuffles partial counts; the top-N is Spark's
+    * TakeOrderedAndProject — per-partition bounded heaps, never a full
+    * sort. */
+  def eventsHeavyHitters(s: SparkSession, dir: String, topN: Int = 10): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"), col("event_type"))
+      .limit(topN)
+
+  val eventsHeavyHittersSql: String =
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY n DESC, user_id, event_type
+      |LIMIT 10""".stripMargin
+
+  /** #45 value histogram per event type: fixed-width buckets — the
+    * classic distribution profile, one partial-agg shuffle. */
+  def eventsHistogram(s: SparkSession, dir: String, width: Double = 25.0): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           r(min(col("value")), 4).as("min_v"), r(max(col("value")), 4).as("max_v"))
+
+  val eventsHistogramSql: String =
+    """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+      |       count(*) AS n,
+      |       floor(min(value) * 1e4 + 0.5) / 1e4 AS min_v,
+      |       floor(max(value) * 1e4 + 0.5) / 1e4 AS max_v
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** #46 interval join: count global error events inside each session's
+    * [start, end] window. Scale shape: sessions explode into their day
+    * bins and equi-join errors on the bin (range joins must become
+    * bin-equi joins at 100 TB — a nested-loop range join would be
+    * quadratic); the residual range predicate filters within the bin.
+    * A session spanning b bins contributes b rows pre-aggregation. */
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val sess = Events.sessionize(s, dir)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val errs = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("ts").as("err_ts"), to_date(col("ts")).as("err_day"))
+    val binned = sess.withColumn("day",
+      explode(sequence(to_date(col("session_start")), to_date(col("session_end")))))
+    binned.join(errs,
+        col("day") === col("err_day") &&
+        col("err_ts") >= col("session_start") && col("err_ts") <= col("session_end"),
+        "left")
+      .groupBy(col("user_id"), col("session_start"), col("session_end"))
+      .agg(count(col("err_ts")).as("n_err"))
+  }
+
+  val eventsIntervalJoinSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |                OR floor(epoch(CAST(ts AS TIMESTAMP))) - floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)) > 1800
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |),
+      |spans AS (
+      |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+      |  FROM sess GROUP BY user_id, session_id
+      |),
+      |errs AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS err_ts FROM events WHERE event_type = 'error'
+      |)
+      |SELECT s.user_id, s.session_start, s.session_end,
+      |       count(e.err_ts) AS n_err
+      |FROM spans s LEFT JOIN errs e
+      |  ON e.err_ts >= s.session_start AND e.err_ts <= s.session_end
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** #42 duplicate clustering: connected components over the n-gram
     * Jaccard near-dup graph by iterative min-label propagation — the
     * standard distributed CC (each round is one join+groupBy on the
