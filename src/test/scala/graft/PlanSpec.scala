@@ -59,4 +59,39 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "\\) Exchange".r.findAllIn(p).length
     assert(exchanges == 1)
   }
+
+  test("q19: OR-of-ANDs partially pushed; part side broadcast") {
+    val p = plan(graft.operators.Relational2.q19Discounted(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    // the lineitem-only disjunct bound (quantity range) reaches the scan
+    assert(p.contains("PushedFilters:"))
+  }
+
+  test("q7: all dimensions broadcast — lineitem⋈orders is the only big join") {
+    val p = plan(graft.operators.Relational2.q7Volume(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected >=2 broadcast joins, got $bhj")
+  }
+
+  test("q13: orders aggregate before meeting customer (partial aggs first)") {
+    val p = plan(graft.operators.Relational2.q13Custdist(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("salted agg: two aggregation levels, partials map-side") {
+    val p = plan(graft.operators.Analytics.eventsSaltedAgg(spark, sf))
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, s"expected two partial+final agg pairs, got $aggs")
+  }
+
+  test("heavy hitters: bounded TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.operators.Analytics.eventsHeavyHitters(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("stratified sample: map-only — no exchange in the plan") {
+    val p = plan(graft.operators.Analytics.sampleStratified(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
 }
