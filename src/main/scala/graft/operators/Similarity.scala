@@ -233,17 +233,22 @@ object Similarity {
         .select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    val dims = centroids.head._2.length
     for (_ <- 1 to iters) {
       val assigned = assignNearest(corpus, centroids)
-      val dims = centroids.head._2.length
-      val meanCols = (0 until dims).map(j =>
-        graft.Parity.davg(element_at(col("embedding"), j + 1).cast("double"), 8)
-          .as(s"c$j"))
-      val means = assigned.groupBy(col("cluster"))
-        .agg(meanCols.head, meanCols.tail: _*)
+      // one davg over posexploded (cluster, dim) rows instead of 64 agg
+      // columns: the generated aggregate stays small (one expression),
+      // the shuffle carries k×dims partial sums either way, and the
+      // decimal-exact 8dp means are bit-identical to the columnar form
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(graft.Parity.davg(col("col").cast("double"), 8).as("m"))
         .collect()
-      centroids = means.map { r =>
-        (r.getInt(0), (0 until dims).map(j => r.getDouble(j + 1).toFloat).toArray)
+      centroids = means.groupBy(_.getInt(0)).toArray.map { case (cid, rows) =>
+        val arr = new Array[Float](dims)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+        (cid, arr)
       }.sortBy(_._1)
     }
     centroids
@@ -275,7 +280,9 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
+    // the training loop scans the corpus iters+1 times — persist once
     val corpus = Tables.embeddings(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = trainCentroids(corpus, nCells, iters)
     val bucketed = assignNearest(corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
       .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
