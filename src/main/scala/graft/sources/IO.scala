@@ -51,6 +51,20 @@ object IO {
               partitionBy: Seq[String] = Nil): Unit =
     write(read(spark, inPath, inFormat, Some(schema)), outPath,
           partitionBy = partitionBy)
+
+  /** Persist `df` as a bucketed (and optionally bucket-sorted) managed
+    * table. Bucketing is THE shuffle eliminator for repeated fact-fact
+    * joins at 100 TB: two tables bucketed on the join key into the same
+    * bucket count join with zero exchanges — the shuffle was paid once
+    * at write time and amortizes over every subsequent join/aggregation
+    * on that key (IOSpec pins the no-exchange plan). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }
 
 /** Temp-view catalog over a test-data directory: registers every table

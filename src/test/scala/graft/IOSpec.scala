@@ -60,4 +60,38 @@ class IOSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n > 0)
   }
+
+  test("bucketed tables join with zero exchanges (write-once shuffle)") {
+    val buckets = 4
+    IO.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", Seq("o_orderkey"), buckets, Seq("o_orderkey"))
+    IO.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "lineitem_b", Seq("l_orderkey"), buckets, Seq("l_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("l_quantity")).as("q"))
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the join itself needs no shuffle: both sides pre-bucketed on the key
+      assert(p.contains("SortMergeJoin"))
+      val joinSection = p.substring(0, p.indexOf("HashAggregate"))
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed join should not exchange:\n$p")
+      // and the result matches the unbucketed plan
+      val direct = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("l_quantity")).as("q"))
+      assert(joined.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap ==
+             direct.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }
