@@ -99,4 +99,30 @@ class MhwSpec extends AnyFunSuite {
     assert(out((1L, 60)) == 15.0)
     assert(!out.contains((2L, 60))) // doy 61 missing → row absent
   }
+
+  test("approx threshold (t-digest scale path) tracks the exact quantile") {
+    // Dense synthetic series: 10 years of daily values in [0, 100), so
+    // each pooled (doy ±5) group holds ~110 samples with ~1.0 spacing.
+    // approx_percentile returns an order statistic with bounded rank
+    // error while the exact path interpolates — the value gap is at most
+    // a few sample spacings.
+    val base = java.time.LocalDate.of(2000, 1, 1)
+    val rows = (0 until 3650).map { i =>
+      (1L, java.sql.Date.valueOf(base.plusDays(i)),
+       (i * 2654435761L % 10007L) / 100.07)
+    }
+    val dl = rows.toDF("user_id", "d", "sst")
+      .withColumn("yr", year($"d"))
+      .withColumn("doy", DoyFunctions.climDoy($"d"))
+    val exact = Mhw.pooledQuantile(dl, 5, 0.9)
+      .select($"doy", $"thresh".as("t_exact"))
+    val approx = Mhw.pooledQuantile(dl, 5, 0.9, exact = false)
+      .select($"doy", $"thresh".as("t_approx"))
+    val joined = exact.join(approx, "doy")
+    val n = joined.count()
+    assert(n > 300)
+    val worst = joined
+      .agg(max(abs($"t_exact" - $"t_approx"))).head.getDouble(0)
+    assert(worst < 3.0, s"max |exact-approx| = $worst over $n doy groups")
+  }
 }
