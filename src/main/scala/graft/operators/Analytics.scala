@@ -252,6 +252,49 @@ object Analytics {
       |  ON e.err_ts >= s.session_start AND e.err_ts <= s.session_end
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** #47 running total per customer over order history — the cumulative
+    * window shape. One shuffle on the partition key; the frame sum
+    * accumulates in decimal so frame order can't drift across engines. */
+  def ordersRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+              col("o_totalprice"))
+      .withColumn("running_total",
+        r(sum(col("o_totalprice").cast(Dec)).over(w).cast("double"), 4))
+  }
+
+  val ordersRunningTotalSql: String =
+    """SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER w AS DOUBLE)) * 1e4 + 0.5) / 1e4
+      |         AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS UNBOUNDED PRECEDING)""".stripMargin
+
+  /** #48 per-group ranking top-N (top-3 events by value per user) — the
+    * ranking-window shape, deterministic via the id tiebreak. (Bounded
+    * CollectTopK is the shuffle-light alternative used on the ANN paths;
+    * this keeps the classic window form under oracle check too.) */
+  def eventsRankTopk(s: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rnk") <= topN)
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("rnk").cast("long").as("rnk"))
+  }
+
+  val eventsRankTopkSql: String =
+    """SELECT user_id, event_id, value, rnk FROM (
+      |  SELECT user_id, event_id, value,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+      |  FROM events)
+      |WHERE rnk <= 3""".stripMargin
+
   /** #42 duplicate clustering: connected components over the n-gram
     * Jaccard near-dup graph by iterative min-label propagation — the
     * standard distributed CC (each round is one join+groupBy on the
