@@ -94,4 +94,34 @@ class IOSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("hive-partitioned write: reads of one key prune to one directory") {
+    val dir = tmp("part")
+    IO.write(Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+      dir, partitionBy = Seq("o_orderpriority"))
+    val pruned = IO.read(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val p = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"partition filter should prune:\n$p")
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("GraftCatalog: the corpus is queryable through spark.sql") {
+    GraftCatalog.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDf = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaDf)
+  }
 }
