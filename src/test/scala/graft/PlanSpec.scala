@@ -94,4 +94,35 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.Analytics.sampleStratified(spark, sf))
     assert(!p.contains("Exchange"))
   }
+
+  test("q21: de-correlated — exactly one lineitem scan, no self-joins") {
+    val p = plan(graft.operators.Relational3.q21WaitingSuppliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin")) // supplier/nation/region side
+    // the classic Q21 plan scans lineitem 3×; ours once — 5 unique scans
+    // total (lineitem, orders, supplier, nation, region)
+    val fileScans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(fileScans <= 5, s"expected <=5 unique file scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q9/q8: every dimension broadcasts; one fact-fact co-shuffle") {
+    val p9 = plan(graft.operators.Relational3.q9Profit(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p9).length >= 2)
+    val p8 = plan(graft.operators.Relational3.q8MarketShare(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p8).length >= 3)
+  }
+
+  test("q2: min-per-part window runs on the aggregated pair table") {
+    val p = plan(graft.operators.Relational3.q2MinCost(spark, sf))
+    // aggregation (unit-cost means) comes before the window min
+    assert(p.indexOf("HashAggregate") >= 0)
+    assert(p.contains("Window"))
+    assert(p.contains("TakeOrderedAndProject")) // bounded top-100
+  }
+
+  test("q16: pair-distinct and count-distinct share the partkey/suppkey shuffle") {
+    val p = plan(graft.operators.Relational3.q16SupplierCounts(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"no fact-fact SMJ expected:\n$p")
+  }
 }
