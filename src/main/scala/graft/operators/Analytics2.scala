@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+import graft.Parity._
+import graft.sources.Tables
+
+/** Analytics tranche 2 (SURVEY §2 H49-H53): exact per-group
+  * percentiles, time-range window frames, CUBE grouping sets,
+  * relational set operators, and inter-arrival gap analysis.
+  *
+  * Parity notes follow the playbook: no engine `round`/`quantile`
+  * (portable formulas instead), decimal accumulation for every
+  * order-sensitive double sum, explicit total tiebreak orders.
+  */
+object Analytics2 {
+
+  private val Dec = DataTypes.createDecimalType(38, 10)
+
+  /** Linear-interpolation quantile over a sorted array column — the
+    * portable exact formula (same bits in Spark and DuckDB; engine
+    * percentile implementations differ in last-ulp interpolation). */
+  private def linQuantile(vs: Column, p: Double): Column = {
+    val n = size(vs)
+    val h = (n - 1) * lit(p)
+    val l = floor(h).cast("int")
+    val f = h - l
+    val vl = element_at(vs, l + 1)
+    val vu = element_at(vs, least(l + 2, n))
+    vl + (vu - vl) * f
+  }
+
+  private def sqlQuantile(v: String, p: Double): String = {
+    val l = s"CAST(floor((count($v) - 1) * $p) AS INT)"
+    val f = s"((count($v) - 1) * $p - floor((count($v) - 1) * $p))"
+    val vs = s"list_sort(list($v))"
+    val vl = s"$vs[$l + 1]"
+    val vu = s"$vs[LEAST($l + 2, CAST(count($v) AS INT))]"
+    sqlR(s"$vl + ($vu - $vl) * $f", 6)
+  }
+
+  /** #49 exact p50/p90/p99 of `value` per event type. Exact quantiles
+    * need the whole group in one place, so this shape is only for
+    * bounded-cardinality group keys (5 event types here) — each group's
+    * values collect to one task. For high-cardinality keys or monster
+    * groups at 100 TB the scale path is approx_percentile/t-digest
+    * (error-bounded, mergeable partials; spec-pinned in TextSpec's
+    * t-digest test). */
+  def eventsPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("vs"),
+           count(col("value")).as("n"))
+      .select(col("event_type"), col("n"),
+              r(linQuantile(col("vs"), 0.5), 6).as("p50"),
+              r(linQuantile(col("vs"), 0.9), 6).as("p90"),
+              r(linQuantile(col("vs"), 0.99), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  val eventsPercentilesSql: String =
+    s"""SELECT event_type, count(value) AS n,
+       |       ${sqlQuantile("value", 0.5)} AS p50,
+       |       ${sqlQuantile("value", 0.9)} AS p90,
+       |       ${sqlQuantile("value", 0.99)} AS p99
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #50 7-day trailing mean of `value` per user — the time-RANGE
+    * window frame (not ROWS): every event sees exactly the events in
+    * its trailing week. Ordered by event-time micros so the frame
+    * bound is numeric and portable; one exchange on user_id. At scale
+    * this is the standard feature-engineering shape: state per
+    * partition is bounded by the frame span, not the history. */
+  def eventsRolling7d(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us)
+      .rangeBetween(-7L * 86400 * 1000000, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("r_n", count(lit(1)).over(w))
+      .withColumn("r_mean",
+        r(sum(col("value").cast(Dec)).over(w).cast("double") / col("r_n"), 6))
+      .select(col("event_id"), col("user_id"), col("r_n"), col("r_mean"))
+  }
+
+  val eventsRolling7dSql: String =
+    s"""SELECT event_id, user_id,
+       |       count(*) OVER w AS r_n,
+       |       ${sqlR("CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE) / (count(*) OVER w)", 6)} AS r_mean
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** #51 CUBE(event_type, day-of-week): all four grouping sets in one
+    * shuffle (partial aggs cover every set). Complements #37's ROLLUP.
+    * NULL slots coalesce to sentinels for a total-order-safe compare. */
+  def eventsCube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(grouping_id().cast("long").as("gid"),
+           count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              coalesce(col("dow"), lit(-1)).cast("long").as("dow"),
+              col("gid"), col("n"), col("sum_value"))
+
+  val eventsCubeSql: String =
+    s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+       |       CAST(coalesce(dayofweek(ts) + 1, -1) AS BIGINT) AS dow,
+       |       CAST(2 * grouping(event_type) + grouping(dayofweek(ts) + 1) AS BIGINT) AS gid,
+       |       count(*) AS n, ${sqlSum("value", 4)} AS sum_value
+       |FROM events
+       |GROUP BY CUBE(event_type, dayofweek(ts) + 1)""".stripMargin
+
+  /** #52 set operators: customers ordering in both 1996 and 1997 but
+    * not in 1998 — INTERSECT/EXCEPT compile to aggregate/anti-join
+    * shapes sharing one custkey exchange. */
+  def ordersSetOps(s: SparkSession, dir: String): DataFrame = {
+    def custIn(y: Int): DataFrame =
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(f"$y-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit(f"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+    custIn(1996).intersect(custIn(1997)).except(custIn(1998))
+      .orderBy(col("o_custkey"))
+  }
+
+  val ordersSetOpsSql: String =
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      |ORDER BY 1""".stripMargin
+
+  /** #53 inter-arrival gaps per user: lag over the per-user time order,
+    * then mean/max gap seconds — the burstiness profile. Window and
+    * aggregate share the user_id exchange. */
+  def eventsInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / 1e6)
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+           davg(col("gap_s"), 2).as("mean_gap_s"),
+           r(max(col("gap_s")), 2).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsInterarrivalSql: String =
+    s"""WITH gaps AS (
+       |  SELECT user_id,
+       |         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+       |            (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+       |  FROM events)
+       |SELECT user_id, count(*) AS n_gaps,
+       |       ${sqlAvg("gap_s", 2)} AS mean_gap_s,
+       |       ${sqlR("max(gap_s)", 2)} AS max_gap_s
+       |FROM gaps WHERE gap_s IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+}

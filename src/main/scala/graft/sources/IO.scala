@@ -5,14 +5,15 @@ import org.apache.spark.sql.types.StructType
 
 /** Generic columnar IO: the engine's source/sink surface beyond the
   * driver's parquet test tables. Parquet is the canonical format
-  * (splittable, predicate pushdown, column pruning); CSV/JSON are
-  * interchange formats (schema-on-read, no pushdown — a 100 TB pipeline
-  * lands them into parquet first, which is exactly what `convert`
-  * does).
+  * (splittable, predicate pushdown, column pruning); ORC is the
+  * equivalent columnar alternative (same pushdown/pruning path);
+  * CSV/JSON are interchange formats (schema-on-read, no pushdown — a
+  * 100 TB pipeline lands them into parquet first, which is exactly
+  * what `convert` does).
   */
 object IO {
 
-  val formats: Set[String] = Set("parquet", "csv", "json")
+  val formats: Set[String] = Set("parquet", "orc", "csv", "json")
 
   /** Read `path` in `format`. CSV/JSON take an explicit schema (never
     * infer at scale — inference is a full extra pass over the data). */

@@ -95,6 +95,21 @@ class IOSpec extends AnyFunSuite {
     }
   }
 
+  test("orc round-trip preserves values and supports pushdown") {
+    val dir = tmp("orc")
+    val src = Tables.nation(spark, sf)
+    IO.write(src, dir, format = "orc")
+    val back = IO.read(spark, dir, format = "orc")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+           src.orderBy("n_nationkey").collect().toSeq)
+    val p = IO.read(spark, dir, format = "orc")
+      .filter(col("n_regionkey") === 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,2)]"),
+      s"orc pushdown expected:\n$p")
+  }
+
   test("hive-partitioned write: reads of one key prune to one directory") {
     val dir = tmp("part")
     IO.write(Tables.orders(spark, sf)
