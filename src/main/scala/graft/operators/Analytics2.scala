@@ -165,4 +165,68 @@ object Analytics2 {
        |       ${sqlR("max(gap_s)", 2)} AS max_gap_s
        |FROM gaps WHERE gap_s IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #54 HyperLogLog distinct-user estimate per event type, alongside
+    * the exact count. m=64 registers from a 60-bit md5-derived hash
+    * (low 6 bits → bucket, high 54 → rank = 55 − bitlength). Register
+    * maxes are mergeable partials — the property that lets the sketch
+    * aggregate 100 TB with map-side combine and O(m) shuffle bytes per
+    * group (Spark's approx_count_distinct is the production path; this
+    * formulation is deterministic AND portable, so the oracle checks
+    * the estimator bit-for-bit, not "approximately"). The register sum
+    * is accumulated as exact integers (2^(55−rho) scaled) — no
+    * order-dependent float accumulation anywhere. */
+  def eventsApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = expr("CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+    val regs = Tables.events(s, dir)
+      .select(col("event_type"), h.as("h"))
+      .select(col("event_type"), (col("h") % 64).as("bucket"),
+              expr("h div 64").as("rest"))
+      .withColumn("rho", lit(55) - length(ltrim(bin(col("rest")), "0")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mr"))
+    val est = regs.groupBy(col("event_type"))
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mr)")) +
+            (lit(64L) - count(lit(1))) * expr("shiftleft(CAST(1 AS BIGINT), 55)")).as("sum_int"),
+           (lit(64L) - count(lit(1))).as("v_empty"))
+      .withColumn("e_raw", lit(0.709) * 4096.0 / (col("sum_int").cast("double") / math.pow(2, 55)))
+      .withColumn("hll_est",
+        r(when(col("v_empty") > 0 && col("e_raw") <= 160.0,
+               lit(64.0) * log(lit(64.0) / col("v_empty")))
+          .otherwise(col("e_raw")), 2))
+    val exact = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsApproxDistinctSql: String =
+    s"""WITH hashed AS (
+       |  SELECT event_type,
+       |         h % 64 AS bucket, h // 64 AS rest
+       |  FROM (SELECT event_type,
+       |               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |        FROM events)),
+       |regs AS (
+       |  SELECT event_type, bucket,
+       |         max(55 - length(ltrim(bin(rest), '0'))) AS mr
+       |  FROM hashed GROUP BY 1, 2),
+       |est AS (
+       |  SELECT event_type,
+       |         sum(CAST(1 AS BIGINT) << (55 - mr)) +
+       |           (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS sum_int,
+       |         64 - count(*) AS v_empty
+       |  FROM regs GROUP BY 1),
+       |fin AS (
+       |  SELECT event_type, v_empty,
+       |         0.709 * 4096.0 / (CAST(sum_int AS DOUBLE) / ${math.pow(2, 55)}) AS e_raw
+       |  FROM est)
+       |SELECT f.event_type, x.n_exact,
+       |       ${sqlR("CASE WHEN f.v_empty > 0 AND f.e_raw <= 160.0 " +
+                      "THEN 64.0 * ln(64.0 / f.v_empty) ELSE f.e_raw END", 2)} AS hll_est
+       |FROM fin f
+       |JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |      FROM events GROUP BY 1) x USING (event_type)
+       |ORDER BY 1""".stripMargin
 }

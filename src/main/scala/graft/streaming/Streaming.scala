@@ -154,6 +154,54 @@ object Streaming {
   val streamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  // --------------------------------------- #38 stream-stream interval join
+
+  /** Stream-stream interval join: each purchase matched to every click
+    * by the same user in the trailing hour — the click-attribution
+    * shape. Both sides carry event-time watermarks; with the range
+    * condition Spark bounds each side's join state to the watermark +
+    * interval horizon (state is O(events per hour), not O(history) —
+    * the property that makes stream-stream joins feasible at 100 TB).
+    * The test corpus is one file = one micro-batch, so no match is
+    * dropped by watermark eviction and the batch SQL oracle is exact.
+    */
+  def runClickAttributionStream(s: SparkSession, dir: String,
+                                name: String = "attr_stream"): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+              (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
+  /** Driver-contract entry for #38 (exact batch-join oracle). */
+  def streamClickAttribution(s: SparkSession, dir: String): DataFrame =
+    runClickAttributionStream(s, dir, s"attr_${System.nanoTime()}")
+
+  val streamClickAttributionSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+      | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR""".stripMargin
+
   /** Oracle for #36: the stream emits exactly the CLOSED sessions — every
     * session except each user's last (which stays open in state when the
     * source drains). The gap test is µs-precision (`ts_us` diffs), unlike

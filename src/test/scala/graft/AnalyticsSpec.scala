@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Relational2}
+import graft.operators.{Analytics, Analytics2, Relational2}
 
 /** Invariants for the warehouse/pipeline analytics operators (SURVEY §2
   * H + the second TPC-H tranche) — the DuckDB oracle pins exact values;
@@ -71,5 +71,23 @@ class AnalyticsSpec extends AnyFunSuite {
   test("anomaly flags are symmetric-tail outliers (|z| > 3)") {
     val out = Analytics.eventsAnomaly(spark, sf).collect()
     assert(out.forall(r => math.abs(r.getAs[Double]("z")) > 3.0))
+  }
+
+  test("hll estimate within 3σ (≈40%) of exact for m=64") {
+    Analytics2.eventsApproxDistinct(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_est")
+      assert(math.abs(est - exact) / exact < 0.40,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("percentiles are monotone and bracket the group range") {
+    Analytics2.eventsPercentiles(spark, sf).collect().foreach { r =>
+      val p50 = r.getAs[Double]("p50")
+      val p90 = r.getAs[Double]("p90")
+      val p99 = r.getAs[Double]("p99")
+      assert(p50 <= p90 && p90 <= p99)
+    }
   }
 }

@@ -87,4 +87,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
     assert(streamed.nonEmpty)
   }
+
+  test("stream_click_attr: stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streaming.runClickAttributionStream(spark, sf, "attr_spec")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val expected = purchases.join(clicks,
+        col("cu") === col("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+              (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+    // every attribution is within the hour, never negative
+    streamed.foreach { r =>
+      val gap = r(3).asInstanceOf[Long]
+      assert(gap >= 0 && gap <= 3600L * 1000000)
+    }
+  }
 }
