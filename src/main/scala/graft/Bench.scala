@@ -11,7 +11,9 @@ object Bench {
     // codegen (Janino), OS page-cache population, and operator-cache
     // materialization once, so the timed pass measures steady-state
     // operator throughput. Disable with SPARK_GRAFT_WARMUP=0.
-    val queries = SparkEntry.queries
+    // deterministic name order: per-round numbers stay comparable (hash
+    // order would reshuffle which queries inherit warmup/GC debt)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       queries.foreach { case (_, fn) =>
@@ -25,7 +27,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -262,4 +262,44 @@ object TextOps {
       |       floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 AS jaccard
       |FROM pairs JOIN cnt c1 ON id_a = c1.doc_id JOIN cnt c2 ON id_b = c2.doc_id
       |WHERE floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 >= 0.3""".stripMargin
+
+  /** #55 end-to-end corpus curation — the canonical training-data
+    * pipeline as ONE declarative plan: quality gate (≥ τ_q) →
+    * exact-dedup keep-min-id → deterministic stratified down-sample.
+    * Composes the #22/#25/#40 operators, so Catalyst fuses the three
+    * stages: the quality score and the sample predicate are map-side
+    * projections/filters around a single fingerprint shuffle — at
+    * 100 TB the whole curation is one exchange, not three jobs with
+    * materialized intermediates. */
+  def corpusCurate(s: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+    val quality = textQuality(s, dir).select(col("doc_id"), col("quality"))
+    val kept = Tables.documents(s, dir)
+      .join(quality, "doc_id")
+      .filter(col("quality") >= minQuality)
+    val wFp = Window.partitionBy(fingerprint(col("text")))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 100
+    val rate = when(col("lang") === "en", 10).otherwise(25)
+    kept
+      .withColumn("keep_id", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("keep_id") && bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+  }
+
+  val corpusCurateSql: String =
+    s"""WITH q AS ($textQualitySql),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.text, q.quality
+       |  FROM documents d JOIN q USING (doc_id)
+       |  WHERE q.quality >= 0.5),
+       |dd AS (
+       |  SELECT *, min(doc_id) OVER (
+       |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |  ) AS keep_id
+       |  FROM kept)
+       |SELECT doc_id, lang, source, quality FROM dd
+       |WHERE doc_id = keep_id
+       |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+       |      < CASE WHEN lang = 'en' THEN 10 ELSE 25 END""".stripMargin
 }
