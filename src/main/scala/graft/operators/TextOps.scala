@@ -272,9 +272,18 @@ object TextOps {
     * 100 TB the whole curation is one exchange, not three jobs with
     * materialized intermediates. */
   def corpusCurate(s: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
-    val quality = textQuality(s, dir).select(col("doc_id"), col("quality"))
+    // quality inlined (same formula as #22) — a join-back on doc_id
+    // would add a shuffle for no reason; here the gate is a map-side
+    // projection over the one documents scan
+    val toks = lowerTokens(col("text"))
+    val len = length(col("text"))
+    val punct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val stop = markerCount(toks, stopwordsEn)
     val kept = Tables.documents(s, dir)
-      .join(quality, "doc_id")
+      .withColumn("quality",
+        r(lit(0.4) * (stop / size(toks)) +
+          lit(0.3) * (lit(1.0) - punct / len) +
+          lit(0.3) * least(lit(1.0), len / lit(500.0)), 6))
       .filter(col("quality") >= minQuality)
     val wFp = Window.partitionBy(fingerprint(col("text")))
     val bucket =

@@ -120,6 +120,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject")) // bounded top-100
   }
 
+  test("corpus_curate: one scan, one exchange — the fused curation plan") {
+    val p = plan(graft.operators.TextOps.corpusCurate(spark, sf))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single documents scan:\n$p")
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the fingerprint exchange:\n$p")
+  }
+
   test("q16: pair-distinct and count-distinct share the partkey/suppkey shuffle") {
     val p = plan(graft.operators.Relational3.q16SupplierCounts(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
