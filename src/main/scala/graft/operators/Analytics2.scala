@@ -166,6 +166,62 @@ object Analytics2 {
        |FROM gaps WHERE gap_s IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #56 spend quartiles per order priority: ntile(4) over a totally
+    * ordered (price, orderkey) window, then per-bucket stats. One
+    * exchange on the partition key; ntile is deterministic because the
+    * order is total. */
+  def ordersNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+           r(min(col("o_totalprice")), 2).as("lo"),
+           r(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
+  val ordersNtileSql: String =
+    s"""SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+       |       count(*) AS n,
+       |       ${sqlR("min(o_totalprice)", 2)} AS lo,
+       |       ${sqlR("max(o_totalprice)", 2)} AS hi
+       |FROM (SELECT o_orderpriority, o_totalprice,
+       |             ntile(4) OVER (PARTITION BY o_orderpriority
+       |                            ORDER BY o_totalprice, o_orderkey) AS quartile
+       |      FROM orders)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** #57 per-customer order span: first/last order date and the first
+    * order's price via first_value/last_value over an explicit
+    * unbounded frame (the "customer lifetime" shape — window and
+    * reduction share one custkey exchange). */
+  def customerOrderSpan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+              first(col("o_orderdate")).over(w).as("first_date"),
+              last(col("o_orderdate")).over(w).as("last_date"),
+              first(col("o_totalprice")).over(w).as("first_price"),
+              count(lit(1)).over(w).as("n_orders"))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  val customerOrderSpanSql: String =
+    """SELECT DISTINCT o_custkey,
+      |       first_value(o_totalprice) OVER w AS first_price,
+      |       first_value(o_orderdate) OVER w AS first_date,
+      |       last_value(o_orderdate) OVER w AS last_date,
+      |       count(*) OVER w AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
+
   /** #54 HyperLogLog distinct-user estimate per event type, alongside
     * the exact count. m=64 registers from a 60-bit md5-derived hash
     * (low 6 bits → bucket, high 54 → rank = 55 − bitlength). Register
