@@ -88,4 +88,36 @@ object Pipeline {
     }
     df.filter(bucket < rate)
   }
+
+  /** End-to-end corpus curation over an arbitrary DataFrame: quality
+    * gate → exact-dedup keep-min-id → deterministic stratified sample,
+    * fused into one plan (map-side score and sample predicates around a
+    * single content-fingerprint exchange — see TextOps.corpusCurate for
+    * the plan-pinned shape). Keeps the caller's columns and adds
+    * `quality`. */
+  def curate(df: DataFrame, minQuality: Double = 0.5,
+             stratumCol: String = "lang",
+             rates: Map[String, Int] = Map("en" -> 10),
+             defaultRate: Int = 25,
+             cfg: DocConfig = DocConfig()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.Parity.r
+    import graft.functions.TextFunctions._
+    val t = col(cfg.textCol)
+    val toks = lowerTokens(t)
+    val len = length(t)
+    val punct = regexp_count(t, lit("[.,;:!?]"))
+    val stop = markerCount(toks, stopwordsEn)
+    val scored = df.withColumn("quality",
+        r(lit(0.4) * (stop / size(toks)) +
+          lit(0.3) * (lit(1.0) - punct / len) +
+          lit(0.3) * least(lit(1.0), len / lit(500.0)), 6))
+      .filter(col("quality") >= minQuality)
+    val deduped = scored
+      .withColumn("__keep", min(col(cfg.idCol))
+        .over(Window.partitionBy(fingerprint(t))))
+      .filter(col(cfg.idCol) === col("__keep")).drop("__keep")
+    stratifiedSample(deduped, stratumCol, cfg.idCol, rates, defaultRate)
+  }
 }

@@ -166,6 +166,30 @@ object Analytics2 {
        |FROM gaps WHERE gap_s IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #58 salted JOIN — the join-side skew mitigation (complement of
+    * #38's salted aggregation). Each event is enriched with its user's
+    * total count via a join on (user_id, salt): the fact side's salt
+    * spreads any hot user over `salts` reducers; the dim side is
+    * replicated `salts`× so every salted partition can match. At
+    * 100 TB this is the manual shape for skewed big-big joins (AQE
+    * skew-join split is the automatic one; salting also covers
+    * aggregation-free pipelines AQE can't re-plan). The oracle runs
+    * the direct unsalted join — results are identical by construction. */
+  def skewJoinSalted(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_n"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    ev.withColumn("salt", pmod(col("event_id"), lit(salts.toLong)).cast("int"))
+      .join(dim, Seq("user_id", "salt"))
+      .select(col("event_id"), col("user_id"), col("user_n"))
+  }
+
+  val skewJoinSaltedSql: String =
+    """SELECT e.event_id, e.user_id, d.user_n
+      |FROM events e
+      |JOIN (SELECT user_id, count(*) AS user_n FROM events GROUP BY 1) d
+      |USING (user_id)""".stripMargin
+
   /** #56 spend quartiles per order priority: ntile(4) over a totally
     * ordered (price, orderkey) window, then per-bucket stats. One
     * exchange on the partition key; ntile is deterministic because the

@@ -44,4 +44,15 @@ class PipelineApiSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaApi == canonical)
   }
+
+  test("curate over renamed columns keeps the canonical doc ids") {
+    val renamed = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text").as("body"),
+              col("lang"), col("source"))
+    val viaApi = Pipeline.curate(renamed, cfg = DocConfig("id", "body"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val canonical = operators.TextOps.corpusCurate(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaApi == canonical && viaApi.nonEmpty)
+  }
 }
