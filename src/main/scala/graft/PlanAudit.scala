@@ -1,0 +1,32 @@
+package graft
+
+/** Plan hygiene audit: builds every SparkEntry query against a small SF
+  * and prints one line per query — exchanges, joins by strategy, scans,
+  * window operators — so scale smells (unexpected sort-merge joins,
+  * exchange explosions, repeated scans) are visible at a glance.
+  * Run: sbt "runMain graft.PlanAudit [sfDir]".
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // streaming entries execute eagerly on construction — skip them
+      // here (their shapes are pinned in StreamingSpec)
+      if (name.startsWith("stream_")) None
+      else {
+        val p = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        def n(re: String) = re.r.findAllIn(p).length
+        Some((name, n("\\) Exchange"), n("\\) BroadcastHashJoin"),
+              n("\\) SortMergeJoin"), n("\\) ShuffledHashJoin"),
+              n("\\(\\d+\\) Scan parquet"), n("\\) Window")))
+      }
+    }
+    println(f"${"query"}%-24s exch  bhj  smj  shj  scan  win")
+    rows.foreach { case (q, ex, bhj, smj, shj, sc, w) =>
+      println(f"$q%-24s $ex%4d $bhj%4d $smj%4d $shj%4d $sc%5d $w%4d")
+    }
+    spark.stop()
+  }
+}
