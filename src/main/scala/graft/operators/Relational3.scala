@@ -279,14 +279,20 @@ object Relational3 {
     * three lineitem self-joins (the shape that matters at 100 TB). */
   def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS")
-    val perOrder = Tables.lineitem(s, dir)
+    // two-level aggregate instead of double countDistinct: a distinct
+    // aggregate pair would Expand the join output 3× before the
+    // shuffle; per-(order,supplier) partials then a per-order reduce
+    // move strictly less data at any scale
+    val pairs = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1).otherwise(0)).as("is_late"))
+    val perOrder = pairs
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-           countDistinct(when(late, col("l_suppkey"))).as("n_late"),
-           max(when(late, col("l_suppkey"))).as("late_supp"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+           max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
     val asiaSup = Tables.supplier(s, dir)
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))

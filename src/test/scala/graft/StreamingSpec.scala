@@ -112,4 +112,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(gap >= 0 && gap <= 3600L * 1000000)
     }
   }
+
+  test("stream_click_attr: click state joins purchases arriving a micro-batch later") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    // all clicks land in file b=0, all purchases in b=1;
+    // maxFilesPerTrigger=1 forces the purchase batch to join against
+    // click state carried from the previous micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.filter(col("event_type") === "click").coalesce(1)
+      .write.parquet(s"$dir/in/b=0")
+    raw.filter(col("event_type") === "purchase").coalesce(1)
+      .write.parquet(s"$dir/in/b=1")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType),
+      StructField("b", IntegerType)))
+    def side(tpe: String, u: String, t: String, id: String) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(u), col("ts").as(t), col("event_id").as(id))
+        .withWatermark(t, "1 hour")
+    val joined = side("purchase", "p_user", "p_ts", "purchase_id")
+      .join(side("click", "c_user", "c_ts", "click_id"),
+        col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("attr_batches")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2)
+    val streamed = spark.table("attr_batches")
+      .select(col("p_user"), col("purchase_id"), col("click_id"))
+      .collect().map(_.toSeq).toSet
+    val oneShot = Streaming.runClickAttributionStream(spark, sf, "attr_oneshot")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+  }
 }
