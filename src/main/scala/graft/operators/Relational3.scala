@@ -31,13 +31,21 @@ import graft.sources.Tables
 object Relational3 {
 
   /** Per-(part,supplier) unit price observed in lineitem — the stand-in
-    * for partsupp.ps_supplycost. Decimal-exact mean, 6dp. */
-  private def unitCost(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    * for partsupp.ps_supplycost. Decimal-exact mean, 6dp. `partKeys`
+    * (small, broadcast) prunes the fact scan BEFORE the pair
+    * aggregation — per-pair means are unaffected by dropping other
+    * parts, so the filter commutes with the groupBy. */
+  private def unitCost(s: SparkSession, dir: String,
+                       partKeys: Option[DataFrame] = None): DataFrame = {
+    val li = Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey"),
               (col("l_extendedprice") / col("l_quantity")).as("unit"))
+    partKeys.fold(li)(pk =>
+        li.join(broadcast(pk.select(col("p_partkey"))),
+                col("l_partkey") === col("p_partkey"), "left_semi"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(davg(col("unit"), 6).as("cost"))
+  }
 
   private val unitCostSql: String =
     s"""SELECT l_partkey, l_suppkey, ${sqlAvg("l_extendedprice / l_quantity", 6)} AS cost
@@ -55,7 +63,7 @@ object Relational3 {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val parts = Tables.part(s, dir).filter(col("p_size") === 15)
       .select(col("p_partkey"), col("p_name"))
-    val offers = unitCost(s, dir)
+    val offers = unitCost(s, dir, Some(parts))
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(eurSup), col("l_suppkey") === col("s_suppkey"))
     offers

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, shiftleft, shiftright}
 import org.apache.spark.sql.types.StructType
 
 /** Generic columnar IO: the engine's source/sink surface beyond the
@@ -52,6 +53,46 @@ object IO {
               partitionBy: Seq[String] = Nil): Unit =
     write(read(spark, inPath, inFormat, Some(schema)), outPath,
           partitionBy = partitionBy)
+
+  /** Bit-interleaved Z-value of two non-negative integer columns
+    * (`bits` bits each). A pure codegen'd expression — no UDF. */
+  def zValue2(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .plus(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Write `df` Z-ordered on two integer dimensions: rows are
+    * range-partitioned and sorted by the interleaved Z-value, so each
+    * output file (and each parquet row group inside it) covers a
+    * compact 2-D tile of the (a, b) space instead of a stripe of one
+    * dimension. Min/max footer stats then prune multi-dimensional box
+    * predicates on EITHER dimension — the data-layout lever for scan
+    * locality at 100 TB, where a single-column sort only prunes its
+    * leading column (IOSpec counts the prunable row groups for a box
+    * filter under both layouts).
+    *
+    * Both dimensions are MSB-aligned to `bits` wide before
+    * interleaving (uniform shift — order-preserving): with unequal raw
+    * widths the wider column's high bits would own every leading
+    * Z-bit and the layout would degenerate to a single-column sort.
+    * Alignment costs one max() pass over the two columns. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int = 16, bits: Int = 16): Unit = {
+    val mx = df.agg(max(col(colA).cast("long")), max(col(colB).cast("long"))).head
+    def width(m: Long) = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(m))
+    def aligned(c: Column, m: Long): Column = {
+      val s = bits - width(m)
+      if (s >= 0) shiftleft(c, s) else shiftright(c, -s)
+    }
+    df.withColumn("__z",
+        zValue2(aligned(col(colA).cast("long"), mx.getLong(0)),
+                aligned(col(colB).cast("long"), mx.getLong(1)), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Persist `df` as a bucketed (and optionally bucket-sorted) managed
     * table. Bucketing is THE shuffle eliminator for repeated fact-fact

@@ -126,6 +126,48 @@ class IOSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("z-ordered layout prunes 2-D box filters better than a linear sort") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    // sf0.01: 100 suppliers / 2000 parts — enough key space to tile
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val zDir = tmp("zorder"); val linDir = tmp("linear")
+    IO.writeZOrdered(li, zDir, "l_partkey", "l_suppkey", files = 16)
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(linDir)
+
+    // a box wide in partkey, narrow in suppkey: [all parts] × [40..47]
+    // (a bit-aligned suppkey octile, so z-tiles bound it tightly)
+    def mustReadBlocks(dir: String): Int = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files.map { f =>
+        val meta = ParquetFileReader.readFooter(
+          conf, new Path(f.getAbsolutePath), ParquetMetadataConverter.NO_FILTER)
+        meta.getBlocks.toArray.count { case b: org.apache.parquet.hadoop.metadata.BlockMetaData =>
+          val s = b.getColumns.toArray
+            .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+            .find(_.getPath.toDotString == "l_suppkey").get.getStatistics
+          val (lo, hi) = (s.genericGetMin.asInstanceOf[Long], s.genericGetMax.asInstanceOf[Long])
+          hi >= 40L && lo <= 47L // min/max intersects the suppkey band
+        }
+      }.sum
+    }
+    val zBlocks = mustReadBlocks(zDir)
+    val linBlocks = mustReadBlocks(linDir)
+    // the linear layout sorts by partkey only: every file spans all
+    // suppkeys, so nothing is prunable; z-order confines the band
+    assert(zBlocks < linBlocks,
+      s"z-order should prune: z=$zBlocks linear=$linBlocks")
+    // correctness: same rows back out
+    assert(IO.read(spark, zDir).filter(col("l_suppkey").between(40, 47)).count() ==
+           li.filter(col("l_suppkey").between(40, 47)).count())
+  }
+
   test("GraftCatalog: the corpus is queryable through spark.sql") {
     GraftCatalog.registerAll(spark, sf)
     val viaSql = spark.sql(
