@@ -166,6 +166,72 @@ object Analytics2 {
        |FROM gaps WHERE gap_s IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #59 feature covariance over the leading 8 embedding dims, per
+    * label (upper triangle): cov = (Σxy − ΣxΣy/n)/n with every sum
+    * decimal-exact, so the one-pass formula is order-independent and
+    * portable. The d² pair fan-out is a map-side double-explode; the
+    * shuffle carries (label × 36) partial sums — covariance at 100 TB
+    * is partial-agg cheap, the fan-out never shuffles. */
+  def embCovariance(s: SparkSession, dir: String, d: Int = 8): DataFrame = {
+    val pairs = Tables.embeddings(s, dir)
+      .select(col("label"), slice(col("embedding"), 1, d).as("e"))
+      .select(col("label"), col("e"), posexplode(col("e")).as(Seq("i0", "xr")))
+      .select(col("label"), (col("i0") + 1).as("i"),
+              col("xr").cast("double").as("x"), posexplode(col("e")).as(Seq("j0", "yr")))
+      .select(col("label"), col("i"), (col("j0") + 1).as("j"),
+              col("x"), col("yr").cast("double").as("y"))
+      .filter(col("j") >= col("i"))
+    pairs.groupBy(col("label"), col("i"), col("j"))
+      .agg(r((dsum(col("x") * col("y")) -
+              dsum(col("x")) * dsum(col("y")) / count(lit(1))) / count(lit(1)), 6)
+             .as("cov"),
+           count(lit(1)).as("n"))
+      .orderBy(col("label"), col("i"), col("j"))
+  }
+
+  val embCovarianceSql: String =
+    s"""SELECT label, i, j,
+       |  ${sqlR(s"(${sqlSum("x * y")} - ${sqlSum("x")} * ${sqlSum("y")} / count(*)) / count(*)", 6)} AS cov,
+       |  count(*) AS n
+       |FROM (
+       |  SELECT label, ii.i AS i, jj.j AS j,
+       |         CAST(embedding[ii.i] AS DOUBLE) AS x,
+       |         CAST(embedding[jj.j] AS DOUBLE) AS y
+       |  FROM embeddings, range(1, 9) ii(i), range(1, 9) jj(j)
+       |  WHERE jj.j >= ii.i)
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** #60 event-type transition matrix per user sequence (Markov
+    * features): lag over the per-user time order, then transition
+    * counts and conditional probabilities. Window and aggregate share
+    * the user_id exchange; the matrix is |types|² regardless of scale. */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("prob",
+        r(col("n") / sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  val eventsMarkovSql: String =
+    s"""WITH trans AS (
+       |  SELECT prev, event_type AS next, count(*) AS n
+       |  FROM (SELECT event_type,
+       |               lag(event_type) OVER (PARTITION BY user_id
+       |                                     ORDER BY ts, event_id) AS prev
+       |        FROM events)
+       |  WHERE prev IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT prev, next, n,
+       |       ${sqlR("n / (sum(n) OVER (PARTITION BY prev))", 6)} AS prob
+       |FROM trans ORDER BY 1, 2""".stripMargin
+
   /** #58 salted JOIN — the join-side skew mitigation (complement of
     * #38's salted aggregation). Each event is enriched with its user's
     * total count via a join on (user_id, salt): the fact side's salt
