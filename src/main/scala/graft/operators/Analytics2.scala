@@ -166,6 +166,80 @@ object Analytics2 {
        |FROM gaps WHERE gap_s IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #61 FULL OUTER join: per-nation customer vs supplier balance
+    * sheets — two partial-agg'd sides meet in one outer join, null
+    * sides coalesced to zero (the reconciliation-report shape). */
+  def nationBalanceFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).groupBy(col("c_nationkey"))
+      .agg(dsum(col("c_acctbal"), 4).as("cust_bal"), count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(s, dir).groupBy(col("s_nationkey"))
+      .agg(dsum(col("s_acctbal"), 4).as("supp_bal"), count(lit(1)).as("n_supp"))
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+              coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+              coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"),
+              coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val nationBalanceFullOuterSql: String =
+    s"""SELECT coalesce(c.k, s.k) AS nationkey,
+       |       coalesce(c.cust_bal, 0.0) AS cust_bal, coalesce(c.n_cust, 0) AS n_cust,
+       |       coalesce(s.supp_bal, 0.0) AS supp_bal, coalesce(s.n_supp, 0) AS n_supp
+       |FROM (SELECT c_nationkey AS k, ${sqlSum("c_acctbal", 4)} AS cust_bal,
+       |             count(*) AS n_cust FROM customer GROUP BY 1) c
+       |FULL OUTER JOIN
+       |     (SELECT s_nationkey AS k, ${sqlSum("s_acctbal", 4)} AS supp_bal,
+       |             count(*) AS n_supp FROM supplier GROUP BY 1) s
+       |ON c.k = s.k
+       |ORDER BY 1""".stripMargin
+
+  /** #62 explicit GROUPING SETS (neither rollup nor cube): aggregate
+    * by event type and by day-of-week in ONE pass — Spark 4's
+    * Dataset.groupingSets; both sets share a single shuffle via the
+    * Expand operator. */
+  def eventsGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("dow", dayofweek(col("ts")))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("dow"))),
+                    col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              coalesce(col("dow"), lit(-1)).cast("long").as("dow"),
+              col("n"), col("sum_value"))
+      .orderBy(col("event_type"), col("dow"))
+
+  val eventsGroupingSetsSql: String =
+    s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+       |       CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+       |       count(*) AS n, ${sqlSum("value", 4)} AS sum_value
+       |FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
+       |GROUP BY GROUPING SETS ((event_type), (dow))
+       |ORDER BY 1, 2""".stripMargin
+
+  /** #63 per-user ordered event paths (first 20 types, '>' joined) —
+    * the sequence-extraction shape for behavioral features /
+    * conversation reconstruction. collect_list is unordered by
+    * contract, so the order is imposed by sorting (ts, event_id,
+    * type) structs post-collect — deterministic under any
+    * partitioning; per-user state is the bounded sequence prefix. */
+  def userEventPaths(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           concat_ws(">",
+             slice(transform(
+               array_sort(collect_list(struct(col("ts"), col("event_id"),
+                                              col("event_type")))),
+               x => x.getField("event_type")), 1, 20)).as("path"))
+      .orderBy(col("user_id"))
+
+  val userEventPathsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       array_to_string(list(event_type ORDER BY ts, event_id)[1:20], '>') AS path
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** #59 feature covariance over the leading 8 embedding dims, per
     * label (upper triangle): cov = (Σxy − ΣxΣy/n)/n with every sum
     * decimal-exact, so the one-pass formula is order-independent and
