@@ -127,4 +127,22 @@ object Multimodal {
       |       md5(md5(text) || ':' || CAST(f.f AS INT)) AS frame_fp
       |FROM documents
       |CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f""".stripMargin
+
+  /** #34d payload-level exact dedup on the BINARY column: md5 of the
+    * raw bytes groups identical media regardless of metadata — the
+    * first pass of any multimodal dedup (perceptual hashing would
+    * follow the same bucket-join shape on a fuzzier key). Map-side
+    * partial aggs; the shuffle carries one row per distinct payload. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
+           sum(octet_length(col("payload"))).cast("long").as("total_bytes"))
+
+  val mmDedupSql: String =
+    """SELECT md5(text) AS payload_md5, min(doc_id) AS keep_id,
+      |       count(*) AS n_dups,
+      |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1""".stripMargin
 }
