@@ -54,6 +54,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("z-value is monotone per dimension and tiles nest") {
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val zs = grid.toDF("a", "b")
+      .select($"a", $"b",
+        graft.sources.IO.zValue2($"a", $"b", bits = 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // monotone in each dimension with the other fixed
+    for (x <- 0L until 31L; y <- 0L until 32L) {
+      assert(zs((x, y)) < zs((x + 1, y)))
+      assert(zs((y, x)) < zs((y, x + 1)))
+    }
+    // bijective over the grid (no two cells share a z)
+    assert(zs.values.toSet.size == grid.size)
+    // quadrant nesting: the top bits of z are the top bits of (a, b)
+    for ((a, b) <- Seq((0L, 0L), (31L, 0L), (0L, 31L), (31L, 31L))) {
+      val quadrant = ((b >> 4) << 1) | (a >> 4)
+      assert(zs((a, b)) >> 8 == quadrant)
+    }
+  }
+
   test("minhash signatures estimate Jaccard within statistical error") {
     // two sets with known overlap: J = 50/150
     val shA = (0 until 100).map(i => s"sh$i")
