@@ -166,6 +166,65 @@ object Analytics2 {
        |FROM gaps WHERE gap_s IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #64 DAU/WAU: daily actives plus trailing-7-day distinct actives.
+    * Sliding DISTINCT doesn't decompose like a sum, so the window is
+    * unrolled: the day-grain (user, day) dedup explodes each row
+    * into the ≤7 observation days it contributes to, then one
+    * count-distinct per day — shuffle volume is 7× the day-grain
+    * table (tiny after dedup), never the raw events. */
+  def eventsDauWau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = daily.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = daily
+      .select(col("user_id"),
+              explode(sequence(col("day"), date_add(col("day"), 6))).as("obs_day"))
+      .groupBy(col("obs_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("obs_day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val eventsDauWauSql: String =
+    """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM daily GROUP BY 1),
+      |wau AS (
+      |  SELECT CAST(u.u AS DATE) AS obs_day, count(DISTINCT user_id) AS wau
+      |  FROM daily
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+      |      CAST(day AS TIMESTAMP), CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+      |      INTERVAL 1 DAY)) AS u) u
+      |  GROUP BY 1)
+      |SELECT day, dau, wau FROM dau JOIN wau ON day = obs_day
+      |ORDER BY day""".stripMargin
+
+  /** #65 month-over-month revenue growth: monthly decimal-exact sums,
+    * then lag over the (tiny, post-aggregate) month axis. The global
+    * window runs on ≤ months rows — aggregating first is what makes a
+    * single-partition window harmless at any input scale. */
+  def ordersMomGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(dsum(col("o_totalprice"), 4).as("rev"))
+    monthly
+      .withColumn("prev_rev", lag(col("rev"), 1).over(Window.orderBy(col("month"))))
+      .withColumn("growth_pct",
+        r(lit(100.0) * (col("rev") - col("prev_rev")) / col("prev_rev"), 4))
+      .orderBy(col("month"))
+  }
+
+  val ordersMomGrowthSql: String =
+    s"""WITH monthly AS (
+       |  SELECT date_trunc('month', o_orderdate) AS month,
+       |         ${sqlSum("o_totalprice", 4)} AS rev
+       |  FROM orders GROUP BY 1)
+       |SELECT month, rev,
+       |       lag(rev) OVER (ORDER BY month) AS prev_rev,
+       |       ${sqlR("100.0 * (rev - lag(rev) OVER (ORDER BY month)) / (lag(rev) OVER (ORDER BY month))", 4)} AS growth_pct
+       |FROM monthly ORDER BY month""".stripMargin
+
   /** #61 FULL OUTER join: per-nation customer vs supplier balance
     * sheets — two partial-agg'd sides meet in one outer join, null
     * sides coalesced to zero (the reconciliation-report shape). */
