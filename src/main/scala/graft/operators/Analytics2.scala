@@ -166,6 +166,131 @@ object Analytics2 {
        |FROM gaps WHERE gap_s IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #66 brand affinity (market-basket lift): for brand pairs
+    * co-occurring in an order, lift = P(ab) / (P(a)·P(b)). The pair
+    * space is per-order (≤ lines² per basket, never corpus²); the
+    * brand marginals broadcast back. The association-rules shape for
+    * recommender features. */
+  def brandAffinity(s: SparkSession, dir: String, minPairs: Long = 20): DataFrame = {
+    val ob = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
+    // total-orders is a lazy broadcast scalar, not a driver-side count —
+    // constructing the plan must never run a job
+    val tot = ob.agg(countDistinct(col("ok")).cast("double").as("n_total"))
+    val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_orders"))
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"), col("n_orders").as("n_a"))), "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"), col("n_orders").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+              r((col("n_ab") * col("n_total")) / (col("n_a") * col("n_b")), 6)
+                .as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(50)
+  }
+
+  val brandAffinitySql: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |tot AS (SELECT count(DISTINCT ok) AS n FROM ob),
+       |marg AS (SELECT brand, count(*) AS n_orders FROM ob GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+       |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+       |  GROUP BY 1, 2 HAVING count(*) >= 20)
+       |SELECT brand_a, brand_b, n_ab, ma.n_orders AS n_a, mb.n_orders AS n_b,
+       |       ${sqlR("(n_ab * CAST((SELECT n FROM tot) AS DOUBLE)) / (ma.n_orders * mb.n_orders)", 6)} AS lift
+       |FROM pairs
+       |JOIN marg ma ON brand_a = ma.brand
+       |JOIN marg mb ON brand_b = mb.brand
+       |ORDER BY lift DESC, brand_a, brand_b
+       |LIMIT 50""".stripMargin
+
+  /** #67 corpus-wide top bigrams: word-pair explode → count → bounded
+    * top-k (TakeOrdered, no global sort). The n-gram statistics pass
+    * of corpus analysis. */
+  def docBigrams(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val toks = split(lower(trim(col("text"))), " ")
+    Tables.documents(s, dir)
+      .select(explode(when(size(toks) >= 2,
+        expr("transform(sequence(1, size(split(lower(trim(text)), ' ')) - 1)," +
+             " i -> concat(element_at(split(lower(trim(text)), ' '), i), ' '," +
+             " element_at(split(lower(trim(text)), ' '), i + 1)))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  val docBigramsSql: String =
+    """SELECT bigram, count(*) AS n FROM (
+      |  SELECT unnest(CASE WHEN len(t) >= 2 THEN
+      |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END) AS bigram
+      |  FROM (SELECT string_split(lower(trim(text)), ' ') AS t FROM documents))
+      |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  /** #68 int8 scalar quantization of embeddings + reconstruction
+    * error: q = floor(x·127/maxAbs + 0.5) clamped, err = |x − q/s|.
+    * The memory-compression pass of vector search (4× smaller than
+    * float32; at 100 TB the index fits where floats wouldn't). The
+    * global maxAbs is a broadcast scalar; everything else is map-side
+    * until the per-label error aggregate. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val x = col("xr").cast("double")
+    val maxAbs = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .agg(max(abs(col("v").cast("double"))).as("max_abs"))
+    val q = floor(x * lit(127.0) / col("max_abs") + 0.5)
+    val qc = least(greatest(q, lit(-127.0)), lit(127.0))
+    Tables.embeddings(s, dir)
+      .crossJoin(broadcast(maxAbs))
+      .select(col("label"), col("max_abs"), posexplode(col("embedding")).as(Seq("p", "xr")))
+      .select(col("label"),
+              abs(x - qc * col("max_abs") / lit(127.0)).as("err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           davg(col("err"), 8).as("mean_abs_err"),
+           r(max(col("err")), 8).as("max_abs_err"))
+      .orderBy(col("label"))
+  }
+
+  val embQuantizeSql: String =
+    s"""WITH mx AS (
+       |  SELECT max(abs(CAST(v.v AS DOUBLE))) AS max_abs
+       |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS v) v),
+       |errs AS (
+       |  SELECT label,
+       |         abs(CAST(v.v AS DOUBLE) -
+       |             LEAST(GREATEST(floor(CAST(v.v AS DOUBLE) * 127.0 / max_abs + 0.5), -127.0), 127.0)
+       |               * max_abs / 127.0) AS err
+       |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS v) v, mx)
+       |SELECT label, count(*) AS n,
+       |       ${sqlAvg("err", 8)} AS mean_abs_err,
+       |       ${sqlR("max(err)", 8)} AS max_abs_err
+       |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #69 hour-of-day seasonality per event type — the dayparting
+    * profile (one shuffle, 24×|types| output). */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), davg(col("value"), 4).as("mean_value"))
+      .orderBy(col("event_type"), col("hod"))
+
+  val eventsHourlySql: String =
+    s"""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+       |       count(*) AS n, ${sqlAvg("value", 4)} AS mean_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** #64 DAU/WAU: daily actives plus trailing-7-day distinct actives.
     * Sliding DISTINCT doesn't decompose like a sum, so the window is
     * unrolled: the day-grain (user, day) dedup explodes each row
