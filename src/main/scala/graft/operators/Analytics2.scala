@@ -166,6 +166,65 @@ object Analytics2 {
        |FROM gaps WHERE gap_s IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #70 per-user session statistics — a composition over the
+    * sessionizer (#16): count, mean and exact p90 of session duration
+    * per user. The quantile group is each user's own sessions —
+    * bounded per key, so exact quantiles stay shuffle-local at scale. */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    Events.sessionize(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           davg(col("duration_s").cast("double"), 2).as("mean_duration_s"),
+           sort_array(collect_list(col("duration_s").cast("double"))).as("vs"))
+      .select(col("user_id"), col("n_sessions"), col("mean_duration_s"),
+              r(linQuantile(col("vs"), 0.9), 2).as("p90_duration_s"))
+      .orderBy(col("user_id"))
+
+  val sessionStatsSql: String = {
+    val q90 = {
+      val l = "CAST(floor((count(d) - 1) * 0.9) AS INT)"
+      val f = "((count(d) - 1) * 0.9 - floor((count(d) - 1) * 0.9))"
+      val vs = "list_sort(list(d))"
+      sqlR(s"$vs[$l + 1] + ($vs[LEAST($l + 2, CAST(count(d) AS INT))] - $vs[$l + 1]) * $f", 2)
+    }
+    s"""WITH sess AS (${Events.sessionizeSql}),
+       |d AS (SELECT user_id, CAST(duration_s AS DOUBLE) AS d FROM sess)
+       |SELECT user_id, count(*) AS n_sessions,
+       |       ${sqlAvg("d", 2)} AS mean_duration_s,
+       |       $q90 AS p90_duration_s
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** #71 share-of-parent: each brand's revenue share and rank within
+    * its part type. The window runs over the (tiny) post-aggregate
+    * table; the share denominator accumulates in decimal so the window
+    * sum is order-independent. */
+  def brandRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("rev"))
+    val wT = Window.partitionBy(col("p_type"))
+    rev
+      .withColumn("share",
+        r(col("rev") / sum(col("rev").cast(Dec)).over(wT).cast("double"), 6))
+      .withColumn("rnk",
+        rank().over(wT.orderBy(col("rev").desc, col("p_brand"))).cast("long"))
+      .orderBy(col("p_type"), col("rnk"))
+  }
+
+  val brandRevenueShareSql: String =
+    s"""WITH rev AS (
+       |  SELECT p_type, p_brand,
+       |         ${sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT p_type, p_brand, rev,
+       |       ${sqlR("rev / CAST(sum(CAST(rev AS DECIMAL(38,10))) OVER (PARTITION BY p_type) AS DOUBLE)", 6)} AS share,
+       |       CAST(rank() OVER (PARTITION BY p_type ORDER BY rev DESC, p_brand) AS BIGINT) AS rnk
+       |FROM rev ORDER BY p_type, rnk""".stripMargin
+
   /** #66 brand affinity (market-basket lift): for brand pairs
     * co-occurring in an order, lift = P(ab) / (P(a)·P(b)). The pair
     * space is per-order (≤ lines² per basket, never corpus²); the
