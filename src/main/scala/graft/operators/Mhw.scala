@@ -337,4 +337,31 @@ object Mhw {
       .agg(count(lit(1)).as("n_events"),
            davg(col("duration").cast("double"), 4).as("avg_duration"),
            max(col("intensity_max")).as("max_intensity"))
+
+  /** Query #11d mhw_spatial_extent: per-day MHW coverage — the fraction
+    * of observed series in MHW state (severity > 1) each calendar day,
+    * the "MHW area" time series of the Hobday mapping studies. One
+    * partial-aggregated groupBy over the (persisted) severity table; at
+    * 100 TB the day axis has bounded cardinality → tiny shuffle. */
+  def mhwSpatialExtent(s: SparkSession, dir: String): DataFrame =
+    severityChain(s, dir, 0.9)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_series"),
+           sum(when(col("severity") > 1, 1L).otherwise(0L)).as("n_mhw"))
+      .withColumn("mhw_frac", r(col("n_mhw") / col("n_series"), 6))
+
+  /** Query #11e mhw_annual_stats: per-series annual event block stats —
+    * event count, total MHW days, mean/max peak intensity, summed
+    * cumulative intensity — the `blockAverage` analog of the public
+    * marineHeatWaves toolkit (annual block summaries of detected
+    * events). Events are tiny relative to facts, so this is a free
+    * post-aggregation on the detection output. */
+  def mhwAnnualStats(s: SparkSession, dir: String): DataFrame =
+    detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+      .groupBy(col("user_id"), year(col("date_start")).as("yr"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("duration").cast("long")).as("mhw_days"),
+           davg(col("intensity_max"), 6).as("mean_imax"),
+           max(col("intensity_max")).as("max_imax"),
+           dsum(col("intensity_cumul"), 6).as("total_cumul"))
 }

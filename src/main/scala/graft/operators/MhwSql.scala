@@ -198,6 +198,24 @@ object MhwSql {
       |       intensity_max, intensity_mean, intensity_cumul
       |FROM evm""".stripMargin
 
+  val mhwSpatialExtent: String =
+    chain(0.9) +
+    s"""SELECT d, n_series, n_mhw,
+       |       ${rr("n_mhw / n_series", 6)} AS mhw_frac
+       |FROM (
+       |  SELECT d, count(*) AS n_series,
+       |         CAST(sum(CASE WHEN severity > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mhw
+       |  FROM sev GROUP BY 1)""".stripMargin
+
+  val mhwAnnualStats: String =
+    chain(0.6) +
+    s"""SELECT user_id, year(date_start) AS yr, count(*) AS n_events,
+       |       CAST(sum(duration) AS BIGINT) AS mhw_days,
+       |       ${davg("intensity_max", 6)} AS mean_imax,
+       |       max(intensity_max) AS max_imax,
+       |       ${rr(dsum("intensity_cumul"), 6)} AS total_cumul
+       |FROM evm GROUP BY 1, 2""".stripMargin
+
   val mhwCategory: String =
     chain(0.6) +
     s"""SELECT CASE WHEN severity_max <= 2 THEN 'moderate'
