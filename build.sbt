@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ~200 distinct whole-stage-codegen'd plans overflow the default
+  // 240 MB JIT code cache; once full HotSpot silently stops compiling
+  // and the whole suite runs interpreted (uniform 5-30x slowdown late
+  // in a run). Size it for the full query inventory.
+  "-XX:ReservedCodeCacheSize=2g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -77,6 +77,10 @@ object GraftFunctions {
         exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
           exprs.head, exprs(1).eval().asInstanceOf[Int],
           exprs(2).eval().asInstanceOf[Boolean], 0, 0), "builtin")
+      reg.createOrReplaceTempFunction("winnow_fps",
+        exprs => WinnowFps(exprs.head,
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]), "builtin")
     }
   }
 }
@@ -106,5 +110,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
           children.head, num, rev, 0, 0)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(children.head,
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int])))
   }
 }

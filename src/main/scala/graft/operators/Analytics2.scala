@@ -277,12 +277,13 @@ object Analytics2 {
     * top-k (TakeOrdered, no global sort). The n-gram statistics pass
     * of corpus analysis. */
   def docBigrams(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
-    val toks = split(lower(trim(col("text"))), " ")
+    // token array hoisted to its own projection: referenced inside the
+    // per-bigram lambda the split would re-run per element (O(len²)/doc)
     Tables.documents(s, dir)
-      .select(explode(when(size(toks) >= 2,
-        expr("transform(sequence(1, size(split(lower(trim(text)), ' ')) - 1)," +
-             " i -> concat(element_at(split(lower(trim(text)), ' '), i), ' '," +
-             " element_at(split(lower(trim(text)), ' '), i + 1)))"))
+      .select(split(lower(trim(col("text"))), " ").as("t"))
+      .select(explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(1, size(t) - 1)," +
+             " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
         .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))

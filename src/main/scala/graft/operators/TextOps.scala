@@ -157,8 +157,22 @@ object TextOps {
   def textWinnowFp(s: SparkSession, dir: String, k: Int = 8, w: Int = 16): DataFrame =
     textWinnowFpDf(Tables.documents(s, dir), k, w)
 
-  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  /** DataFrame-generic core: expects canonical (doc_id, text). The
+    * per-document work runs in the native [[graft.functions.WinnowFps]]
+    * expression — one compiled pass (rolling md5 grams + monotonic-deque
+    * window minima) instead of the interpreted per-gram lambda chain;
+    * WinnowSpec pins its equivalence to the column formulation. */
   def textWinnowFpDf(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensure(docs.sparkSession)
+    docs
+      .select(col("doc_id"), normalize(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(call_function("winnow_fps", col("t"), lit(k), lit(w))).as("fp"))
+  }
+
+  /** The original column-expression formulation (interpreted HOF lambda
+    * chain) — retained as the executable spec for [[WinnowFps]]. */
+  def textWinnowFpColumns(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
     // normalize() is hoisted to its own projection: referenced inside
     // the per-gram lambda it would re-run the regex once per gram
     val n = length(col("t"))
@@ -262,6 +276,116 @@ object TextOps {
       |       floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 AS jaccard
       |FROM pairs JOIN cnt c1 ON id_a = c1.doc_id JOIN cnt c2 ON id_b = c2.doc_id
       |WHERE floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 >= 0.3""".stripMargin
+
+  /** #72 text_repetition: Gopher-style repetition quality signals per
+    * document — most-common-token fraction and distinct-token ratio
+    * (high top-token share / low distinct ratio flag boilerplate and
+    * degenerate text). One explode + two partial-agg groupBys on
+    * doc_id: the shuffle key is the document id, no global hotspot. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(lowerTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_n"),
+              r(col("top_n") / col("n_tokens"), 6).as("top_frac"),
+              r(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"))
+
+  val textRepetitionSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*) AS n FROM (
+       |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |         count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS top_n
+       |  FROM tf GROUP BY 1
+       |)
+       |SELECT doc_id, n_tokens, n_distinct, top_n,
+       |       ${sqlR("top_n / n_tokens", 6)} AS top_frac,
+       |       ${sqlR("n_distinct / n_tokens", 6)} AS distinct_ratio
+       |FROM agg""".stripMargin
+
+  /** #73 dedup_incremental: the daily-ingest dedup shape — a small
+    * delta batch (doc_id ≡ 0 mod 5 here) checked against the standing
+    * corpus by normalized fingerprint. At 100 TB the base side is
+    * bucketed/partitioned by fingerprint once and the (tiny) delta
+    * broadcasts against it — no rescan of the corpus pair space, which
+    * is what makes ingest-time dedup incremental rather than a full
+    * recluster. Output: every delta doc with the earliest matching
+    * base doc (null ⇒ genuinely new). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val base = fp.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("dup_of"))
+    fp.filter(col("doc_id") % 5 === 0)
+      .join(base, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("dup_of"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents
+      |),
+      |base AS (
+      |  SELECT fp, min(doc_id) AS dup_of FROM fp WHERE doc_id % 5 <> 0 GROUP BY 1
+      |)
+      |SELECT n.doc_id, n.fp, b.dup_of
+      |FROM fp n LEFT JOIN base b USING (fp)
+      |WHERE n.doc_id % 5 = 0""".stripMargin
+
+  /** #74 text_contamination: benchmark decontamination — flag corpus
+    * documents sharing word-3-gram shingles with a held-out benchmark
+    * set (sources src0/src1 stand in for the eval suite). Inverted-
+    * index semi-join: the benchmark's distinct shingle set is tiny →
+    * broadcast; the corpus explodes map-side and aggregates per doc.
+    * The standard pre-training leakage check at corpus scale. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = shingleTable(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val bench = sh.filter(col("source").isin("src0", "src1"))
+      .select(explode(col("sh")).as("s")).distinct()
+    sh.filter(!col("source").isin("src0", "src1"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+              r(col("n_shared") / col("n_shingles"), 6).as("contamination"))
+  }
+
+  val textContaminationSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS t FROM documents
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source, s FROM (
+       |    SELECT doc_id, source,
+       |           unnest(CASE WHEN len(t) >= 3 THEN
+       |             list_transform(range(1, len(t) - 1),
+       |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |           ELSE [] END) AS s
+       |    FROM toks)
+       |),
+       |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE source IN ('src0', 'src1')),
+       |hits AS (
+       |  SELECT c.doc_id, count(*) AS n_shared
+       |  FROM sh c JOIN bench b USING (s)
+       |  WHERE c.source NOT IN ('src0', 'src1')
+       |  GROUP BY 1
+       |)
+       |SELECT h.doc_id, CAST(c.n_shingles AS INT) AS n_shingles, h.n_shared,
+       |       ${sqlR("h.n_shared / c.n_shingles", 6)} AS contamination
+       |FROM hits h JOIN cnt c USING (doc_id)""".stripMargin
 
   /** #55 end-to-end corpus curation — the canonical training-data
     * pipeline as ONE declarative plan: quality gate (≥ τ_q) →

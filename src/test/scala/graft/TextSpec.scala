@@ -45,4 +45,44 @@ class TextSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("text_repetition: top-token fraction and distinct ratio bounds") {
+    val rows = graft.operators.TextOps.textRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nDis, topN) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (topFrac, disRatio) = (r.getDouble(4), r.getDouble(5))
+      assert(topN >= 1 && topN <= nTok)
+      assert(nDis >= 1 && nDis <= nTok)
+      // the most common token accounts for at least 1/n_distinct of mass
+      assert(topFrac >= 1.0 / nDis - 1e-9 && topFrac <= 1.0)
+      assert(disRatio > 0.0 && disRatio <= 1.0)
+    }
+  }
+
+  test("dedup_incremental: agrees with exact dedup on the full corpus") {
+    val inc = graft.operators.TextOps.dedupIncremental(spark, sf).collect()
+    val delta = inc.map(_.getLong(0)).toSet
+    assert(delta.nonEmpty && delta.forall(_ % 5 == 0))
+    // a delta doc maps to a base doc iff the full-corpus dedup groups them
+    val groups = graft.operators.TextOps.dedupExact(spark, sf)
+      .filter(col("n_dups") > 1).collect().map(_.getString(0)).toSet
+    inc.foreach { r =>
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(2) % 5 != 0)            // dup_of is a base doc
+        assert(groups.contains(r.getString(1)))  // and the fp really collides
+      }
+    }
+  }
+
+  test("text_contamination: shared counts bounded by shingle sets") {
+    val rows = graft.operators.TextOps.textContamination(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, shared, frac) = (r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(shared >= 1 && shared <= n)
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
 }
