@@ -37,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in a run). Size it for the full query inventory.
   "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
-)
+  // Bench calls System.gc() between timed queries so accumulated
+  // garbage is swept concurrently instead of landing as a random
+  // multi-second STW pause inside whichever query trips the threshold
+  "-XX:+ExplicitGCInvokesConcurrent",
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

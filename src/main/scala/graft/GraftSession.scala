@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, must be set before the first session: the default
+      // 100-entry generated-class cache thrashes under this library's
+      // ~200 distinct codegen'd plans (Bench warmup + timed passes),
+      // recompiling + re-JITing classes that were just evicted
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -64,6 +64,43 @@ object Events {
       |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
       |FROM sess GROUP BY 1, 2""".stripMargin
 
+  /** #16b sessionization via Spark's NATIVE `session_window` grouping —
+    * the engine-level form of #16: Catalyst plans a dedicated
+    * SessionWindowing + MergingSessions physical operator (sort-merge of
+    * per-key overlapping windows) instead of a lag/sum window chain, and
+    * the same expression runs unchanged under Structured Streaming with
+    * state-store-backed session merging. Semantics differ from the
+    * manual sessionizer deliberately: the window closes at gap >= 30 min
+    * (half-open [start, last+gap) windows) at full µs precision, vs
+    * #16's gap > 30 min on truncated seconds — the oracle pins the
+    * native contract exactly. */
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("sw.end").as("session_end"), col("n_events"))
+
+  val sessionWindowNativeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800000000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   /** JSON property extraction + aggregation (#17). `get_json_object` is a
     * codegen'd Catalyst expression — stays inside whole-stage codegen. */
   def jsonStats(s: SparkSession, dir: String): DataFrame =

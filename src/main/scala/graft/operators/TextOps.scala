@@ -435,4 +435,95 @@ object TextOps {
        |WHERE doc_id = keep_id
        |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
        |      < CASE WHEN lang = 'en' THEN 10 ELSE 25 END""".stripMargin
+
+  // ------------------------------------------------------------ #72 PII
+
+  /** Email / phone patterns shared by both engines. Kept to syntax that
+    * Java regex and RE2 (DuckDB) match identically: character classes,
+    * bounded counted repeats, no lookaround. */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+[0-9][0-9 ]{7,}[0-9]"
+
+  /** #72 PII redaction: count and mask email addresses and
+    * international-format phone numbers — the scrub pass every
+    * training-data pipeline runs before anything else sees the text.
+    * The synthetic corpus carries no PII, so each doc gets a
+    * deterministic doc_id-derived email + phone appended BEFORE the
+    * scrub: the regexes are exercised on every row and the redacted
+    * fingerprint proves the mask landed. Map-only: one scan, no
+    * shuffle, all codegen'd string expressions. */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 555 010 "),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(withPii, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_count(withPii, lit(emailRe)).as("n_emails"),
+      regexp_count(withPii, lit(phoneRe)).as("n_phones"),
+      length(redacted).as("redacted_len"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
+  }
+
+  val textPiiRedactSql: String = {
+    val withPii = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com or +1 555 010 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all($withPii, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all($withPii, '$phoneRe')) AS n_phones,
+       |  length(regexp_replace(regexp_replace($withPii, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g')) AS redacted_len,
+       |  md5(regexp_replace(regexp_replace($withPii, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM documents""".stripMargin
+  }
+
+  // -------------------------------------------------- #73 token entropy
+
+  /** #73 token-distribution Shannon entropy per doc, plus the
+    * distinct-normalized form — the diversity half of quality scoring
+    * (low entropy = TEMPLATE TEMPLATE TEMPLATE, complements #24c's
+    * top-token repetition fraction). Shape: explode → two partial-agg
+    * groupBys on doc-local keys → join back on doc_id; every stage is
+    * map-side combinable and keyed by doc_id, so at 100 TB it's one
+    * shuffle family with no skew beyond document length. ln() is
+    * rounded at 6dp per term (engines' libm differ in the last ulp)
+    * and terms decimal-sum, per the Parity contract. */
+  def textTokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(lowerTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("c") / col("n")
+    cnt.join(tot, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("n")).as("n_tokens"),
+        first(col("n_distinct")).as("n_distinct"),
+        dsum(-(p * r(log(p), 6)), 6).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          r(col("entropy") / r(log(col("n_distinct")), 6), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  val textTokenEntropySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |               count(*) AS n_distinct
+       |        FROM cnt GROUP BY 1),
+       |ent AS (
+       |  SELECT c.doc_id, t.n, t.n_distinct,
+       |         ${sqlSum("-((c.c / t.n) * (" + sqlR("ln(c.c / t.n)", 6) + "))", 6)} AS entropy
+       |  FROM cnt c JOIN tot t USING (doc_id)
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, n AS n_tokens, n_distinct, entropy,
+       |       CASE WHEN n_distinct > 1
+       |            THEN ${sqlR("entropy / (" + sqlR("ln(n_distinct)", 6) + ")", 6)}
+       |            ELSE 0.0 END AS norm_entropy
+       |FROM ent""".stripMargin
 }
