@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,31 +15,45 @@ object Bench {
     // order would reshuffle which queries inherit warmup/GC debt)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Warmup runs the full inventory at a SMALLER scale factor when one
+    // is available: whole-stage codegen is schema-shaped, not
+    // data-shaped, so the generated classes (and their C2 compilations)
+    // are the same ones the measured SF executes — paying the JIT storm
+    // on 10x less data cuts the warmup wall from ~30 min to ~3.
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").getOrElse {
+      val small = "/root/testdata/sf0.01"
+      if (sfDir != small && new java.io.File(small).isDirectory) small else sfDir
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
     }
-    def timedPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
+    def time(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       // sweep the previous queries' garbage concurrently
       // (ExplicitGCInvokesConcurrent) so a pile-up doesn't surface as a
       // random STW pause attributed to an innocent later query
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    // Two timed passes, report the per-query min: with ~200 distinct
+    // Report the per-query min of two timings: with ~200 distinct
     // codegen'd plans the C2 compile queue backs up and whole ~100 s
     // episodes of tier-1 execution land on whichever (alphabetically
     // consecutive) queries are running at the time — 40-60x outliers
-    // that move between runs. An episode never hits the same query in
-    // both passes, so min-of-2 is the steady-state number.
-    val p1 = timedPass()
-    val p2 = timedPass()
+    // that move between runs. An episode never hits the same query
+    // twice, so the min is the steady-state number. The second pass
+    // only re-times queries the first pass measured above 1 s — a
+    // sub-second first pass is already episode-free, and skipping it
+    // keeps the suite's wall clock bounded.
+    val p1 = queries.map { case (name, fn) => name -> time(name, fn) }
+    val results = p1.map { case (name, t1) =>
+      if (t1 <= 1.0) name -> t1
+      else name -> math.min(t1, time(name, SparkEntry.queries(name)))
+    }
     System.err.println("bench pass1 total=" + p1.map(_._2).sum +
-      " pass2 total=" + p2.map(_._2).sum)
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+      " final total=" + results.map(_._2).sum)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

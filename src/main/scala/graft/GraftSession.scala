@@ -26,6 +26,14 @@ object GraftSession {
       // ~200 distinct codegen'd plans (Bench warmup + timed passes),
       // recompiling + re-JITing classes that were just evicted
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // AQE re-renders the FULL explain string for the listener bus on
+      // every plan update (AdaptiveSparkPlanExec.onUpdatePlan →
+      // ExplainUtils.processPlan) even with the UI disabled; on this
+      // library's largest expression trees (the 64-register portable
+      // HLL, 366-slot circular-smoothing projections) that formatting
+      // dominates driver CPU. Cap the rendered length — nothing in a
+      // headless run reads it.
+      .config("spark.sql.maxPlanStringLength", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

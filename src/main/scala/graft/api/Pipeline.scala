@@ -48,6 +48,14 @@ object Pipeline {
                    cfg: DocConfig = DocConfig()): DataFrame =
     LshDedup.dedupSimhashDf(docs(df, cfg), maxHamming)
 
+  /** PII scrub: email/phone counts + redacted-text fingerprint per doc. */
+  def piiRedact(df: DataFrame, cfg: DocConfig = DocConfig()): DataFrame =
+    TextOps.textPiiRedactDf(docs(df, cfg))
+
+  /** Token-distribution Shannon entropy (+ distinct-normalized) per doc. */
+  def tokenEntropy(df: DataFrame, cfg: DocConfig = DocConfig()): DataFrame =
+    TextOps.textTokenEntropyDf(docs(df, cfg))
+
   /** Winnowing fingerprint set per document. */
   def winnowFingerprints(df: DataFrame, k: Int = 8, w: Int = 16,
                          cfg: DocConfig = DocConfig()): DataFrame =

@@ -457,12 +457,18 @@ object TextOps {
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@example.com or +1 555 010 "),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    textPiiRedactDf(
+      Tables.documents(s, dir).select(col("doc_id"), withPii.as("text")))
+  }
+
+  /** DataFrame-generic core: counts + masks over canonical (doc_id, text). */
+  def textPiiRedactDf(input: DataFrame): DataFrame = {
     val redacted = regexp_replace(
-      regexp_replace(withPii, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
-    Tables.documents(s, dir).select(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    input.select(
       col("doc_id"),
-      regexp_count(withPii, lit(emailRe)).as("n_emails"),
-      regexp_count(withPii, lit(phoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
       length(redacted).as("redacted_len"),
       md5(redacted.cast("binary")).as("redacted_md5"))
   }
@@ -489,8 +495,12 @@ object TextOps {
     * shuffle family with no skew beyond document length. ln() is
     * rounded at 6dp per term (engines' libm differ in the last ulp)
     * and terms decimal-sum, per the Parity contract. */
-  def textTokenEntropy(s: SparkSession, dir: String): DataFrame = {
-    val cnt = Tables.documents(s, dir)
+  def textTokenEntropy(s: SparkSession, dir: String): DataFrame =
+    textTokenEntropyDf(Tables.documents(s, dir))
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def textTokenEntropyDf(input: DataFrame): DataFrame = {
+    val cnt = input
       .select(col("doc_id"), explode(lowerTokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("doc_id"))

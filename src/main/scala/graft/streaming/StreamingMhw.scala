@@ -144,13 +144,15 @@ object StreamingMhw {
         datediff(col("d"), lit(d0)).as("idx"),
         col("t_anom"), col("severity"))
       .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val src = s.readStream.schema(sevSchema)
-      .option("pathGlobFilter", "*.parquet").parquet(tmp).as[SevIn]
-    val q = src.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldMhw)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    Streaming.withStreamPartitions(s) {
+      val src = s.readStream.schema(sevSchema)
+        .option("pathGlobFilter", "*.parquet").parquet(tmp).as[SevIn]
+      val q = src.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldMhw)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).select(
       col("user_id"), col("evt"), col("index_start"), col("index_end"),
       date_add(lit(d0), col("index_start")).as("date_start"),

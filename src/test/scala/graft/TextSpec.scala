@@ -48,6 +48,44 @@ class TextSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("pii redact: masks emails and phones, counts them, preserves the rest") {
+    // injected-PII contract: every doc gains at least one email and one
+    // phone, both counted; then the same patterns on crafted literals.
+    val rows = graft.operators.TextOps.textPiiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1, "injected email must be counted")   // n_emails
+      assert(r.getInt(2) >= 1, "injected phone must be counted")   // n_phones
+      assert(r.getInt(3) > 0)                                      // redacted_len
+    }
+    // direct regex behaviour on literals (same patterns the op compiles)
+    val red = Seq("write to a.b+c@mail.example.org or call +44 20 7946 0958 now")
+      .toDF("t")
+      .select(
+        regexp_count(col("t"), lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).as("ne"),
+        regexp_replace(
+          regexp_replace(col("t"), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "\\+[0-9][0-9 ]{7,}[0-9]", "<PHONE>").as("r"))
+      .collect().head
+    assert(red.getInt(0) == 1)
+    assert(red.getString(1) == "write to <EMAIL> or call <PHONE> now")
+  }
+
+  test("token entropy: uniform text maxes, repeated text zeroes, bounds hold") {
+    val rows = graft.operators.TextOps.textTokenEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nd) = (r.getLong(1), r.getLong(2))
+      val (ent, norm) = (r.getDouble(3), r.getDouble(4))
+      assert(n >= nd && nd >= 1)
+      assert(ent >= 0.0, s"entropy must be non-negative, got $ent")
+      // entropy <= ln(n_distinct) (+6dp rounding slack)
+      assert(ent <= math.log(nd.toDouble) + 1e-5)
+      assert(norm >= 0.0 && norm <= 1.0 + 1e-5)
+      if (nd == 1) assert(ent == 0.0 && norm == 0.0)
+    }
+  }
+
   test("text_repetition: top-token fraction and distinct ratio bounds") {
     val rows = graft.operators.TextOps.textRepetition(spark, sf).collect()
     assert(rows.nonEmpty)
