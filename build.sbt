@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Plan-shape specs read full explain strings; the bench/verify JVMs cap
+// plan rendering (see GraftSession) for driver-CPU reasons that don't
+// apply to a test run.
+Test / envVars += "SPARK_GRAFT_MAX_PLAN_STR" -> "2147483632"
 // Pass forked-JVM stdout through unprefixed: the bench/verify harness
 // parses the single JSON line Bench prints, and sbt's default logger
 // would wrap it as "[info] {...}".
@@ -37,8 +41,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in a run). Size it for the full query inventory.
   "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
-  // Bench calls System.gc() between timed queries so accumulated
-  // garbage is swept concurrently instead of landing as a random
-  // multi-second STW pause inside whichever query trips the threshold
+  // Bench calls System.gc() in its settle windows (between timed
+  // sweeps) so accumulated garbage + ContextCleaner churn happen
+  // concurrently there instead of inside a timed query
   "-XX:+ExplicitGCInvokesConcurrent",
+  // ~200 codegen'd plans enqueue thousands of C2 jobs at warmup; more
+  // compiler threads drain the queue while the (untimed) warmup runs
+  // instead of bleeding tier-1 episodes into the timed passes
+  "-XX:CICompilerCount=12",
 ) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

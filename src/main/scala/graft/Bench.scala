@@ -15,39 +15,51 @@ object Bench {
     // order would reshuffle which queries inherit warmup/GC debt)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // Warmup runs the full inventory at a SMALLER scale factor when one
-    // is available: whole-stage codegen is schema-shaped, not
-    // data-shaped, so the generated classes (and their C2 compilations)
-    // are the same ones the measured SF executes — paying the JIT storm
-    // on 10x less data cuts the warmup wall from ~30 min to ~3.
-    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").getOrElse {
-      val small = "/root/testdata/sf0.01"
-      if (sfDir != small && new java.io.File(small).isDirectory) small else sfDir
-    }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    def time(name: String, fn: (SparkSession, String) => DataFrame): Double = {
-      // sweep the previous queries' garbage concurrently
-      // (ExplicitGCInvokesConcurrent) so a pile-up doesn't surface as a
-      // random STW pause attributed to an innocent later query
+    // ~200 distinct codegen'd plans enqueue thousands of C2 jobs; while
+    // the queue drains, hot loops run at tier 1 and whichever queries
+    // execute during the storm measure 40-60x slow (a warmup at a
+    // smaller SF doesn't help: AQE picks different physical stages at
+    // the measured SF, so their classes still compile fresh). Wait for
+    // the JIT to go quiescent — cumulative compilation time growing
+    // < 100 ms/s for 3 consecutive seconds — before any timed sweep.
+    // GC happens HERE, between sweeps, not between queries: an explicit
+    // gc discovers every dead RDD/broadcast/shuffle weak reference at
+    // once, and the ContextCleaner's burst of removal RPCs contends
+    // with the scheduler — per-query gc() made the most job-intensive
+    // queries (iterative CC) measure 10x slow late in the suite. In the
+    // settle window the churn is free.
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    def settle(maxWaitS: Int = 300): Unit = {
       System.gc()
+      var last = jit.getTotalCompilationTime
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < maxWaitS) {
+        Thread.sleep(1000); waited += 1
+        val cur = jit.getTotalCompilationTime
+        if (cur - last < 100) stable += 1 else stable = 0
+        last = cur
+      }
+      System.err.println(s"bench settled after ${waited}s")
+    }
+    settle()
+    def time(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // Report the per-query min of two timings: with ~200 distinct
-    // codegen'd plans the C2 compile queue backs up and whole ~100 s
-    // episodes of tier-1 execution land on whichever (alphabetically
-    // consecutive) queries are running at the time — 40-60x outliers
-    // that move between runs. An episode never hits the same query
-    // twice, so the min is the steady-state number. The second pass
-    // only re-times queries the first pass measured above 1 s — a
-    // sub-second first pass is already episode-free, and skipping it
-    // keeps the suite's wall clock bounded.
+    // Report the per-query min of two timings: residual compile/GC
+    // noise lands on individual queries but never the same one twice.
+    // The second sweep only re-times queries the first sweep measured
+    // above 1 s — a sub-second first timing is already noise-free, and
+    // skipping the rest keeps the suite's wall clock bounded.
     val p1 = queries.map { case (name, fn) => name -> time(name, fn) }
+    settle()
     val results = p1.map { case (name, t1) =>
       if (t1 <= 1.0) name -> t1
       else name -> math.min(t1, time(name, SparkEntry.queries(name)))

@@ -32,8 +32,11 @@ object GraftSession {
       // library's largest expression trees (the 64-register portable
       // HLL, 366-slot circular-smoothing projections) that formatting
       // dominates driver CPU. Cap the rendered length — nothing in a
-      // headless run reads it.
-      .config("spark.sql.maxPlanStringLength", "8192")
+      // headless run reads it. Plan-shape consumers (PlanSpec,
+      // PlanAudit) override via env: the conf is static, so it must be
+      // decided before the JVM's first session.
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "8192"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -305,32 +305,41 @@ object Analytics {
   def dedupClusters(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame =
     dedupClustersDf(Tables.documents(s, dir), tau)
 
-  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  /** DataFrame-generic core: expects canonical (doc_id, text).
+    *
+    * Iteration hygiene: every round's label table is
+    * `localCheckpoint`ed, not persisted — lineage is truncated (round
+    * N's plan doesn't embed rounds 1..N-1, so planning stays O(1) per
+    * round) and nothing enters the CacheManager registry, whose
+    * persist/unpersist bookkeeping walks every cached plan in the
+    * session. Convergence reads ONE scalar row per round — the
+    * strictly decreasing label sum, whose agg is the action that
+    * materializes the (lazily checkpointed) round: one job per round,
+    * never the data. */
   def dedupClustersDf(input: DataFrame, tau: Double = 0.3): DataFrame = {
     val pairs = TextOps.dedupNgramJaccardDf(input, tau)
       .select(col("id_a"), col("id_b"))
     val ed = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    // lazy checkpoint: the convergence agg is the first action, so one
+    // job per round both materializes the round and reads its label sum
     var cur = input.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var lblSum = cur.agg(sum(col("lbl"))).head.getLong(0)
     var done = false
     while (!done) {
       val nb = ed.join(cur.select(col("id").as("nid"), col("lbl").as("nlbl")),
           col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("nlbl")).as("nb_lbl"))
-      val next = cur.join(nb, cur("id") === nb("src"), "left")
+      cur = cur.join(nb, cur("id") === nb("src"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nb_lbl"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
-      cur.unpersist()
-      cur = next
+        .localCheckpoint(false)
+      val nextSum = cur.agg(sum(col("lbl"))).head.getLong(0)
       done = nextSum == lblSum
       lblSum = nextSum
     }
-    ed.unpersist()
     cur.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 

@@ -268,7 +268,10 @@ object Mhw {
     // detection AND the span metrics join — otherwise the entire
     // upstream chain (pooled quantiles, smoothing, clim joins) is
     // re-evaluated once per consumer
-    val sevP = sev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sevP =
+      if (sev.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sev // the memoized severity chain arrives already persisted
     val origin = sevP.agg(min(col("d")).as("d0"))
     val s = sevP.crossJoin(broadcast(origin))
       .withColumn("idx", datediff(col("d"), col("d0")))

@@ -280,9 +280,9 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    // the training loop scans the corpus iters+1 times — persist once
-    val corpus = Tables.embeddings(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the training loop scans the corpus iters+1 times — materialize
+    // once (localCheckpoint: no dangling CacheManager entry per call)
+    val corpus = Tables.embeddings(s, dir).localCheckpoint()
     val centroids = trainCentroids(corpus, nCells, iters)
     val bucketed = assignNearest(corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
       .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
