@@ -484,6 +484,70 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  // ----------------------------------------------- #74 bigram LM score
+
+  /** #74 language-model quality score: build a corpus bigram LM
+    * (Laplace-smoothed, P(b|a) = (C(a,b)+1)/(C(a)+V)) and score each
+    * doc by its mean bigram log-probability — the classic LM-based
+    * quality filter (docs whose word sequences are improbable under
+    * the corpus's own statistics score low). Two-stage shape: the
+    * model tables (unigram/bigram counts) are corpus aggregates with
+    * map-side partial aggregation; scoring joins each doc's bigrams to
+    * the model on the bigram key. At 100 TB the model tables are the
+    * (much smaller) distinct-ngram relations and the scoring join
+    * shuffles on ngram — the same key distribution as the counting
+    * stage, with AQE handling stop-word-pair skew. Docs under 2 tokens
+    * have no bigrams and are absent, as in the SQL mirror. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    textLmScoreDf(Tables.documents(s, dir))
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def textLmScoreDf(input: DataFrame): DataFrame = {
+    val toksArr = input.select(col("doc_id"), lowerTokens(col("text")).as("t"))
+    val uniToks = toksArr.select(col("doc_id"), explode(col("t")).as("tok"))
+    val uni = uniToks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val docBi = toksArr.select(col("doc_id"),
+      explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(1, size(t) - 1)," +
+             " i -> named_struct('a', element_at(t, i), 'b', element_at(t, i + 1)))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)")))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bic = docBi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    docBi
+      .join(bic, Seq("a", "b"))
+      .join(uni.select(col("tok").as("a"), col("cu")), Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", r(log((col("cb") + 1.0) / (col("cu") + col("v"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), davg(col("lp"), 6).as("avg_logprob"))
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+       |uni AS (
+       |  SELECT tok, count(*) AS cu
+       |  FROM (SELECT unnest(t) AS tok FROM t) GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM uni),
+       |bg AS (
+       |  SELECT doc_id, bgs.a AS a, bgs.b AS b FROM (
+       |    SELECT doc_id,
+       |           unnest(CASE WHEN len(t) >= 2 THEN
+       |             list_transform(range(1, len(t)),
+       |                            i -> {'a': t[i], 'b': t[i+1]})
+       |           ELSE [] END) AS bgs
+       |    FROM t)),
+       |bic AS (SELECT a, b, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |lp AS (
+       |  SELECT g.doc_id,
+       |         ${sqlR("ln((bic.cb + 1.0) / (uni.cu + v.v))", 6)} AS lp
+       |  FROM bg g JOIN bic USING (a, b) JOIN uni ON uni.tok = g.a CROSS JOIN v)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       ${sqlAvg("lp", 6)} AS avg_logprob
+       |FROM lp GROUP BY 1""".stripMargin
+
   // -------------------------------------------------- #73 token entropy
 
   /** #73 token-distribution Shannon entropy per doc, plus the
