@@ -71,6 +71,24 @@ class TextSpec extends AnyFunSuite {
     assert(red.getString(1) == "write to <EMAIL> or call <PHONE> now")
   }
 
+  test("lm score: log-probs negative, bigram counts consistent with token counts") {
+    val lm = graft.operators.TextOps.textLmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(lm.nonEmpty)
+    lm.values.foreach { case (nBi, avgLp) =>
+      assert(nBi >= 1)
+      // Laplace-smoothed P(b|a) < 1 strictly (V >= 1, so denominator
+      // exceeds any numerator) => every log-prob is negative
+      assert(avgLp < 0.0)
+    }
+    // a doc with >= 2 tokens has exactly n_tokens - 1 bigrams
+    val toks = graft.operators.TextOps.textTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lm.foreach { case (id, (nBi, _)) => assert(nBi == toks(id) - 1) }
+    // docs with < 2 tokens are absent, never zero-row artifacts
+    assert(lm.keySet.subsetOf(toks.filter(_._2 >= 2).keySet))
+  }
+
   test("token entropy: uniform text maxes, repeated text zeroes, bounds hold") {
     val rows = graft.operators.TextOps.textTokenEntropy(spark, sf).collect()
     assert(rows.nonEmpty)
