@@ -66,4 +66,65 @@ object TimeSeries {
       |       floor((CAST(sum(CAST(sst AS DECIMAL(38,10))) AS DOUBLE) / count(sst)) * 1e6 + 0.5) / 1e6 AS sst_mean,
       |       count(*) AS n_days
       |FROM daily GROUP BY 1, 2""".stripMargin
+
+  /** CUSUM changepoint per series (#11f): deviation-from-mean cumulative
+    * sum, argmax |CUSUM| = the most likely single change point — the
+    * offline change-detection primitive (regime shifts in a series the
+    * MHW chain would otherwise attribute to seasonality). All windows
+    * share partitionBy(user_id), so the whole operator is one exchange;
+    * prefix sums accumulate in DECIMAL (order-exact), the mean is
+    * rounded once, and the argmax row is picked by a deterministic
+    * (|cusum| desc, date) rank — first peak on ties, like the
+    * reference's first-argmax peak rule. */
+  def changepoint(s: SparkSession, dir: String): DataFrame =
+    changepointOf(Mhw.daily(s, dir))
+
+  /** Core on any (user_id, d, sst) daily frame — spec entry point. */
+  def changepointOf(dl: DataFrame): DataFrame = {
+    val dec = "decimal(38,10)"
+    val wAll = Window.partitionBy("user_id")
+    val wOrd = wAll.orderBy("d")
+    dl
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("mean",
+        r(sum(col("sst").cast(dec)).over(wAll).cast("double") / col("n"), 6))
+      .withColumn("prefix",
+        sum(col("sst").cast(dec))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cusum", r(col("prefix") - col("rn") * col("mean"), 6))
+      .withColumn("rk",
+        row_number().over(wAll.orderBy(abs(col("cusum")).desc, col("d"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("d").as("cp_date"),
+              col("cusum").as("cp_cusum"), col("n").as("n_days"))
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |         floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value)) * 1e6 + 0.5) / 1e6 AS sst
+      |  FROM events GROUP BY 1, 2
+      |),
+      |s AS (
+      |  SELECT user_id, d,
+      |         count(*) OVER (PARTITION BY user_id) AS n,
+      |         floor((CAST(sum(CAST(sst AS DECIMAL(38,10))) OVER (PARTITION BY user_id) AS DOUBLE)
+      |                / count(*) OVER (PARTITION BY user_id)) * 1e6 + 0.5) / 1e6 AS mean,
+      |         CAST(sum(CAST(sst AS DECIMAL(38,10))) OVER (
+      |           PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS prefix,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      |  FROM daily),
+      |c AS (
+      |  SELECT user_id, d, n,
+      |         floor((prefix - rn * mean) * 1e6 + 0.5) / 1e6 AS cusum
+      |  FROM s),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY abs(cusum) DESC, d) AS rk
+      |  FROM c)
+      |SELECT user_id, d AS cp_date, cusum AS cp_cusum,
+      |       CAST(n AS BIGINT) AS n_days
+      |FROM rk WHERE rk = 1""".stripMargin
 }

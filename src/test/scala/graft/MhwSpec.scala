@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Mhw
+import graft.operators.{Mhw, TimeSeries}
 import graft.time.DoyFunctions
 
 /** Semantics the DuckDB oracle can't pin on the 2024-January test data:
@@ -124,5 +124,21 @@ class MhwSpec extends AnyFunSuite {
     val worst = joined
       .agg(max(abs($"t_exact" - $"t_approx"))).head.getDouble(0)
     assert(worst < 3.0, s"max |exact-approx| = $worst over $n doy groups")
+  }
+
+  test("CUSUM changepoint lands on a mean shift; flat series ties to first day") {
+    val base = java.time.LocalDate.of(2020, 1, 1)
+    // user 1: 100 days at 10.0 then 100 days at 20.0 → overall mean 15,
+    // CUSUM extreme at the last day of the first regime: 1000 - 100*15 = -500.
+    // user 2: constant → every cusum is 0; first date wins the tie rank.
+    val rows =
+      (0 until 200).map(i => (1L, Date.valueOf(base.plusDays(i).toString),
+                              if (i < 100) 10.0 else 20.0)) ++
+      (0 until 50).map(i => (2L, Date.valueOf(base.plusDays(i).toString), 7.5))
+    val out = TimeSeries.changepointOf(rows.toDF("user_id", "d", "sst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDate(1).toString, r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((base.plusDays(99).toString, -500.0, 200L)))
+    assert(out(2L) == ((base.toString, 0.0, 50L)))
   }
 }
