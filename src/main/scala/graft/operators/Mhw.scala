@@ -235,7 +235,11 @@ object Mhw {
       .select(col("user_id"), col("d"),
         r(col("sst") - col("seas"), 6).as("t_anom"),
         r((col("sst") - col("seas")) /
-              (col("thresh") - col("seas") + lit(1e-9)), 6).as("severity"))
+              (col("thresh") - col("seas") + lit(1e-9)), 6).as("severity"),
+        // carried for the relThresh/abs intensity variants (Oliver's
+        // mhw_relThresh / mhw_abs series); the base `severity` query
+        // projects them away, so its contract is unchanged
+        col("sst"), col("seas"), col("thresh"))
 
   private val sevCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Double), DataFrame]
@@ -275,22 +279,7 @@ object Mhw {
     val origin = sevP.agg(min(col("d")).as("d0"))
     val s = sevP.crossJoin(broadcast(origin))
       .withColumn("idx", datediff(col("d"), col("d0")))
-    val wU = Window.partitionBy("user_id")
-
-    val runs = s.filter(col("severity") > 1)
-      .withColumn("grp", col("idx") - row_number().over(wU.orderBy("idx")))
-      .groupBy(col("user_id"), col("grp"))
-      .agg(min(col("idx")).as("i0"), max(col("idx")).as("i1"))
-      .filter(col("i1") - col("i0") + 1 >= minDuration)
-
-    val events = runs
-      .withColumn("brk",
-        when(col("i0") - lag("i1", 1).over(wU.orderBy("i0")) <= maxGap, 0)
-          .otherwise(1))
-      .withColumn("evt", sum("brk").over(
-        wU.orderBy("i0").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("evt"))
-      .agg(min(col("i0")).as("index_start"), max(col("i1")).as("index_end"))
+    val events = eventSpans(s, minDuration, maxGap)
 
     // Span-join facts back (events are tiny → broadcast), window for the
     // per-event max, then one grouped pass incl. first-argmax peak.
@@ -317,6 +306,27 @@ object Mhw {
         date_add(col("d0"), col("index_peak")).as("date_peak"),
         col("intensity_max"), col("intensity_mean"), col("intensity_cumul"),
         col("severity_max"))
+  }
+
+  /** Run detection core over an idx'd severity frame: boolean runs of
+    * severity>1, duration filter, then single-pass gap-join (start −
+    * prev_end ≤ maxGap, chains merge transitively). Returns the merged
+    * event spans (user_id, evt, index_start, index_end). All windows
+    * share partitionBy(user_id) — one exchange. */
+  private def eventSpans(s: DataFrame, minDuration: Int, maxGap: Int): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    s.filter(col("severity") > 1)
+      .withColumn("grp", col("idx") - row_number().over(wU.orderBy("idx")))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("idx")).as("i0"), max(col("idx")).as("i1"))
+      .filter(col("i1") - col("i0") + 1 >= minDuration)
+      .withColumn("brk",
+        when(col("i0") - lag("i1", 1).over(wU.orderBy("i0")) <= maxGap, 0)
+          .otherwise(1))
+      .withColumn("evt", sum("brk").over(
+        wU.orderBy("i0").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("evt"))
+      .agg(min(col("i0")).as("index_start"), max(col("i1")).as("index_end"))
   }
 
   /** Hobday-2018 category from per-event max severity. */
@@ -367,4 +377,102 @@ object Mhw {
            davg(col("intensity_max"), 6).as("mean_imax"),
            max(col("intensity_max")).as("max_imax"),
            dsum(col("intensity_cumul"), 6).as("total_cumul"))
+
+  /** Query #11g mhw_event_rates: the remainder of Oliver's per-event
+    * metric battery (reference ground-truth asset
+    * tests/data/legacy/marineHeatWaves.py:373-410):
+    *  - intensity variability = sqrt of the population variance of the
+    *    anomaly over the event span (incl. gap days), plus the relThresh
+    *    (sst − thresh) and absolute (sst) intensity variants;
+    *  - per-category day counts, cats = floor(severity) per day (Oliver's
+    *    floor(1 + relThreshNorm); our severity carries the reference's
+    *    1e-9 epsilon and 6dp stage rounding);
+    *  - rate_onset / rate_decline with the half-day boundary convention:
+    *    event-edge strength is the midpoint to the neighbouring day's
+    *    anomaly when that calendar day exists; otherwise (series boundary
+    *    — or a calendar gap, which the reference's dense grid cannot
+    *    represent) the peak-distance slope fallback.
+    * Variances use exact decimal moment sums (order-independent), final
+    * arithmetic IEEE double, 6dp stage rounding — bit-identical to the
+    * DuckDB oracle. Single shuffle: the neighbour lag/lead and the run
+    * detection share partitionBy(user_id); events are tiny → broadcast
+    * span join, like detectEvents. */
+  def mhwEventRates(s: SparkSession, dir: String): DataFrame =
+    eventRates(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+
+  /** Core of [[mhwEventRates]] over any severity frame carrying
+    * (user_id, d, t_anom, severity, sst, seas, thresh). */
+  def eventRates(sev: DataFrame, minDuration: Int = 5, maxGap: Int = 2): DataFrame = {
+    val origin = sev.agg(min(col("d")).as("d0"))
+    val wOrd = Window.partitionBy("user_id").orderBy("idx")
+    val t = sev.crossJoin(broadcast(origin))
+      .withColumn("idx", datediff(col("d"), col("d0")))
+      .withColumn("ta_prev",
+        when(col("idx") - lag("idx", 1).over(wOrd) === 1,
+          lag("t_anom", 1).over(wOrd)))
+      .withColumn("ta_next",
+        when(lead("idx", 1).over(wOrd) - col("idx") === 1,
+          lead("t_anom", 1).over(wOrd)))
+    val events = eventSpans(t, minDuration, maxGap)
+    val span = t.join(broadcast(events),
+        t("user_id") === events("user_id") &&
+        col("idx").between(col("index_start"), col("index_end")))
+      .drop(events("user_id"))
+      .withColumn("rt", r(col("sst") - col("thresh"), 6))
+      .withColumn("mx", max(col("t_anom")).over(Window.partitionBy("user_id", "evt")))
+    val g = span
+      .groupBy(col("user_id"), col("evt"), col("index_start"), col("index_end"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        min(when(col("t_anom") === col("mx"), col("idx"))).as("index_peak"),
+        max(col("t_anom")).as("ta_peak"),
+        dsum(col("t_anom")).as("m1"),
+        dsum(col("t_anom") * col("t_anom")).as("m2"),
+        count(col("rt")).cast("double").as("nrt"),
+        max(col("rt")).as("imax_relthresh"),
+        davg(col("rt"), 6).as("imean_relthresh"),
+        dsum(col("rt")).as("rt1"),
+        dsum(col("rt") * col("rt")).as("rt2"),
+        dsum(col("rt"), 6).as("icum_relthresh"),
+        max(col("sst")).as("imax_abs"),
+        davg(col("sst"), 6).as("imean_abs"),
+        dsum(col("sst")).as("a1"),
+        dsum(col("sst") * col("sst")).as("a2"),
+        dsum(col("sst"), 6).as("icum_abs"),
+        sum(when(floor(col("severity")) === 1, 1L).otherwise(0L)).as("days_moderate"),
+        sum(when(floor(col("severity")) === 2, 1L).otherwise(0L)).as("days_strong"),
+        sum(when(floor(col("severity")) === 3, 1L).otherwise(0L)).as("days_severe"),
+        sum(when(floor(col("severity")) >= 4, 1L).otherwise(0L)).as("days_extreme"),
+        min(when(col("idx") === col("index_start"), col("t_anom"))).as("ta_first"),
+        min(when(col("idx") === col("index_end"), col("t_anom"))).as("ta_last"),
+        min(when(col("idx") === col("index_start"), col("ta_prev"))).as("ta_prev0"),
+        min(when(col("idx") === col("index_end"), col("ta_next"))).as("ta_next1"))
+    val tp = (col("index_peak") - col("index_start")).cast("double")
+    val td = (col("index_end") - col("index_peak")).cast("double")
+    def sd(s2: Column, s1: Column, cnt: Column): Column =
+      r(sqrt(greatest(s2 / cnt - (s1 / cnt) * (s1 / cnt), lit(0.0))), 6)
+    g.select(
+      col("user_id"), col("evt"), col("index_start"), col("index_end"),
+      (col("index_end") - col("index_start") + 1).as("duration"),
+      col("index_peak"),
+      sd(col("m2"), col("m1"), col("n")).as("intensity_var"),
+      col("imax_relthresh"), col("imean_relthresh"),
+      sd(col("rt2"), col("rt1"), col("nrt")).as("ivar_relthresh"),
+      col("icum_relthresh"),
+      col("imax_abs"), col("imean_abs"),
+      sd(col("a2"), col("a1"), col("n")).as("ivar_abs"),
+      col("icum_abs"),
+      col("days_moderate"), col("days_strong"),
+      col("days_severe"), col("days_extreme"),
+      r(when(col("ta_prev0").isNotNull,
+          (col("ta_peak") - lit(0.5) * (col("ta_first") + col("ta_prev0"))) /
+            (tp + lit(0.5)))
+        .when(tp === 0, col("ta_peak") - col("ta_first"))
+        .otherwise((col("ta_peak") - col("ta_first")) / tp), 6).as("rate_onset"),
+      r(when(col("ta_next1").isNotNull,
+          (col("ta_peak") - lit(0.5) * (col("ta_last") + col("ta_next1"))) /
+            (td + lit(0.5)))
+        .when(td === 0, col("ta_peak") - col("ta_last"))
+        .otherwise((col("ta_peak") - col("ta_last")) / td), 6).as("rate_decline"))
+  }
 }

@@ -90,7 +90,8 @@ object MhwSql {
        |sev AS (
        |  SELECT dd.user_id, dd.d, datediff('day', o.d0, dd.d) AS idx,
        |         ${rr("dd.sst - c.seas", 6)} AS t_anom,
-       |         ${rr("(dd.sst - c.seas) / (t.thresh - c.seas + 1e-9)", 6)} AS severity
+       |         ${rr("(dd.sst - c.seas) / (t.thresh - c.seas + 1e-9)", 6)} AS severity,
+       |         dd.sst AS sst, c.seas AS seas, t.thresh AS thresh
        |  FROM daily dd
        |  JOIN clim_sm c ON c.user_id = dd.user_id AND c.doy = dd.doy
        |  JOIN thrP_sm t ON t.user_id = dd.user_id AND t.doy = dd.doy
@@ -215,6 +216,75 @@ object MhwSql {
        |       max(intensity_max) AS max_imax,
        |       ${rr(dsum("intensity_cumul"), 6)} AS total_cumul
        |FROM evm GROUP BY 1, 2""".stripMargin
+
+  /** Oliver's extended per-event battery (intensity_var, relThresh/abs
+    * variants, category day counts, onset/decline rates) — mirrors
+    * Mhw.mhwEventRates expression-for-expression. */
+  val mhwEventRates: String =
+    chain(0.6) +
+    s""", sevn AS (
+       |  SELECT user_id, idx, t_anom, severity, sst, thresh,
+       |         CASE WHEN idx - lag(idx) OVER w = 1
+       |              THEN lag(t_anom) OVER w END AS ta_prev,
+       |         CASE WHEN lead(idx) OVER w - idx = 1
+       |              THEN lead(t_anom) OVER w END AS ta_next
+       |  FROM sev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY idx)
+       |),
+       |rspan AS (
+       |  SELECT e.user_id, e.evt, e.index_start, e.index_end,
+       |         s.idx, s.t_anom, s.severity, s.sst,
+       |         ${rr("s.sst - s.thresh", 6)} AS rt,
+       |         s.ta_prev, s.ta_next,
+       |         max(s.t_anom) OVER (PARTITION BY e.user_id, e.evt) AS mx
+       |  FROM events_tbl e
+       |  JOIN sevn s ON s.user_id = e.user_id
+       |             AND s.idx BETWEEN e.index_start AND e.index_end
+       |),
+       |evr AS (
+       |  SELECT user_id, CAST(evt AS BIGINT) AS evt,
+       |         CAST(index_start AS INT) AS index_start,
+       |         CAST(index_end AS INT) AS index_end,
+       |         CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(min(CASE WHEN t_anom = mx THEN idx END) AS INT) AS index_peak,
+       |         max(t_anom) AS ta_peak,
+       |         ${dsum("t_anom")} AS m1,
+       |         ${dsum("t_anom * t_anom")} AS m2,
+       |         CAST(count(rt) AS DOUBLE) AS nrt,
+       |         max(rt) AS imax_relthresh,
+       |         ${davg("rt", 6)} AS imean_relthresh,
+       |         ${dsum("rt")} AS rt1,
+       |         ${dsum("rt * rt")} AS rt2,
+       |         ${rr(dsum("rt"), 6)} AS icum_relthresh,
+       |         max(sst) AS imax_abs,
+       |         ${davg("sst", 6)} AS imean_abs,
+       |         ${dsum("sst")} AS a1,
+       |         ${dsum("sst * sst")} AS a2,
+       |         ${rr(dsum("sst"), 6)} AS icum_abs,
+       |         CAST(sum(CASE WHEN floor(severity) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS days_moderate,
+       |         CAST(sum(CASE WHEN floor(severity) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS days_strong,
+       |         CAST(sum(CASE WHEN floor(severity) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS days_severe,
+       |         CAST(sum(CASE WHEN floor(severity) >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS days_extreme,
+       |         min(CASE WHEN idx = index_start THEN t_anom END) AS ta_first,
+       |         min(CASE WHEN idx = index_end THEN t_anom END) AS ta_last,
+       |         min(CASE WHEN idx = index_start THEN ta_prev END) AS ta_prev0,
+       |         min(CASE WHEN idx = index_end THEN ta_next END) AS ta_next1
+       |  FROM rspan GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT user_id, evt, index_start, index_end,
+       |       CAST(index_end - index_start + 1 AS INT) AS duration,
+       |       index_peak,
+       |       ${rr("sqrt(greatest(m2 / n - (m1 / n) * (m1 / n), 0.0))", 6)} AS intensity_var,
+       |       imax_relthresh, imean_relthresh,
+       |       ${rr("sqrt(greatest(rt2 / nrt - (rt1 / nrt) * (rt1 / nrt), 0.0))", 6)} AS ivar_relthresh,
+       |       icum_relthresh,
+       |       imax_abs, imean_abs,
+       |       ${rr("sqrt(greatest(a2 / n - (a1 / n) * (a1 / n), 0.0))", 6)} AS ivar_abs,
+       |       icum_abs,
+       |       days_moderate, days_strong, days_severe, days_extreme,
+       |       ${rr("CASE WHEN ta_prev0 IS NOT NULL THEN (ta_peak - 0.5 * (ta_first + ta_prev0)) / (CAST(index_peak - index_start AS DOUBLE) + 0.5) WHEN index_peak = index_start THEN ta_peak - ta_first ELSE (ta_peak - ta_first) / CAST(index_peak - index_start AS DOUBLE) END", 6)} AS rate_onset,
+       |       ${rr("CASE WHEN ta_next1 IS NOT NULL THEN (ta_peak - 0.5 * (ta_last + ta_next1)) / (CAST(index_end - index_peak AS DOUBLE) + 0.5) WHEN index_peak = index_end THEN ta_peak - ta_last ELSE (ta_peak - ta_last) / CAST(index_end - index_peak AS DOUBLE) END", 6)} AS rate_decline
+       |FROM evr""".stripMargin
 
   val mhwCategory: String =
     chain(0.6) +

@@ -73,6 +73,58 @@ class MhwSpec extends AnyFunSuite {
     assert(ev(3L).length == 2) // gap of 3 does not merge
   }
 
+  test("eventRates: Oliver metric battery on a hand-computed series") {
+    // seas=0, thresh=1 → t_anom = sst, rt = sst − 1, severity = sst.
+    // Day 0: 0.5 (below); days 1-5 the event [2,2,4,2,2]; day 6: 0.5.
+    val base = Date.valueOf("2024-01-01").toLocalDate
+    val ta = Seq(0.5, 2.0, 2.0, 4.0, 2.0, 2.0, 0.5)
+    val df = ta.zipWithIndex.map { case (v, i) =>
+      (1L, base.plusDays(i).toString, v, v, v, 0.0, 1.0)
+    }.toDF("user_id", "ds", "t_anom", "severity", "sst", "seas", "thresh")
+      .select($"user_id", to_date($"ds").as("d"),
+        $"t_anom", $"severity", $"sst", $"seas", $"thresh")
+    val r = Mhw.eventRates(df, minDuration = 3, maxGap = 2).collect()
+    assert(r.length == 1)
+    val e = r.head
+    assert(e.getAs[Int]("index_start") == 1 && e.getAs[Int]("index_end") == 5)
+    assert(e.getAs[Int]("index_peak") == 3 && e.getAs[Int]("duration") == 5)
+    // var of [2,2,4,2,2]: mean 2.4, pop var 0.64 → sd 0.8
+    assert(math.abs(e.getAs[Double]("intensity_var") - 0.8) < 1e-9)
+    assert(math.abs(e.getAs[Double]("ivar_relthresh") - 0.8) < 1e-9)
+    assert(math.abs(e.getAs[Double]("ivar_abs") - 0.8) < 1e-9)
+    assert(e.getAs[Double]("imax_relthresh") == 3.0)
+    assert(math.abs(e.getAs[Double]("imean_relthresh") - 1.4) < 1e-9)
+    assert(e.getAs[Double]("icum_relthresh") == 7.0)
+    assert(e.getAs[Double]("imax_abs") == 4.0 &&
+           e.getAs[Double]("icum_abs") == 12.0)
+    // categories: floor(severity) — four days at 2 (strong), one at 4 (extreme)
+    assert(e.getAs[Long]("days_moderate") == 0 &&
+           e.getAs[Long]("days_strong") == 4 &&
+           e.getAs[Long]("days_severe") == 0 &&
+           e.getAs[Long]("days_extreme") == 1)
+    // onset: neighbours exist → edge strength = midpoint to day 0:
+    // (4 − 0.5·(2 + 0.5)) / (2 + 0.5) = 1.1; decline symmetric
+    assert(math.abs(e.getAs[Double]("rate_onset") - 1.1) < 1e-9)
+    assert(math.abs(e.getAs[Double]("rate_decline") - 1.1) < 1e-9)
+  }
+
+  test("eventRates: series-boundary fallback uses peak-distance slope") {
+    // Event starts at the very first sample (no ta_prev) with peak later:
+    // onset = (ta_peak − ta_first) / tp. Ends at the last sample with the
+    // peak before the end: decline = (ta_peak − ta_last) / td.
+    val base = Date.valueOf("2024-01-01").toLocalDate
+    val ta = Seq(2.0, 2.0, 6.0, 2.0, 3.0)
+    val df = ta.zipWithIndex.map { case (v, i) =>
+      (1L, base.plusDays(i).toString, v, v, v, 0.0, 1.0)
+    }.toDF("user_id", "ds", "t_anom", "severity", "sst", "seas", "thresh")
+      .select($"user_id", to_date($"ds").as("d"),
+        $"t_anom", $"severity", $"sst", $"seas", $"thresh")
+    val e = Mhw.eventRates(df, minDuration = 3, maxGap = 2).collect().head
+    assert(e.getAs[Int]("index_peak") == 2)
+    assert(math.abs(e.getAs[Double]("rate_onset") - (6.0 - 2.0) / 2) < 1e-9)
+    assert(math.abs(e.getAs[Double]("rate_decline") - (6.0 - 3.0) / 2) < 1e-9)
+  }
+
   test("pooledQuantile: strict skipna nulls a window containing NaN") {
     val base = Date.valueOf("2024-06-01").toLocalDate
     val rows = (0 until 20).map { i =>
