@@ -223,6 +223,99 @@ object Mhw {
           .as("detrended"))
   }
 
+  /** Query #8b detrend_poly2: best_practice.detrend with deg=2 — the
+    * reference's `deg` parameter beyond the linear default
+    * (best_practice/climatology.py:43 `detrend(..., deg)` →
+    * `da.polyfit('time', deg)`). Quadratic normal equations solved in
+    * closed form (Cramer's rule on the 3×3 moment matrix). Moment sums
+    * are exact: integer powers of the day index accumulate in
+    * DECIMAL(38,0) (t⁴ sums overflow int64 past ~30 years of daily
+    * data), y-moments in DECIMAL(38,10) — order-independent, so the
+    * determinant arithmetic sees identical doubles on both engines.
+    * Same one-shuffle shape as the linear fit. */
+  def detrendPoly2(s: SparkSession, dir: String): DataFrame =
+    detrendPoly2Daily(daily(s, dir))
+
+  /** Core of [[detrendPoly2]] over any (user_id, d, sst) daily frame. */
+  def detrendPoly2Daily(dl: DataFrame): DataFrame = {
+    val origin = dl.agg(min(col("d")).as("d0"))
+    val t = dl.crossJoin(broadcast(origin))
+      .withColumn("t", datediff(col("d"), col("d0")))
+    val DecI = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val DecF = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
+    // integer powers stay integral per row (long t⁴ is exact to ~150
+    // years of daily data) and accumulate in exact decimals
+    val tl = col("t").cast("long")
+    val fit = t.groupBy(col("user_id")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(tl.cast(DecI)).cast("double").as("s1"),
+      sum((tl * tl).cast(DecI)).cast("double").as("s2"),
+      sum((tl * tl * tl).cast(DecI)).cast("double").as("s3"),
+      sum((tl * tl * tl * tl).cast(DecI)).cast("double").as("s4"),
+      sum(col("sst").cast(DecF)).cast("double").as("sy"),
+      sum((col("sst") * col("t")).cast(DecF)).cast("double").as("sty"),
+      sum((col("sst") * col("t") * col("t")).cast(DecF)).cast("double").as("st2y"))
+      // Cramer: det of [[n,s1,s2],[s1,s2,s3],[s2,s3,s4]]; columns
+      // replaced by the y-moment vector for each coefficient
+      .withColumn("det",
+        col("n") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+        col("s1") * (col("s1") * col("s4") - col("s3") * col("s2")) +
+        col("s2") * (col("s1") * col("s3") - col("s2") * col("s2")))
+      .withColumn("c0",
+        (col("sy") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+         col("s1") * (col("sty") * col("s4") - col("s3") * col("st2y")) +
+         col("s2") * (col("sty") * col("s3") - col("s2") * col("st2y"))) / col("det"))
+      .withColumn("c1",
+        (col("n") * (col("sty") * col("s4") - col("s3") * col("st2y")) -
+         col("sy") * (col("s1") * col("s4") - col("s3") * col("s2")) +
+         col("s2") * (col("s1") * col("st2y") - col("sty") * col("s2"))) / col("det"))
+      .withColumn("c2",
+        (col("n") * (col("s2") * col("st2y") - col("sty") * col("s3")) -
+         col("s1") * (col("s1") * col("st2y") - col("sty") * col("s2")) +
+         col("sy") * (col("s1") * col("s3") - col("s2") * col("s2"))) / col("det"))
+      .select(col("user_id"), col("c0"), col("c1"), col("c2"))
+    t.join(broadcast(fit), "user_id")
+      .select(col("user_id"), col("d"),
+        r(col("sst") - col("c0") - col("c1") * col("t") -
+          col("c2") * col("t") * col("t"), 6).as("detrended"))
+  }
+
+  /** Query #8c detrend_baseline: best_practice.detrend's `period`
+    * parameter — fit the linear trend on a baseline slice only (here the
+    * first half of the record by day index; the reference takes an
+    * arbitrary time slice), then evaluate and subtract it over the FULL
+    * record (climatology.py:70-76: polyfit on `da.sel(time=period)`,
+    * polyval over `da.time`). The slice boundary is a broadcast scalar —
+    * no collect, no second shuffle. */
+  def detrendBaseline(s: SparkSession, dir: String): DataFrame =
+    detrendBaselineDaily(daily(s, dir))
+
+  /** Core of [[detrendBaseline]] over any (user_id, d, sst) daily frame. */
+  def detrendBaselineDaily(dl: DataFrame): DataFrame = {
+    val origin = dl.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val t = dl.crossJoin(broadcast(origin))
+      .withColumn("t", datediff(col("d"), col("d0")))
+      .withColumn("cut", floor(datediff(col("d1"), col("d0")) / 2))
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
+    val fit = t.filter(col("t") <= col("cut"))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("t").cast("long")).cast("double").as("st"),
+        sum(col("t").cast("long") * col("t")).cast("double").as("stt"),
+        sum(col("sst").cast(Dec)).cast("double").as("sy"),
+        sum((col("sst") * col("t")).cast(Dec)).cast("double").as("sty"))
+      .withColumn("slope",
+        (col("n") * col("sty") - col("st") * col("sy")) /
+        (col("n") * col("stt") - col("st") * col("st")))
+      .withColumn("intercept",
+        col("sy") / col("n") - col("slope") * (col("st") / col("n")))
+      .select(col("user_id"), col("slope"), col("intercept"))
+    t.join(broadcast(fit), "user_id")
+      .select(col("user_id"), col("d"),
+        r(col("sst") - col("intercept") - col("slope") * col("t"), 6)
+          .as("detrended"))
+  }
+
   // -------------------------------------------------------------- severity
 
   /** common.calculate_severity: T_anom = sst − seas(doy); severity =

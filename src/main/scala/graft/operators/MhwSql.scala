@@ -189,6 +189,76 @@ object MhwSql {
        |       ${rr("tt.sst - f.intercept - f.slope * tt.t", 6)} AS detrended
        |FROM tt JOIN fit2 f USING (user_id)""".stripMargin
 
+  /** Quadratic detrend — Cramer's rule expressions mirror
+    * Mhw.detrendPoly2 term-for-term (identical double arithmetic over
+    * exact integer/decimal moment sums). */
+  val detrendPoly2: String =
+    chain(0.9) +
+    s""", tt AS (
+       |  SELECT user_id, d, sst, datediff('day', o.d0, d) AS t
+       |  FROM daily CROSS JOIN origin o
+       |),
+       |fitq AS (
+       |  SELECT user_id,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(t AS BIGINT)) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(t AS BIGINT) * t) AS DOUBLE) AS s2,
+       |    CAST(sum(CAST(t AS BIGINT) * t * t) AS DOUBLE) AS s3,
+       |    CAST(sum(CAST(t AS BIGINT) * t * t * t) AS DOUBLE) AS s4,
+       |    ${dsum("sst")} AS sy,
+       |    ${dsum("sst * t")} AS sty,
+       |    ${dsum("sst * t * t")} AS st2y
+       |  FROM tt GROUP BY 1
+       |),
+       |fitq2 AS (
+       |  SELECT user_id,
+       |    (sy * (s2 * s4 - s3 * s3) - s1 * (sty * s4 - s3 * st2y)
+       |       + s2 * (sty * s3 - s2 * st2y))
+       |      / (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+       |       + s2 * (s1 * s3 - s2 * s2)) AS c0,
+       |    (n * (sty * s4 - s3 * st2y) - sy * (s1 * s4 - s3 * s2)
+       |       + s2 * (s1 * st2y - sty * s2))
+       |      / (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+       |       + s2 * (s1 * s3 - s2 * s2)) AS c1,
+       |    (n * (s2 * st2y - sty * s3) - s1 * (s1 * st2y - sty * s2)
+       |       + sy * (s1 * s3 - s2 * s2))
+       |      / (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+       |       + s2 * (s1 * s3 - s2 * s2)) AS c2
+       |  FROM fitq
+       |)
+       |SELECT tt.user_id, tt.d,
+       |       ${rr("tt.sst - f.c0 - f.c1 * tt.t - f.c2 * tt.t * tt.t", 6)} AS detrended
+       |FROM tt JOIN fitq2 f USING (user_id)""".stripMargin
+
+  /** Baseline-slice detrend: fit on the first half of the record (day
+    * index ≤ floor(span/2)), evaluate over the full record. */
+  val detrendBaseline: String =
+    chain(0.9) +
+    s""", bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+       |tt AS (
+       |  SELECT user_id, d, sst, datediff('day', b.d0, d) AS t,
+       |         CAST(floor(datediff('day', b.d0, b.d1) / 2) AS BIGINT) AS cut
+       |  FROM daily CROSS JOIN bounds b
+       |),
+       |fitb AS (
+       |  SELECT user_id,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(t AS BIGINT)) AS DOUBLE) AS st,
+       |    CAST(sum(CAST(t AS BIGINT) * t) AS DOUBLE) AS stt,
+       |    ${dsum("sst")} AS sy,
+       |    ${dsum("sst * t")} AS sty
+       |  FROM tt WHERE t <= cut GROUP BY 1
+       |),
+       |fitb2 AS (
+       |  SELECT user_id,
+       |    (n * sty - st * sy) / (n * stt - st * st) AS slope,
+       |    sy / n - (n * sty - st * sy) / (n * stt - st * st) * (st / n) AS intercept
+       |  FROM fitb
+       |)
+       |SELECT tt.user_id, tt.d,
+       |       ${rr("tt.sst - f.intercept - f.slope * tt.t", 6)} AS detrended
+       |FROM tt JOIN fitb2 f USING (user_id)""".stripMargin
+
   val severity: String =
     chain(0.9) + "SELECT user_id, d, t_anom, severity FROM sev"
 

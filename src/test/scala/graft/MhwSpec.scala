@@ -125,6 +125,33 @@ class MhwSpec extends AnyFunSuite {
     assert(math.abs(e.getAs[Double]("rate_decline") - (6.0 - 3.0) / 2) < 1e-9)
   }
 
+  test("detrendPoly2 recovers an exact quadratic; detrendBaseline fits the first half only") {
+    val base = Date.valueOf("2024-01-01").toLocalDate
+    // y = 2 + 0.5t − 0.01t² exactly → quadratic detrend leaves ~0
+    val quad = (0 until 40).map { i =>
+      (1L, base.plusDays(i).toString, 2.0 + 0.5 * i - 0.01 * i * i)
+    }
+    val dfQ = quad.toDF("user_id", "ds", "sst")
+      .select($"user_id", to_date($"ds").as("d"), $"sst")
+    val resQ = Mhw.detrendPoly2Daily(dfQ).collect()
+    assert(resQ.forall(r => math.abs(r.getAs[Double]("detrended")) < 1e-6))
+
+    // Slope 1 on days 0-19, flat at 19 after → baseline (t ≤ 19) fit has
+    // slope 1, so the detrended tail falls below zero; a full-record fit
+    // would not produce detrended(t=20) ≈ −1.
+    val kinked = (0 until 40).map { i =>
+      (1L, base.plusDays(i).toString, math.min(i, 19).toDouble)
+    }
+    val dfK = kinked.toDF("user_id", "ds", "sst")
+      .select($"user_id", to_date($"ds").as("d"), $"sst")
+    val resK = Mhw.detrendBaselineDaily(dfK).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay -
+                  base.toEpochDay -> r.getAs[Double]("detrended")).toMap
+    assert(math.abs(resK(10L)) < 1e-6)          // inside baseline: exact fit
+    assert(math.abs(resK(20L) - (-1.0)) < 1e-6) // one day past the kink
+    assert(math.abs(resK(39L) - (-20.0)) < 1e-6)
+  }
+
   test("pooledQuantile: strict skipna nulls a window containing NaN") {
     val base = Date.valueOf("2024-06-01").toLocalDate
     val rows = (0 until 20).map { i =>
