@@ -607,4 +607,154 @@ object TextOps {
        |            THEN ${sqlR("entropy / (" + sqlR("ln(n_distinct)", 6) + ")", 6)}
        |            ELSE 0.0 END AS norm_entropy
        |FROM ent""".stripMargin
+
+  /** #24h dedup_containment: asymmetric shingle containment
+    * |A ∩ B| / min(|A|, |B|) over candidate pairs — catches
+    * sub-document duplication (a short doc wholly quoted inside a long
+    * one) that symmetric Jaccard under-scores, the standard complement
+    * to Jaccard in corpus dedup (Broder's containment). Same
+    * inverted-index shape as n-gram Jaccard: the pair space is never
+    * materialized, only bucket-cooccurring pairs score. */
+  def dedupContainment(s: SparkSession, dir: String, tau: Double = 0.6): DataFrame = {
+    val docs = shingleTable(Tables.documents(s, dir))
+    val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("containment",
+        r(col("shared") / least(col("n_a"), col("n_b")), 6))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("shared"),
+              col("n_a"), col("n_b"), col("containment"))
+  }
+
+  val dedupContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(CASE WHEN len(t) >= 3 THEN
+      |             list_transform(range(1, len(t) - 1),
+      |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |           ELSE [] END) AS s
+      |    FROM toks)
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, shared, c1.n AS n_a, c2.n AS n_b,
+      |       floor((shared / LEAST(c1.n, c2.n)) * 1e6 + 0.5) / 1e6 AS containment
+      |FROM pairs JOIN cnt c1 ON id_a = c1.doc_id JOIN cnt c2 ON id_b = c2.doc_id
+      |WHERE floor((shared / LEAST(c1.n, c2.n)) * 1e6 + 0.5) / 1e6 >= 0.6""".stripMargin
+
+  /** #24i text_passage_dedup: passage-level duplication — fixed 20-word
+    * chunks fingerprinted per document, duplicate passages (same chunk
+    * text appearing in more than one document) counted per doc. The
+    * passage table is the unit of cross-doc boilerplate removal in
+    * large-corpus curation (paragraph dedup with a fixed chunker, since
+    * this corpus has no newlines). Map-side chunking, one shuffle on
+    * the passage fingerprint (bounded groups), one on doc_id. */
+  def textPassageDedup(s: SparkSession, dir: String, chunk: Int = 20): DataFrame = {
+    val t = lowerTokens(col("text"))
+    val nChunks = ceil(size(t).cast("double") / chunk).cast("int")
+    val passages = Tables.documents(s, dir).select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(t, i * chunk + 1, lit(chunk))))).as("passage"))
+      .select(col("doc_id"), md5(col("passage")).as("pfp"))
+    val dupFps = passages.groupBy(col("pfp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    // no broadcast hint: the duplicated-passage set is unbounded at
+    // corpus scale; the left join reuses the pfp exchange from the
+    // groupBy above (AQE still promotes to broadcast when it IS small)
+    passages
+      .join(dupFps.select(col("pfp")).withColumn("is_dup", lit(1)),
+        Seq("pfp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+           sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("n_dup_passages"))
+      .withColumn("dup_frac", r(col("n_dup_passages") / col("n_passages"), 6))
+  }
+
+  val textPassageDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      |),
+      |passages AS (
+      |  SELECT doc_id,
+      |         md5(unnest(list_transform(
+      |           range(0, CAST(ceil(len(t) / 20.0) AS INT)),
+      |           i -> array_to_string(t[i*20+1 : i*20+20], ' ')))) AS pfp
+      |  FROM toks
+      |),
+      |dupfps AS (
+      |  SELECT pfp FROM passages GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+      |)
+      |SELECT p.doc_id, count(*) AS n_passages,
+      |       CAST(sum(CASE WHEN d.pfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_passages,
+      |       floor((CAST(sum(CASE WHEN d.pfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |              / count(*)) * 1e6 + 0.5) / 1e6 AS dup_frac
+      |FROM passages p LEFT JOIN dupfps d ON p.pfp = d.pfp
+      |GROUP BY 1""".stripMargin
+
+  /** #24j text_gopher_rules: the Gopher quality-rule battery (Rae et al.
+    * 2021 §A.1.1, public): word-count bounds, mean-word-length bounds,
+    * minimum alpha-word fraction, minimum stopword hits — emitted as
+    * per-rule booleans plus the conjunctive keep flag, so downstream
+    * curation can audit which rule fired. Single scan, no shuffle. */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val t = lowerTokens(col("text"))
+    val nWords = size(t)
+    val meanLen = r((length(col("text")) - (nWords - 1).cast("double")) / nWords, 6)
+    val alphaFrac = r(size(filter(t, w => w.rlike("[a-z]"))) / nWords.cast("double"), 6)
+    val nStop = markerCount(t, stopwordsEn)
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"),
+        nStop.cast("long").as("n_stop"))
+      .withColumn("ok_count", col("n_words").between(50, 100000))
+      .withColumn("ok_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("ok_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("ok_count") && col("ok_word_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
+  val textGopherRulesSql: String = {
+    val stopList = stopwordsEn.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         len(string_split(lower(trim(text)), ' ')) AS n_words,
+       |         floor(((length(text) - CAST(len(string_split(lower(trim(text)), ' ')) - 1 AS DOUBLE))
+       |                / len(string_split(lower(trim(text)), ' '))) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       |         floor((len(list_filter(string_split(lower(trim(text)), ' '),
+       |                                w -> regexp_matches(w, '[a-z]')))
+       |                / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |           AS alpha_frac,
+       |         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+       |                              x -> x IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+       |       n_words BETWEEN 50 AND 100000 AS ok_count,
+       |       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+       |       alpha_frac >= 0.8 AS ok_alpha,
+       |       n_stop >= 2 AS ok_stop,
+       |       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |         AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+       |FROM m""".stripMargin
+  }
 }
