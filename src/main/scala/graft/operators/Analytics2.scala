@@ -641,15 +641,31 @@ object Analytics2 {
     * is accumulated as exact integers (2^(55−rho) scaled) — no
     * order-dependent float accumulation anywhere. */
   def eventsApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    hllFinalize(hllRegisters(Tables.events(s, dir)))
+      .join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Register table (event_type, bucket, mr) of the portable HLL — the
+    * mergeable partial. Works unchanged on a streaming frame (max is
+    * the state merge), which is what Streaming.streamHll exploits. */
+  def hllRegisters(ev: DataFrame): DataFrame = {
     val h = expr("CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
-    val regs = Tables.events(s, dir)
-      .select(col("event_type"), h.as("h"))
+    ev.select(col("event_type"), h.as("h"))
       .select(col("event_type"), (col("h") % 64).as("bucket"),
               expr("h div 64").as("rest"))
       .withColumn("rho", lit(55) - length(ltrim(bin(col("rest")), "0")))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("mr"))
-    val est = regs.groupBy(col("event_type"))
+  }
+
+  /** Estimator over a register table: integer-exact register sum,
+    * linear-counting correction for sparse registers. */
+  def hllFinalize(regs: DataFrame): DataFrame =
+    regs.groupBy(col("event_type"))
       .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mr)")) +
             (lit(64L) - count(lit(1))) * expr("shiftleft(CAST(1 AS BIGINT), 55)")).as("sum_int"),
            (lit(64L) - count(lit(1))).as("v_empty"))
@@ -658,12 +674,6 @@ object Analytics2 {
         r(when(col("v_empty") > 0 && col("e_raw") <= 160.0,
                lit(64.0) * log(lit(64.0) / col("v_empty")))
           .otherwise(col("e_raw")), 2))
-    val exact = Tables.events(s, dir).groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
-    est.join(broadcast(exact), Seq("event_type"))
-      .select(col("event_type"), col("n_exact"), col("hll_est"))
-      .orderBy(col("event_type"))
-  }
 
   val eventsApproxDistinctSql: String =
     s"""WITH hashed AS (

@@ -23,6 +23,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream_hll: register maxes merge across micro-batches; estimate equals batch sketch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    import graft.operators.Analytics2
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.filter(expr(s"ts div 1000 <= $cut")).coalesce(1).write.parquet(s"$dir/in/b=0")
+    raw.filter(expr(s"ts div 1000 > $cut")).coalesce(1).write.parquet(s"$dir/in/b=1")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType),
+      StructField("b", IntegerType)))
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Analytics2.hllRegisters(events)
+      .writeStream.format("memory").queryName("hll_batches")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2)
+    val streamed = Analytics2.hllFinalize(spark.table("hll_batches"))
+      .select("event_type", "hll_est").collect().map(_.toSeq).toSet
+    val batch = Analytics2.hllFinalize(Analytics2.hllRegisters(ev))
+      .select("event_type", "hll_est").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("stream_sessionize: state carries across micro-batches") {
     import org.apache.spark.sql.functions._
     // split events at the median ts into two files; maxFilesPerTrigger=1
