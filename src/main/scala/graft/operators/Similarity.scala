@@ -397,4 +397,90 @@ object Similarity {
        |FROM embeddings a JOIN embeddings b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= 0.35""".stripMargin
+
+  // ------------------------------------------------------------- #31c PCA
+
+  /** #31c emb_pca: dominant principal component of the leading `d`
+    * embedding dimensions by power iteration — the dimensionality-
+    * reduction primitive of embedding pipelines (whitening, PCA'd ANN
+    * indexes). The heavy work is ONE corpus scan building the d×d
+    * covariance matrix with exact decimal moment sums; the iteration
+    * itself is O(d²) per round on a d-row frame — data-size-independent,
+    * like the IVF centroid loop. Determinism: v₀ is the uniform unit
+    * vector, every matvec accumulates products in DECIMAL(38,10)
+    * (order-independent), and v is rounded to 8dp each round, so the
+    * DuckDB chained-CTE replay lands on identical bits. No collect —
+    * the whole chain is lazy DataFrames. */
+  def embPca(s: SparkSession, dir: String, d: Int = 8, iters: Int = 5): DataFrame =
+    embPcaDf(Tables.embeddings(s, dir), d, iters)
+
+  /** DataFrame-generic core: expects an `embedding` array column. */
+  def embPcaDf(input: DataFrame, d: Int = 8, iters: Int = 5): DataFrame = {
+    val spark = input.sparkSession
+    // full (both-triangle) covariance of leading d dims, rounded 8dp
+    val pairs = input
+      .select(slice(col("embedding"), 1, d).as("e"))
+      .select(col("e"), posexplode(col("e")).as(Seq("i0", "xr")))
+      .select(col("e"), (col("i0") + 1).as("ci"), col("xr").cast("double").as("x"),
+              posexplode(col("e")).as(Seq("j0", "yr")))
+      .select(col("ci"), (col("j0") + 1).as("cj"),
+              col("x"), col("yr").cast("double").as("y"))
+    val cov = pairs.groupBy(col("ci"), col("cj"))
+      .agg(r((dsum(col("x") * col("y")) -
+              dsum(col("x")) * dsum(col("y")) / count(lit(1))) / count(lit(1)), 8)
+             .as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def matvec(v: DataFrame): DataFrame =
+      cov.join(broadcast(v), col("cj") === col("j"))
+        .groupBy(col("ci").as("i"))
+        .agg(dsum(col("c") * col("v")).as("w"))
+    val v0 = math.floor(1.0 / math.sqrt(d.toDouble) * 1e8 + 0.5) / 1e8
+    var v = spark.range(1, d + 1)
+      .select(col("id").cast("int").as("j"), lit(v0).as("v"))
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val nrm = w.agg(sqrt(dsum(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), r(col("w") / col("nrm"), 8).as("v"))
+    }
+    // Rayleigh step: one more matvec; ‖Cv‖ of a unit v estimates λ₁
+    val lam = matvec(v).agg(r(sqrt(dsum(col("w") * col("w"))), 6).as("eigenvalue"))
+    v.crossJoin(broadcast(lam))
+      .select(col("j").as("dim"), col("v").as("loading"), col("eigenvalue"))
+      .orderBy(col("dim"))
+  }
+
+  /** Chained-CTE oracle replaying the identical power iteration. */
+  def embPcaSql(d: Int = 8, iters: Int = 5): String = {
+    val v0 = math.floor(1.0 / math.sqrt(d.toDouble) * 1e8 + 0.5) / 1e8
+    def matvec(vPrev: String, out: String) =
+      s"""$out AS (
+         |  SELECT ci AS i, ${sqlSum("c * v")} AS w
+         |  FROM cov JOIN $vPrev ON cj = j GROUP BY 1
+         |)"""
+    def normalize(w: String, out: String) =
+      s"""$out AS (
+         |  SELECT i AS j, ${sqlR(s"w / (SELECT sqrt(${sqlSum("w * w")}) FROM $w)", 8)} AS v
+         |  FROM $w
+         |)"""
+    val rounds = (1 to iters).map(it =>
+      matvec(s"v${it - 1}", s"w$it") + ",\n" + normalize(s"w$it", s"v$it"))
+      .mkString(",\n")
+    s"""WITH cov AS (
+       |  SELECT ci, cj,
+       |    ${sqlR(s"(${sqlSum("x * y")} - ${sqlSum("x")} * ${sqlSum("y")} / count(*)) / count(*)", 8)} AS c
+       |  FROM (
+       |    SELECT ii.i AS ci, jj.j AS cj,
+       |           CAST(embedding[ii.i] AS DOUBLE) AS x,
+       |           CAST(embedding[jj.j] AS DOUBLE) AS y
+       |    FROM embeddings, range(1, ${d + 1}) ii(i), range(1, ${d + 1}) jj(j))
+       |  GROUP BY 1, 2
+       |),
+       |v0 AS (SELECT j, CAST($v0 AS DOUBLE) AS v FROM range(1, ${d + 1}) t(j)),
+       |$rounds,
+       |${matvec(s"v$iters", "wf")}
+       |SELECT v.j AS dim, v.v AS loading,
+       |       (SELECT ${sqlR(s"sqrt(${sqlSum("w * w")})", 6)} FROM wf) AS eigenvalue
+       |FROM v$iters v ORDER BY dim""".stripMargin
+  }
 }

@@ -61,6 +61,24 @@ class LshSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall") // deterministic: 22/25 on this corpus
   }
 
+  test("emb_pca: recovers the dominant axis; unit loading; Rayleigh eigenvalue = axis variance") {
+    // variance only along dim 2 → C = diag(0, var, 0...), the power
+    // iteration collapses onto e₂ after one round; λ = population var
+    val vals = Seq(1.0f, 3.0f, 5.0f, 7.0f) // mean 4, pop var 5
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Array(2.0f, v, 0f, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.embPcaDf(df).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Double]("loading"), r.getAs[Double]("eigenvalue"))).toMap
+    assert(math.abs(math.abs(res(2)._1) - 1.0) < 1e-7)
+    (Seq(1, 3, 4, 5, 6, 7, 8)).foreach(d => assert(math.abs(res(d)._1) < 1e-7))
+    assert(math.abs(res(2)._2 - 5.0) < 1e-5)
+    // loadings form a unit vector
+    val norm2 = res.values.map(_._1).map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-6)
+  }
+
   test("minhash signature: permutation-min monotonicity (superset has <= minima)") {
     val df = Seq(
       (1L, Seq("a b c", "b c d")),
