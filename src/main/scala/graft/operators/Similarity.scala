@@ -398,6 +398,78 @@ object Similarity {
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= 0.35""".stripMargin
 
+  /** #31d knn_graph: the all-corpus kNN graph — top-k cosine neighbours
+    * for EVERY vector, the input structure of graph-based corpus
+    * curation (SemDeDup-style cluster pruning, kNN classifiers).
+    * Brute force would be O(n²) pair scoring; here candidates come from
+    * an LSH bucket SELF-join (same deterministic md5 hyperplanes as
+    * ann_lsh), so the pair space is Σ bucket², bounded by the banding
+    * parameters — the scale path for n in the billions. Exact cosine +
+    * bounded top-k heap only on candidates; the oracle replays the
+    * buckets bit-identically. Vectors whose buckets contain no
+    * neighbour are absent (graph isolates) — identically in both
+    * engines. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3,
+               tables: Int = 8, bits: Int = 6): DataFrame =
+    knnGraphDf(Tables.embeddings(s, dir), k, tables, bits)
+
+  /** DataFrame-generic core: expects (vec_id, embedding). */
+  def knnGraphDf(emb: DataFrame, k: Int = 3,
+                 tables: Int = 8, bits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.ensure(emb.sparkSession)
+    val ps = planes(tables, bits, 64)
+    val buck = emb.withColumn("tb", explode(array(
+        ps.zipWithIndex.map { case (p, t) =>
+          struct(lit(t).as("t"), bucketExpr(col("embedding"), p).as("b"))
+        }: _*)))
+      .select(col("vec_id"), col("tb"))
+    val candIds = buck.select(col("tb"), col("vec_id").as("q_id"))
+      .join(buck, Seq("tb"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val wn = emb.withColumn("e_norm", norm(col("embedding")))
+    candIds
+      .join(wn, "vec_id")
+      .join(wn.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                      col("e_norm").as("q_norm")), "q_id")
+      .transform(topKExact(_, k))
+  }
+
+  /** Oracle: LSH buckets regenerated in-SQL (md5 planes + sequential
+    * FloatDot mirror), bucket self-join, exact cosine, ranked top-k. */
+  def knnGraphSql(k: Int = 3, tables: Int = 8, bits: Int = 6): String =
+    s"""WITH w AS (
+       |  SELECT t, i, d,
+       |         CAST(CAST(((('0x' || substr(md5('p:' || t || ':' || i || ':' || d), 1, 12))::BIGINT % 2001) - 1000) / 1000.0 AS FLOAT) AS DOUBLE) AS w
+       |  FROM range(0, $tables) rt(t) CROSS JOIN range(0, $bits) ri(i) CROSS JOIN range(0, 64) rd(d)
+       |),
+       |wl AS (SELECT t, i, list(w ORDER BY d) AS wl FROM w GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+       |  FROM (
+       |    SELECT e.vec_id, wl.t, wl.i,
+       |           list_reduce(list_transform(range(1, 65),
+       |             d -> CAST(e.embedding[d] AS DOUBLE) * wl.wl[d]), (x, y) -> x + y) AS dot
+       |    FROM embeddings e CROSS JOIN wl)
+       |  GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id
+       |  FROM cb a JOIN cb b ON a.t = b.t AND a.b = b.b AND a.vec_id <> b.vec_id
+       |),
+       |scored AS (
+       |  SELECT n.q_id, n.vec_id,
+       |         floor((${sqlCosine("q.embedding", "e.embedding")}) * 1e6 + 0.5) / 1e6 AS cosine
+       |  FROM cand n
+       |  JOIN embeddings q ON q.vec_id = n.q_id
+       |  JOIN embeddings e ON e.vec_id = n.vec_id
+       |)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   // ------------------------------------------------------------- #31c PCA
 
   /** #31c emb_pca: dominant principal component of the leading `d`
@@ -425,11 +497,17 @@ object Similarity {
               posexplode(col("e")).as(Seq("j0", "yr")))
       .select(col("ci"), (col("j0") + 1).as("cj"),
               col("x"), col("yr").cast("double").as("y"))
+    // localCheckpoint (eager), not persist: the iteration below consumes
+    // each round's frame twice, so a lazy lineage DOUBLES per round —
+    // 2^iters plan copies and a 100×-slower query. Truncating lineage on
+    // the d×d matrix and the d-row vector keeps the plan O(1) per round;
+    // the decimal arithmetic still runs in Spark, so oracle parity is
+    // byte-identical.
     val cov = pairs.groupBy(col("ci"), col("cj"))
       .agg(r((dsum(col("x") * col("y")) -
               dsum(col("x")) * dsum(col("y")) / count(lit(1))) / count(lit(1)), 8)
              .as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     def matvec(v: DataFrame): DataFrame =
       cov.join(broadcast(v), col("cj") === col("j"))
         .groupBy(col("ci").as("i"))
@@ -442,6 +520,7 @@ object Similarity {
       val nrm = w.agg(sqrt(dsum(col("w") * col("w"))).as("nrm"))
       v = w.crossJoin(broadcast(nrm))
         .select(col("i").as("j"), r(col("w") / col("nrm"), 8).as("v"))
+        .localCheckpoint()
     }
     // Rayleigh step: one more matvec; ‖Cv‖ of a unit v estimates λ₁
     val lam = matvec(v).agg(r(sqrt(dsum(col("w") * col("w"))), 6).as("eigenvalue"))
@@ -450,8 +529,9 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
-  /** Chained-CTE oracle replaying the identical power iteration. */
-  def embPcaSql(d: Int = 8, iters: Int = 5): String = {
+  /** Shared chained-CTE replay of the power iteration: defines `cov`,
+    * `v0..v{iters}` (loadings) and `wf` (final matvec). */
+  private def pcaChainSql(d: Int, iters: Int): String = {
     val v0 = math.floor(1.0 / math.sqrt(d.toDouble) * 1e8 + 0.5) / 1e8
     def matvec(vPrev: String, out: String) =
       s"""$out AS (
@@ -478,9 +558,62 @@ object Similarity {
        |),
        |v0 AS (SELECT j, CAST($v0 AS DOUBLE) AS v FROM range(1, ${d + 1}) t(j)),
        |$rounds,
-       |${matvec(s"v$iters", "wf")}
+       |${matvec(s"v$iters", "wf")}""".stripMargin
+  }
+
+  /** Chained-CTE oracle replaying the identical power iteration. */
+  def embPcaSql(d: Int = 8, iters: Int = 5): String =
+    pcaChainSql(d, iters) +
+    s"""
        |SELECT v.j AS dim, v.v AS loading,
        |       (SELECT ${sqlR(s"sqrt(${sqlSum("w * w")})", 6)} FROM wf) AS eigenvalue
        |FROM v$iters v ORDER BY dim""".stripMargin
+
+  /** #31e emb_project: project every embedding onto the dominant
+    * principal axis and summarize the 1-d projection per label — the
+    * whitening/score step that follows PCA in embedding pipelines
+    * (outlier pruning, per-class drift checks). The projection is one
+    * map-side decimal dot against the broadcast 8-row loading vector;
+    * stats are a partial-agg groupBy on label. */
+  def embProject(s: SparkSession, dir: String, d: Int = 8, iters: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val v = embPcaDf(emb, d, iters).select(col("dim"), col("loading"))
+    val proj = emb
+      .select(col("vec_id"), col("label"), posexplode(slice(col("embedding"), 1, d)))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+              col("col").cast("double").as("x"))
+      .join(broadcast(v), "dim")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(r(dsum(col("x") * col("loading")), 6).as("proj"))
+    proj.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           davg(col("proj"), 6).as("mean_proj"),
+           dsum(col("proj")).as("p1"),
+           dsum(col("proj") * col("proj")).as("p2"))
+      .withColumn("sd_proj",
+        r(sqrt(greatest(col("p2") / col("n") - (col("p1") / col("n")) * (col("p1") / col("n")),
+                        lit(0.0))), 6))
+      .select(col("label"), col("n"), col("mean_proj"), col("sd_proj"))
+      .orderBy(col("label"))
   }
+
+  def embProjectSql(d: Int = 8, iters: Int = 5): String =
+    pcaChainSql(d, iters) +
+    s""",
+       |proj AS (
+       |  SELECT e.vec_id, e.label,
+       |         ${sqlR(sqlSum("CAST(e.embedding[v.j] AS DOUBLE) * v.v"), 6)} AS proj
+       |  FROM embeddings e CROSS JOIN v$iters v
+       |  GROUP BY 1, 2
+       |),
+       |st AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |         ${sqlAvg("proj", 6)} AS mean_proj,
+       |         ${sqlSum("proj")} AS p1,
+       |         ${sqlSum("proj * proj")} AS p2
+       |  FROM proj GROUP BY 1
+       |)
+       |SELECT label, n, mean_proj,
+       |       ${sqlR("sqrt(greatest(p2 / n - (p1 / n) * (p1 / n), 0.0))", 6)} AS sd_proj
+       |FROM st ORDER BY label""".stripMargin
 }

@@ -79,6 +79,42 @@ class LshSpec extends AnyFunSuite {
     assert(math.abs(norm2 - 1.0) < 1e-6)
   }
 
+  test("knn_graph: high recall on clustered vectors; ranks strictly ordered") {
+    // three tight clusters of 10 (64-dim, one dominant axis each ±small
+    // deterministic jitter) — nearest neighbours live inside the
+    // cluster, which is LSH's favourable case
+    val rows = for {
+      c <- 0 until 3
+      m <- 0 until 10
+    } yield {
+      val arr = Array.fill(64)(0.0f)
+      arr(c * 3) = 1.0f
+      arr((c * 3 + 1) % 64) = 0.05f * ((m % 5) - 2)
+      ((c * 10 + m).toLong, arr)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraphDf(emb, k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+    // every edge stays within the source's cluster (cross-cluster cosine
+    // is ~0, within-cluster ~1) and ranks are 1..m with non-increasing
+    // cosine per source
+    assert(g.nonEmpty)
+    g.foreach { case (q, v, _, _) => assert(q / 10 == v / 10) }
+    g.groupBy(_._1).foreach { case (_, edges) =>
+      val sorted = edges.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse == sorted.map(_._3).toSeq)
+    }
+    // recall vs the exact graph: clustered vectors bucket together
+    val brute = Similarity.knnBruteDf(emb,
+        emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val edges = g.map(e => (e._1, e._2)).toSet
+    val recall = (edges & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("minhash signature: permutation-min monotonicity (superset has <= minima)") {
     val df = Seq(
       (1L, Seq("a b c", "b c d")),
