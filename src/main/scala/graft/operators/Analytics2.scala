@@ -231,10 +231,14 @@ object Analytics2 {
     * brand marginals broadcast back. The association-rules shape for
     * recommender features. */
   def brandAffinity(s: SparkSession, dir: String, minPairs: Long = 20): DataFrame = {
+    // ob feeds four consumers (tot, marg, both self-join sides) —
+    // materialize once instead of re-running lineitem⋈part + distinct
+    // per consumer (localCheckpoint: no CacheManager registry entry)
     val ob = Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
+      .localCheckpoint(false)
     // total-orders is a lazy broadcast scalar, not a driver-side count —
     // constructing the plan must never run a job
     val tot = ob.agg(countDistinct(col("ok")).cast("double").as("n_total"))

@@ -616,7 +616,9 @@ object TextOps {
     * inverted-index shape as n-gram Jaccard: the pair space is never
     * materialized, only bucket-cooccurring pairs score. */
   def dedupContainment(s: SparkSession, dir: String, tau: Double = 0.6): DataFrame = {
-    val docs = shingleTable(Tables.documents(s, dir))
+    // the shingle table feeds three consumers (both self-join sides +
+    // counts) — materialize it once rather than re-tokenizing per side
+    val docs = shingleTable(Tables.documents(s, dir)).localCheckpoint(false)
     val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     inv.as("a").join(inv.as("b"),
