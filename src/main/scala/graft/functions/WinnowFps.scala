@@ -28,6 +28,11 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
+      // k/w are user-supplied via the SQL registration: w < 1 would
+      // bypass the length floor and let the deque evict the index it
+      // just pushed (stale-slot reads / AIOOBE), k < 1 gives empty grams
+      case _ if k < 1 || w < 1 => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fps requires k >= 1 and w >= 1, got k=$k, w=$w")
       case StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
         s"winnow_fps expects a string column, got $t")

@@ -205,13 +205,10 @@ object LshDedup {
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
     dedupSimhashDf(Tables.documents(s, dir), maxHamming)
 
-  private val simhashCache = scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
-
   private def simhashBitsTable(input: DataFrame): DataFrame =
-    simhashCache.getOrElseUpdate(
-      input.semanticHash().toLong << 32 | System.identityHashCode(input.sparkSession),
+    graft.Caches.persisted(input.sparkSession, ("simhash_bits", input.semanticHash())) {
       input.select(col("doc_id"), simhashBits(lowerTokens(col("text"))).as("bits"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** DataFrame-generic core: expects canonical (doc_id, text). */
   def dedupSimhashDf(input: DataFrame, maxHamming: Int = 8): DataFrame = {

@@ -42,22 +42,20 @@ import graft.time.DoyFunctions._
   */
 object Mhw {
 
-  private val dailyCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   /** Daily series: one observation per (series key, calendar day).
     * sst = mean event value that day, rounded (6dp) for cross-engine
     * parity. Adds year + leap-normalized DOY. Memoized + persisted per
-    * (session, dir): every operator in the MHW chain starts here, and
-    * the table is tiny relative to the events it aggregates. */
+    * (session, dir) in the bounded [[graft.Caches]] registry: every
+    * operator in the MHW chain starts here, and the table is tiny
+    * relative to the events it aggregates. */
   def daily(s: SparkSession, dir: String): DataFrame =
-    dailyCache.getOrElseUpdate((s, dir),
+    graft.Caches.persisted(s, ("mhw_daily", dir)) {
       Tables.events(s, dir)
         .groupBy(col("user_id"), to_date(col("ts")).as("d"))
         .agg(davg(col("value"), 6).as("sst"))
         .withColumn("yr", year(col("d")))
         .withColumn("doy", climDoy(col("d")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Distinct dates → leap-normalized DOY (query #1). */
   def climDoyTable(s: SparkSession, dir: String): DataFrame =
@@ -217,7 +215,7 @@ object Mhw {
       .withColumn("intercept",
         col("sy") / col("n") - col("slope") * (col("st") / col("n")))
       .select(col("user_id"), col("slope"), col("intercept"))
-    t.join(broadcast(fit), "user_id")
+    t.join(graft.Hints.keyDim(fit), "user_id")
       .select(col("user_id"), col("d"),
         r(col("sst") - col("intercept") - col("slope") * col("t"), 6)
           .as("detrended"))
@@ -274,7 +272,7 @@ object Mhw {
          col("s1") * (col("s1") * col("st2y") - col("sty") * col("s2")) +
          col("sy") * (col("s1") * col("s3") - col("s2") * col("s2"))) / col("det"))
       .select(col("user_id"), col("c0"), col("c1"), col("c2"))
-    t.join(broadcast(fit), "user_id")
+    t.join(graft.Hints.keyDim(fit), "user_id")
       .select(col("user_id"), col("d"),
         r(col("sst") - col("c0") - col("c1") * col("t") -
           col("c2") * col("t") * col("t"), 6).as("detrended"))
@@ -310,7 +308,7 @@ object Mhw {
       .withColumn("intercept",
         col("sy") / col("n") - col("slope") * (col("st") / col("n")))
       .select(col("user_id"), col("slope"), col("intercept"))
-    t.join(broadcast(fit), "user_id")
+    t.join(graft.Hints.keyDim(fit), "user_id")
       .select(col("user_id"), col("d"),
         r(col("sst") - col("intercept") - col("slope") * col("t"), 6)
           .as("detrended"))
@@ -320,11 +318,15 @@ object Mhw {
 
   /** common.calculate_severity: T_anom = sst − seas(doy); severity =
     * T_anom / (thresh(doy) − seas(doy) + 1e-9). Clim tables are
-    * broadcast — the fact side never shuffles. */
+    * key-proportional dims (366 rows per key): broadcast by default so
+    * the fact side never shuffles, gated by [[graft.Hints.keyDim]] for
+    * deployments whose key cardinality would OOM a broadcast — both
+    * gated joins share the (user_id, doy) key, so the degraded plan
+    * shuffles the fact side once. */
   def severity(dailyDf: DataFrame, seas: DataFrame, thresh: DataFrame): DataFrame =
     dailyDf
-      .join(broadcast(seas), Seq("user_id", "doy"))
-      .join(broadcast(thresh), Seq("user_id", "doy"))
+      .join(graft.Hints.keyDim(seas), Seq("user_id", "doy"))
+      .join(graft.Hints.keyDim(thresh), Seq("user_id", "doy"))
       .select(col("user_id"), col("d"),
         r(col("sst") - col("seas"), 6).as("t_anom"),
         r((col("sst") - col("seas")) /
@@ -334,22 +336,24 @@ object Mhw {
         // projects them away, so its contract is unchanged
         col("sst"), col("seas"), col("thresh"))
 
-  private val sevCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Double), DataFrame]
-
   /** Severity over the bp-smooth chain at the given pctile. The clim
     * tables are persisted (broadcast to facts, reused by every consumer)
     * and the chain itself is memoized per (session, dir, pctile) — the
-    * event and category queries share one evaluation. */
+    * event and category queries share one evaluation. The seas table is
+    * keyed WITHOUT the pctile (it doesn't depend on it), so chains at
+    * two pctiles share one persisted copy instead of double-persisting
+    * an identical plan. */
   def severityChain(s: SparkSession, dir: String, pctile: Double = 0.9): DataFrame =
-    sevCache.getOrElseUpdate((s, dir, pctile), {
+    graft.Caches.persisted(s, ("mhw_sev", dir, pctile)) {
       val dl = daily(s, dir)
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      severity(dl,
-        smoothDoy(climatologyBp(dl), "seas").persist(lvl),
-        smoothDoy(pooledQuantile(dl, 5, pctile), "thresh").persist(lvl))
-        .persist(lvl)
-    })
+      val seas = graft.Caches.persisted(s, ("mhw_seas", dir)) {
+        smoothDoy(climatologyBp(dl), "seas")
+      }
+      val thresh = graft.Caches.persisted(s, ("mhw_thresh", dir, pctile)) {
+        smoothDoy(pooledQuantile(dl, 5, pctile), "thresh")
+      }
+      severity(dl, seas, thresh)
+    }
 
   // ---------------------------------------------------------------- events
 
@@ -374,9 +378,10 @@ object Mhw {
       .withColumn("idx", datediff(col("d"), col("d0")))
     val events = eventSpans(s, minDuration, maxGap)
 
-    // Span-join facts back (events are tiny → broadcast), window for the
-    // per-event max, then one grouped pass incl. first-argmax peak.
-    val span = s.join(broadcast(events),
+    // Span-join facts back (events are per-key → keyDim-gated
+    // broadcast), window for the per-event max, then one grouped pass
+    // incl. first-argmax peak.
+    val span = s.join(graft.Hints.keyDim(events),
         s("user_id") === events("user_id") &&
         col("idx").between(col("index_start"), col("index_end")))
       .drop(events("user_id"))
@@ -507,7 +512,7 @@ object Mhw {
         when(lead("idx", 1).over(wOrd) - col("idx") === 1,
           lead("t_anom", 1).over(wOrd)))
     val events = eventSpans(t, minDuration, maxGap)
-    val span = t.join(broadcast(events),
+    val span = t.join(graft.Hints.keyDim(events),
         t("user_id") === events("user_id") &&
         col("idx").between(col("index_start"), col("index_end")))
       .drop(events("user_id"))

@@ -219,17 +219,16 @@ object TextOps {
   def dedupNgramJaccard(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame =
     dedupNgramJaccardSh(shingleTable(Tables.documents(s, dir)), tau)
 
-  private val shingleCache = scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
-
   /** Persisted (doc_id, sh) shingle table, memoized per input plan —
     * the n-gram Jaccard and MinHash operators share one evaluation.
     * Persisted because it feeds both self-join sides and the per-doc
     * counts; without it Spark re-derives the (expensive) shingle arrays
-    * per reference, and column-pruned explode re-runs the expression. */
+    * per reference, and column-pruned explode re-runs the expression.
+    * Keyed on (session, semanticHash) in the bounded Caches registry. */
   def shingleTable(input: DataFrame): DataFrame =
-    shingleCache.getOrElseUpdate(input.semanticHash().toLong << 32 | System.identityHashCode(input.sparkSession),
+    graft.Caches.persisted(input.sparkSession, ("shingles", input.semanticHash())) {
       input.select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** DataFrame-generic core: expects canonical (doc_id, text). */
   def dedupNgramJaccardDf(input: DataFrame, tau: Double = 0.3): DataFrame =

@@ -133,4 +133,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"), s"no fact-fact SMJ expected:\n$p")
   }
+
+  test("severity/events degrade to co-partitioned shuffle joins when key-dim " +
+       "broadcasts are disabled — never nested-loop or cartesian") {
+    // the 100×-key-cardinality posture: no forced broadcast of the
+    // key-proportional clim/fit/span tables AND no auto-broadcast — the
+    // optimizer must fall back to keyed shuffle joins, not a BNLJ/CP
+    spark.conf.set(graft.Hints.BroadcastKeyDims, "false")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dl = Mhw.daily(spark, sf)
+      // pctile 0.8: a plan no other test persisted — the CacheManager
+      // would otherwise substitute the earlier severityChain(0.9) cache
+      // entry, whose materialization plan has the hints baked in
+      val sev = Mhw.severity(dl,
+        Mhw.smoothDoy(Mhw.climatologyBp(dl), "seas"),
+        Mhw.smoothDoy(Mhw.pooledQuantile(dl, 5, 0.8), "thresh"))
+      val pSev = plan(sev)
+      assert(!pSev.contains("BroadcastNestedLoopJoin"), pSev)
+      assert(!pSev.contains("CartesianProduct"), pSev)
+      assert(pSev.contains("SortMergeJoin") || pSev.contains("ShuffledHashJoin"), pSev)
+      val pEv = plan(Mhw.detectEvents(sev, 3, 2))
+      assert(!pEv.contains("CartesianProduct"), pEv)
+      // the only BNLJs allowed are the 1-row origin-scalar crossJoins
+      // (min-date alignment) — every keyed join must be a hash/merge
+      // join, so no BNLJ may carry a join condition (Inner/Outer kind)
+      val keyedBnlj = "BroadcastNestedLoopJoin (?!Cross)".r.findAllIn(pEv).length
+      assert(keyedBnlj == 0, s"keyed BNLJ in events plan:\n$pEv")
+      assert(pEv.contains("SortMergeJoin") || pEv.contains("ShuffledHashJoin"), pEv)
+    } finally {
+      spark.conf.set(graft.Hints.BroadcastKeyDims, "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
 }
