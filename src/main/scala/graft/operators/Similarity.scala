@@ -363,22 +363,45 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
   }
 
-  /** #32 cosine near-duplicate pairs, blocked by label (pairs are only
-    * scored within a label block — the blocking key bounds the pair
-    * space; at 100 TB the block is the shuffle key). */
+  /** #32 cosine near-duplicate pairs: candidates from an LSH bucket
+    * SELF-join (the same deterministic md5 hyperplanes as [[annLsh]] /
+    * [[knnGraph]]), exact-cosine verified, label-blocked as a
+    * post-filter. The pair space is Σ bucket² — bounded by the banding
+    * parameters — NOT O(n²) per label block: a skewed label (billions
+    * of vectors under one label at 100 TB) can no longer go quadratic.
+    * Precision is exact (every emitted pair passes the decimal-exact
+    * cosine ≥ τ); recall is the LSH collision probability, pinned vs
+    * the exhaustive [[embDedupCosineExactDf]] baseline in LshSpec.
+    * The oracle replays the buckets bit-identically, like knn_graph. */
   def embDedupCosine(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame =
     embDedupCosineDf(Tables.embeddings(s, dir), tau)
 
   /** DataFrame-generic core: expects (vec_id, embedding, label). */
-  def embDedupCosineDf(input: DataFrame, tau: Double = 0.35): DataFrame = {
+  def embDedupCosineDf(input: DataFrame, tau: Double = 0.35,
+                       tables: Int = 16, bits: Int = 6): DataFrame = {
     graft.functions.GraftFunctions.ensure(input.sparkSession)
-    val e = input.withColumn("nrm", norm(col("embedding")))
-    val a = e.select(col("label"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("nrm").as("n_a"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("label"))
+    val ps = planes(tables, bits, 64)
+    val buck = input.withColumn("tb", explode(array(
+        ps.zipWithIndex.map { case (p, t) =>
+          struct(lit(t).as("t"), bucketExpr(col("embedding"), p).as("b"))
+        }: _*)))
+      .select(col("vec_id"), col("tb"))
+    // the bucket join carries only (vec_id, tb); pairs dedupe on bare
+    // ids before the vectors join back (cheap long-pair distinct)
+    val candIds = buck.select(col("tb"), col("vec_id").as("id_a"))
+      .join(buck.select(col("tb"), col("vec_id").as("id_b")), Seq("tb"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val e = input.withColumn("nrm", norm(col("embedding")))
+    candIds
+      .join(e.select(col("vec_id").as("id_a"), col("label"),
+                     col("embedding").as("emb_a"), col("nrm").as("n_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+                     col("embedding").as("emb_b"), col("nrm").as("n_b")), "id_b")
+      // label blocking as a post-filter on candidates (the reference
+      // near-dup contract: only same-label pairs are duplicates)
+      .filter(col("label") === col("label_b"))
       // fast prefilter via the native FloatDot expression: its IEEE sum
       // differs from dotDec by < 1e-12, so a 1e-9 slack can't drop a
       // pair the exact cosine would keep; the (slow) decimal dot then
@@ -391,12 +414,59 @@ object Similarity {
       .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
   }
 
-  val embDedupCosineSql: String =
-    s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+  /** The pre-LSH exhaustive form — O(n²) per label block — retained as
+    * the recall baseline ([[embDedupCosineDf]] output is a subset of
+    * this by construction; LshSpec pins the recall). Not registered as
+    * a query: the all-pairs shape is exactly what a skewed label makes
+    * quadratic at scale. */
+  def embDedupCosineExactDf(input: DataFrame, tau: Double = 0.35): DataFrame = {
+    graft.functions.GraftFunctions.ensure(input.sparkSession)
+    val e = input.withColumn("nrm", norm(col("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("n_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("float_dot", col("emb_a"), col("emb_b")) /
+              (col("n_a") * col("n_b")) >= tau - 1e-9)
+      .withColumn("cosine",
+        r(dotDec(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("label"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Oracle: LSH buckets regenerated in-SQL (md5 planes + the
+    * sequential-fold FloatDot mirror — bit-identical signs), bucket
+    * self-join, label post-filter, exact cosine ≥ τ. */
+  def embDedupCosineSql(tau: Double = 0.35,
+                        tables: Int = 16, bits: Int = 6): String =
+    s"""WITH w AS (
+       |  SELECT t, i, d,
+       |         CAST(CAST(((('0x' || substr(md5('p:' || t || ':' || i || ':' || d), 1, 12))::BIGINT % 2001) - 1000) / 1000.0 AS FLOAT) AS DOUBLE) AS w
+       |  FROM range(0, $tables) rt(t) CROSS JOIN range(0, $bits) ri(i) CROSS JOIN range(0, 64) rd(d)
+       |),
+       |wl AS (SELECT t, i, list(w ORDER BY d) AS wl FROM w GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+       |  FROM (
+       |    SELECT e.vec_id, wl.t, wl.i,
+       |           list_reduce(list_transform(range(1, 65),
+       |             d -> CAST(e.embedding[d] AS DOUBLE) * wl.wl[d]), (x, y) -> x + y) AS dot
+       |    FROM embeddings e CROSS JOIN wl)
+       |  GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cb a JOIN cb b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+       |)
+       |SELECT a.label, n.id_a, n.id_b,
        |       floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 AS cosine
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= 0.35""".stripMargin
+       |FROM cand n
+       |JOIN embeddings a ON a.vec_id = n.id_a
+       |JOIN embeddings b ON b.vec_id = n.id_b
+       |WHERE a.label = b.label
+       |  AND floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= $tau""".stripMargin
 
   /** #31d knn_graph: the all-corpus kNN graph — top-k cosine neighbours
     * for EVERY vector, the input structure of graph-based corpus

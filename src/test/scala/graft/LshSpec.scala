@@ -115,6 +115,39 @@ class LshSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("emb_dedup_cosine: exact-verified subset of exhaustive pairs; near-dup recall ~1") {
+    // LSH-candidate pairs are a SUBSET of the exhaustive all-pairs form
+    // with identical exact cosines (precision 1 by construction)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.embDedupCosineExactDf(emb)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.embDedupCosineDf(emb)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    lsh.foreach { case (k, c) => assert(exact.get(k).contains(c)) }
+    // τ=0.35 on uniform random vectors is LSH's WORST case (pairs sit at
+    // the decision boundary, collision prob ≈ 0.6^6/table); deterministic
+    // md5 planes → this is a regression pin, not a statistical bound
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"worst-case recall=$recall (${lsh.size}/${exact.size})")
+    // genuinely near-duplicate pairs (the operator's actual target) are
+    // caught essentially always: three tight clusters, within-cluster
+    // cosine ≥ 0.99, labels = cluster
+    val rows = for { c <- 0 until 3; m <- 0 until 10 } yield {
+      val arr = Array.fill(64)(0.0f)
+      arr(c * 3) = 1.0f
+      arr((c * 3 + 1) % 64) = 0.05f * ((m % 5) - 2)
+      ((c * 10 + m).toLong, arr, s"label$c")
+    }
+    val clustered = rows.toDF("vec_id", "embedding", "label")
+    val exactC = Similarity.embDedupCosineExactDf(clustered, tau = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val lshC = Similarity.embDedupCosineDf(clustered, tau = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(exactC.nonEmpty)
+    val recallC = (lshC & exactC).size.toDouble / exactC.size
+    assert(recallC >= 0.95, s"near-dup recall=$recallC")
+  }
+
   test("minhash signature: permutation-min monotonicity (superset has <= minima)") {
     val df = Seq(
       (1L, Seq("a b c", "b c d")),
