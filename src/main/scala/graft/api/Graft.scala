@@ -7,11 +7,25 @@ import graft.operators.Mhw
 import graft.time.DoyFunctions
 
 /** Column mapping from a user's long-format DataFrame onto the engine's
-  * canonical series layout: `keyCol` identifies a series (the reference's
-  * spatial cell), `timeCol` is a date/timestamp, `valueCol` the measured
-  * variable (SST in the reference). */
-case class SeriesConfig(keyCol: String = "key", timeCol: String = "time",
-                        valueCol: String = "value")
+  * canonical series layout: `keyCols` identify a series — one column for
+  * a flat key, several for the reference's multi-dimensional spatial
+  * cells (lat, lon — best_practice/climatology.py:153 keeps every
+  * non-time dim). Multi-column keys are carried through the engine as a
+  * struct-valued `user_id` (struct equality drives every groupBy /
+  * window / join identically to a flat key) and re-expanded by
+  * [[Graft.restoreKeys]]. `timeCol` is a date/timestamp, `valueCol` the
+  * measured variable (SST in the reference). */
+case class SeriesConfig(keyCols: Seq[String] = Seq("key"),
+                        timeCol: String = "time",
+                        valueCol: String = "value") {
+  require(keyCols.nonEmpty, "SeriesConfig needs at least one key column")
+}
+
+object SeriesConfig {
+  /** Single-key convenience mirroring the original flat-key signature. */
+  def apply(keyCol: String, timeCol: String, valueCol: String): SeriesConfig =
+    SeriesConfig(Seq(keyCol), timeCol, valueCol)
+}
 
 /** User-facing API mirroring the reference's public surface
   * (mhw3d.legacy / mhw3d.best_practice / mhw3d.common — see
@@ -33,18 +47,44 @@ object Graft {
   /** Leap-normalized DOY (Feb 29 = 60, Mar 1 = 61, every year). */
   def climDoy(c: Column): Column = DoyFunctions.climDoy(c)
 
+  /** The canonical series key for a config: the bare column for a flat
+    * key, a named struct of the key columns for a multi-dim grid. */
+  private def keyExpr(cfg: SeriesConfig): Column = cfg.keyCols match {
+    case Seq(single) => col(single)
+    case many => struct(many.map(c => col(c).as(c)): _*)
+  }
+
+  /** Re-expand a struct-valued `user_id` (produced by a multi-column
+    * [[SeriesConfig]]) back into its original key columns, keeping every
+    * other column. No-op shape for flat keys (pass their name). */
+  def restoreKeys(df: DataFrame, cfg: SeriesConfig): DataFrame = cfg.keyCols match {
+    case Seq(_) => df
+    case many =>
+      val rest = df.columns.filter(_ != "user_id").map(col)
+      df.select(many.map(k => col(s"user_id.$k").as(k)) ++ rest: _*)
+  }
+
   /** Normalize a user DataFrame to the canonical daily-series layout
     * (one row per key per day; multiple observations per day averaged),
-    * optionally restricted to an inclusive year baseline. */
+    * optionally restricted to an inclusive year baseline or — matching
+    * the reference's date-granular `baseline_period=slice(...)`
+    * (best_practice/climatology.py:95-96, :150-151) — an inclusive
+    * calendar-date slice `baselineDates=(from, to)` (ISO dates). */
   def dailySeries(df: DataFrame, cfg: SeriesConfig = SeriesConfig(),
-                  baseline: Option[(Int, Int)] = None): DataFrame = {
+                  baseline: Option[(Int, Int)] = None,
+                  baselineDates: Option[(String, String)] = None): DataFrame = {
     val base = df.select(
-      col(cfg.keyCol).as("user_id"),
+      keyExpr(cfg).as("user_id"),
       to_date(col(cfg.timeCol)).as("d"),
       col(cfg.valueCol).cast("double").as("v"))
-    val filtered = baseline match {
+    val byYears = baseline match {
       case Some((y0, y1)) => base.filter(year(col("d")).between(y0, y1))
       case None => base
+    }
+    val filtered = baselineDates match {
+      case Some((from, to)) =>
+        byYears.filter(col("d").between(to_date(lit(from)), to_date(lit(to))))
+      case None => byYears
     }
     filtered.groupBy(col("user_id"), col("d"))
       .agg(graft.Parity.davg(col("v"), 6).as("sst"))
@@ -94,11 +134,19 @@ object Graft {
     if (smoothPercentile) Mhw.smoothDoy(t, "thresh", half(smoothPercentileWidth)) else t
   }
 
-  /** best_practice.detrend (deg=1): OLS fit per key over the baseline
-    * years, trend evaluated and subtracted over the FULL record. */
+  /** best_practice.detrend (deg=1): OLS fit per key over the baseline —
+    * inclusive years OR the reference's date-granular `period=slice(...)`
+    * as inclusive ISO dates (climatology.py:71 `da.sel(time=period)`);
+    * `period` wins when both are given. Trend evaluated and subtracted
+    * over the FULL record. */
   def detrend(df: DataFrame, cfg: SeriesConfig = SeriesConfig(),
-              baseline: Option[(Int, Int)] = None): DataFrame =
-    Mhw.detrendDaily(dailySeries(df, cfg), baseline)
+              baseline: Option[(Int, Int)] = None,
+              period: Option[(String, String)] = None): DataFrame =
+    period match {
+      case Some((from, to)) =>
+        Mhw.detrendDailyPeriod(dailySeries(df, cfg), from, to)
+      case None => Mhw.detrendDaily(dailySeries(df, cfg), baseline)
+    }
 
   /** common.calculate_severity: T_anom and severity from climatology +
     * threshold tables (broadcast back to the facts — the fact side never

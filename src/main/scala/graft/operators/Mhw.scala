@@ -69,7 +69,7 @@ object Mhw {
     * contributes to, with the reference's cross-year grid semantics: a
     * center that falls off the [1,366] grid belongs to the adjacent year
     * and only counts if that year is present in the data. */
-  private def poolSamples(dailyDf: DataFrame, hw: Int): DataFrame = {
+  private[graft] def poolSamples(dailyDf: DataFrame, hw: Int): DataFrame = {
     val years = dailyDf.select(col("yr").as("c_yr")).distinct()
     dailyDf
       .withColumn("k", explode(sequence(lit(-hw), lit(hw))))
@@ -192,14 +192,30 @@ object Mhw {
     * over the full record — reference evaluates `xr.polyval(da.time)`
     * over everything after fitting on the period slice. */
   def detrendDaily(dl: DataFrame,
-                   baseline: Option[(Int, Int)] = None): DataFrame = {
+                   baseline: Option[(Int, Int)] = None): DataFrame =
+    detrendDailyFit(dl, baseline match {
+      case Some((y0, y1)) => _.filter(col("yr").between(y0, y1))
+      case None => identity
+    })
+
+  /** Reference `detrend(period=slice(from, to))` with an ARBITRARY
+    * calendar-date slice (best_practice/climatology.py:43, :71-76):
+    * the pandas slice is date-granular — a mid-year baseline like
+    * slice('1982-06-15', '2011-03-10') is inexpressible with the
+    * year-granular `baseline` — so this takes inclusive ISO dates
+    * (express a month-granular pandas slice by its expanded first/last
+    * day). Fit on the slice, trend evaluated over the full record. */
+  def detrendDailyPeriod(dl: DataFrame, fromDate: String, toDate: String): DataFrame =
+    detrendDailyFit(dl,
+      _.filter(col("d").between(to_date(lit(fromDate)), to_date(lit(toDate)))))
+
+  /** Core: OLS per key over `fitSlice(t)`, trend subtracted everywhere. */
+  private def detrendDailyFit(dl: DataFrame,
+                              fitSlice: DataFrame => DataFrame): DataFrame = {
     val origin = dl.agg(min(col("d")).as("d0"))
     val t = dl.crossJoin(broadcast(origin))
       .withColumn("t", datediff(col("d"), col("d0")))
-    val tFit = baseline match {
-      case Some((y0, y1)) => t.filter(col("yr").between(y0, y1))
-      case None => t
-    }
+    val tFit = fitSlice(t)
     val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
     val fit = tFit.groupBy(col("user_id")).agg(
       count(lit(1)).cast("double").as("n"),
@@ -277,6 +293,13 @@ object Mhw {
         r(col("sst") - col("c0") - col("c1") * col("t") -
           col("c2") * col("t") * col("t"), 6).as("detrended"))
   }
+
+  /** Query #8d detrend_period: [[detrendDailyPeriod]] on a sub-month
+    * slice of the test corpus (Jan 8–22 inclusive of a Jan 1–30 record)
+    * — the reference's date-granular `period=slice(...)` surface that
+    * year-granular baselines cannot express. */
+  def detrendPeriod(s: SparkSession, dir: String): DataFrame =
+    detrendDailyPeriod(daily(s, dir), "2024-01-08", "2024-01-22")
 
   /** Query #8c detrend_baseline: best_practice.detrend's `period`
     * parameter — fit the linear trend on a baseline slice only (here the

@@ -230,6 +230,36 @@ object MhwSql {
        |       ${rr("tt.sst - f.c0 - f.c1 * tt.t - f.c2 * tt.t * tt.t", 6)} AS detrended
        |FROM tt JOIN fitq2 f USING (user_id)""".stripMargin
 
+  /** Date-slice detrend: fit on the inclusive calendar slice
+    * Jan 8–22 only, evaluate over the full record — mirrors
+    * Mhw.detrendDailyPeriod term-for-term. */
+  val detrendPeriod: String =
+    chain(0.9) +
+    s""", tt AS (
+       |  SELECT user_id, d, sst, datediff('day', o.d0, d) AS t
+       |  FROM daily CROSS JOIN origin o
+       |),
+       |fitp AS (
+       |  SELECT user_id,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(t AS BIGINT)) AS DOUBLE) AS st,
+       |    CAST(sum(CAST(t AS BIGINT) * t) AS DOUBLE) AS stt,
+       |    ${dsum("sst")} AS sy,
+       |    ${dsum("sst * t")} AS sty
+       |  FROM tt
+       |  WHERE d BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+       |  GROUP BY 1
+       |),
+       |fitp2 AS (
+       |  SELECT user_id,
+       |    (n * sty - st * sy) / (n * stt - st * st) AS slope,
+       |    sy / n - (n * sty - st * sy) / (n * stt - st * st) * (st / n) AS intercept
+       |  FROM fitp
+       |)
+       |SELECT tt.user_id, tt.d,
+       |       ${rr("tt.sst - f.intercept - f.slope * tt.t", 6)} AS detrended
+       |FROM tt JOIN fitp2 f USING (user_id)""".stripMargin
+
   /** Baseline-slice detrend: fit on the first half of the record (day
     * index ≤ floor(span/2)), evaluate over the full record. */
   val detrendBaseline: String =

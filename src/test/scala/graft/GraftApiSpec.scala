@@ -76,6 +76,81 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.size == 62)
   }
 
+  test("date-slice period: mid-month fit, hand-computed trend over the full record") {
+    import java.time.LocalDate
+    // Jan 1-31: value = 3t + 5 on the slice Jan 10-20 (t = days since
+    // Jan 1); outside the slice a DIFFERENT (flat) regime. OLS on the
+    // exactly-linear slice returns slope 3, intercept 5 exactly, so the
+    // detrended record is hand-computable everywhere.
+    val rows = days(LocalDate.of(2023, 1, 1), LocalDate.of(2023, 1, 31)).zipWithIndex
+      .map { case (d, i) =>
+        val inSlice = !d.isBefore(LocalDate.of(2023, 1, 10)) &&
+                      !d.isAfter(LocalDate.of(2023, 1, 20))
+        d.toString -> (if (inSlice) 3.0 * i + 5.0 else 200.0)
+      }
+    val out = Graft.detrend(rows.toDF("t", "v").withColumn("k", lit(1L)),
+        SeriesConfig(keyCol = "k", timeCol = "t", valueCol = "v"),
+        period = Some(("2023-01-10", "2023-01-20")))
+      .collect().map(r => (r.getDate(1).toString, r.getDouble(2))).toMap
+    assert(out.size == 31)
+    // slice rows: residual exactly 0 under the recovered 3t+5 model
+    assert(out("2023-01-10") == 0.0)
+    assert(out("2023-01-15") == 0.0)
+    assert(out("2023-01-20") == 0.0)
+    // outside rows: 200 − (3t + 5); t=0 → 195, t=30 → 105
+    assert(out("2023-01-01") == 195.0)
+    assert(out("2023-01-31") == 105.0)
+    // a year-granular baseline cannot express this: fitting on the whole
+    // of 2023 mixes the flat regime in and shifts every residual
+    val yearFit = Graft.detrend(rows.toDF("t", "v").withColumn("k", lit(1L)),
+        SeriesConfig(keyCol = "k", timeCol = "t", valueCol = "v"),
+        baseline = Some((2023, 2023)))
+      .collect().map(r => (r.getDate(1).toString, r.getDouble(2))).toMap
+    assert(yearFit("2023-01-15") != 0.0)
+  }
+
+  test("dailySeries baselineDates: inclusive calendar-date restriction") {
+    import java.time.LocalDate
+    val rows = days(LocalDate.of(2023, 1, 1), LocalDate.of(2023, 1, 31))
+      .map(d => d.toString -> 10.0)
+    val dl = Graft.dailySeries(rows.toDF("t", "v").withColumn("k", lit(1L)),
+      SeriesConfig(keyCol = "k", timeCol = "t", valueCol = "v"),
+      baselineDates = Some(("2023-01-08", "2023-01-22")))
+    val ds = dl.collect().map(_.getDate(1).toString).sorted
+    assert(ds.length == 15 && ds.head == "2023-01-08" && ds.last == "2023-01-22")
+  }
+
+  test("multi-column series keys: (lat, lon) grid equals the composite-key result") {
+    import java.time.LocalDate
+    // 2×2 grid × 31 days, value depends on the cell and the day
+    val base = for {
+      lat <- Seq(10, 20); lon <- Seq(100, 200)
+      (d, i) <- days(LocalDate.of(2023, 1, 1), LocalDate.of(2023, 1, 31)).zipWithIndex
+    } yield (lat, lon, d.toString, lat * 1.0 + lon * 0.01 + i * 0.5)
+    val df = base.toDF("lat", "lon", "t", "v")
+    val cfg = SeriesConfig(keyCols = Seq("lat", "lon"), timeCol = "t", valueCol = "v")
+    // detrend through the struct-keyed path, keys re-expanded
+    val multi = Graft.restoreKeys(Graft.detrend(df, cfg), cfg)
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getDate(2).toString),
+                           r.getDouble(3))).toMap
+    // composite flat key: same series, key = "lat:lon"
+    val flat = Graft.detrend(
+        df.withColumn("k", concat_ws(":", col("lat"), col("lon"))),
+        SeriesConfig(keyCol = "k", timeCol = "t", valueCol = "v"))
+      .collect().map { r =>
+        val Array(la, lo) = r.getString(0).split(":")
+        ((la.toInt, lo.toInt, r.getDate(1).toString), r.getDouble(2))
+      }.toMap
+    assert(multi.size == 4 * 31)
+    assert(multi == flat)
+    // the full MHW chain also runs on struct keys: climatology on the
+    // grid has one (cell, doy) row per cell per day
+    val clim = Graft.computeClimatology(Graft.dailySeries(df, cfg),
+      smoothPercentile = false)
+    assert(clim.count() == 4 * 31)
+    assert(Graft.restoreKeys(clim, cfg).columns.toSeq == Seq("lat", "lon", "doy", "seas"))
+  }
+
   test("generic API over the events table equals the canonical chain") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val viaApi = Graft.dailySeries(ev,

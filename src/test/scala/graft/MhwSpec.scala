@@ -205,6 +205,37 @@ class MhwSpec extends AnyFunSuite {
     assert(worst < 3.0, s"max |exact-approx| = $worst over $n doy groups")
   }
 
+  test("approx threshold at sf0.01: rank-exact within one order statistic of the bracket") {
+    // The documented approx_percentile guarantee is rank error <=
+    // n/accuracy; pooled groups hold n <= years*(2w+1) values, so with
+    // accuracy=10000 the rank error is < 1 for any realistic record
+    // length: the returned value must be an ACTUAL pooled value lying
+    // within one order statistic of the exact path's interpolation
+    // bracket [v[l+1], v[l+2]] (1-indexed, l = floor((n-1)p)). This is
+    // the scale-path accuracy claim of SURVEY §5, pinned on real data.
+    val dl = Mhw.daily(spark, "/root/testdata/sf0.01")
+    val pooled = Mhw.poolSamples(dl, 5)
+      .groupBy($"user_id", $"doy")
+      .agg(sort_array(collect_list($"sst")).as("vs"))
+    val ap = Mhw.pooledQuantile(dl, 5, 0.9, exact = false)
+    val j = pooled.join(ap, Seq("user_id", "doy"))
+      .filter($"thresh".isNotNull)
+      .withColumn("n", size($"vs"))
+      .withColumn("l", floor(($"n" - 1) * lit(0.9)).cast("int"))
+      .withColumn("lo", element_at($"vs", greatest($"l", lit(1))))
+      .withColumn("hi", element_at($"vs", least($"l" + 3, $"n")))
+      .withColumn("is_member",
+        exists($"vs", x => abs(x - $"thresh") < lit(1e-9)))
+      .withColumn("in_bracket",
+        $"thresh" >= $"lo" - 1e-9 && $"thresh" <= $"hi" + 1e-9)
+    val agg = j.agg(count(lit(1)),
+      sum(when(!$"is_member", 1L).otherwise(0L)),
+      sum(when(!$"in_bracket", 1L).otherwise(0L))).head
+    assert(agg.getLong(0) > 4000)
+    assert(agg.getLong(1) == 0, s"${agg.getLong(1)} approx values not in the pooled multiset")
+    assert(agg.getLong(2) == 0, s"${agg.getLong(2)} approx values outside the rank bracket")
+  }
+
   test("CUSUM changepoint lands on a mean shift; flat series ties to first day") {
     val base = java.time.LocalDate.of(2020, 1, 1)
     // user 1: 100 days at 10.0 then 100 days at 20.0 → overall mean 15,
