@@ -160,4 +160,14 @@ object Graft {
   def calculateMhwMetrics(severity: DataFrame, minDuration: Int = 5,
                           maxGap: Int = 2): DataFrame =
     Mhw.detectEvents(severity, minDuration, maxGap)
+
+  /** common.calculate_mhw_metrics variant (b) (core.py:130-165): when
+    * the caller holds climatology tables rather than a severity frame,
+    * T_anom and severity are derived internally (T_anom = T − Seas[doy],
+    * severity = T_anom / (Thresh[doy] − Seas[doy] + 1e-9), the
+    * calculate_severity contract) and events detected in one chain. */
+  def calculateMhwMetricsFromClim(daily: DataFrame, seas: DataFrame,
+                                  thresh: DataFrame, minDuration: Int = 5,
+                                  maxGap: Int = 2): DataFrame =
+    Mhw.detectEvents(Mhw.severity(daily, seas, thresh), minDuration, maxGap)
 }

@@ -151,6 +151,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.restoreKeys(clim, cfg).columns.toSeq == Seq("lat", "lon", "doy", "seas"))
   }
 
+  test("metrics-from-clim derives severity internally and equals the explicit chain") {
+    val sf = "/root/testdata/sf0.001"
+    val dl = Mhw.daily(spark, sf)
+    val seas = Mhw.smoothDoy(Mhw.climatologyBp(dl), "seas")
+    val thresh = Mhw.smoothDoy(Mhw.pooledQuantile(dl, 5, 0.6), "thresh")
+    val explicitChain = Graft.calculateMhwMetrics(
+        Graft.calculateSeverity(dl, seas, thresh), minDuration = 3, maxGap = 2)
+      .collect().map(_.toSeq).toSet
+    val derived = Graft.calculateMhwMetricsFromClim(dl, seas, thresh,
+        minDuration = 3, maxGap = 2)
+      .collect().map(_.toSeq).toSet
+    assert(derived.nonEmpty && derived == explicitChain)
+  }
+
   test("generic API over the events table equals the canonical chain") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val viaApi = Graft.dailySeries(ev,
