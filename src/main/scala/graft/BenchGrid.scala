@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mhw
+import graft.time.DoyFunctions
+
+/** Like-for-like replica of the reference's speed benchmark
+  * (examples/speed_benchmark.ipynb): a 17×17 OISST-subset-shaped grid ×
+  * 1982-01-01..2014-12-31 daily (≈ 3.48 M points), through the same
+  * three stages the notebook times —
+  *   1. legacy climatology + threshold fit on the 1982–2011 baseline,
+  *   2. severity over the full record,
+  *   3. MHW event detection + metrics.
+  * The notebook's wall-clock on dask/laptop is the BASELINE bar the
+  * per-SF bench can't reach (sf0.1 is ~75× fewer points, fixed costs
+  * dominate); this main runs the chain at the reference's OWN data
+  * scale. The grid is synthesized deterministically (seasonal cycle +
+  * xxhash noise + seeded warm anomalies so events exist) — value
+  * content doesn't change the work: every stage's cost is driven by
+  * row counts and group cardinalities, which match the notebook's.
+  *
+  * Writes one JSON line to stdout and BENCH_GRID.json.
+  */
+object BenchGrid {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus)
+    import spark.implicits._
+
+    val nCells = 17 * 17
+    val d0 = java.sql.Date.valueOf("1982-01-01")
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1982, 1, 1), java.time.LocalDate.of(2015, 1, 1)).toInt
+
+    // deterministic synthetic SST: per-cell base + seasonal cycle +
+    // bounded hash noise + multi-week warm spikes (events to detect)
+    def grid(): DataFrame =
+      spark.range(nCells).select(col("id").as("user_id"))
+        .crossJoin(spark.range(nDays).select(col("id").cast("int").as("t")))
+        .select(
+          col("user_id"),
+          date_add(lit(d0), col("t")).as("d"),
+          (lit(15.0) + col("user_id") % 17 * 0.3 +
+           lit(5.0) * cos(col("t") * lit(2 * math.Pi / 365.25)) +
+           (pmod(xxhash64(col("user_id"), col("t")), lit(1000)) / 1000.0 - 0.5) +
+           when(pmod(col("t") + col("user_id") * 37, lit(1500)) < 45, 3.5)
+             .otherwise(0.0)).as("sst"))
+        .withColumn("yr", year(col("d")))
+        .withColumn("doy", DoyFunctions.climDoy(col("d")))
+
+    // materialize the input once (the notebook loads a netCDF file; data
+    // generation is not part of either side's measurement)
+    val dl = grid().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPoints = dl.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = dl.filter(col("yr").between(1982, 2011))
+
+    /** The notebook's three timed steps. Fresh frames per call; only
+      * `persist` handles escape so the next step consumes the
+      * materialized table, like the notebook's eager `.compute()`s. */
+    def runChain(): (Long, Double, Double, Double, Seq[DataFrame]) = {
+      // Step 1 — legacy climatology + threshold, fit on the Hobday
+      // baseline (1982–2011): compute_climatology/compute_threshold
+      // with climatologyPeriod=(1982, 2011). The fused chain computes
+      // both tables in one pooling pass (bit-identical to the separate
+      // operators, spec-pinned).
+      val (both, tClim) = timed {
+        val b = Mhw.legacyClimThresh(base, 5, 0.9).persist(lvl)
+        b.count()
+        b
+      }
+      val seas = both.select(col("user_id"), col("doy"), col("seas"))
+      val thresh = both.select(col("user_id"), col("doy"), col("thresh"))
+      // Step 2 — severity over the FULL record
+      val (sev, tSev) = timed {
+        val s = Mhw.severity(dl, seas, thresh).persist(lvl)
+        s.count()
+        s
+      }
+      // Step 3 — event detection + metrics (Hobday 5/2 defaults)
+      val (nEvents, tEvents) = timed {
+        Mhw.detectEvents(sev, minDuration = 5, maxGap = 2).count()
+      }
+      (nEvents, tClim, tSev, tEvents, Seq(both, sev))
+    }
+
+    // Pass 1 (cold): JVM pays whole-stage codegen + C2 compilation of
+    // every generated class INSIDE the measurement — the worst case for
+    // a fresh single-purpose JVM. The dask baseline has no analogous
+    // cost (numpy kernels ship precompiled), so pass 2 reports the
+    // steady state any long-lived Spark driver/cluster runs at: same
+    // plans, warm code cache, JIT settled (Bench's protocol).
+    val (nEvents, cClim, cSev, cEvents, scratch1) = runChain()
+    scratch1.foreach(_.unpersist(false))
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    System.gc()
+    var last = jit.getTotalCompilationTime; var stable = 0; var waited = 0
+    while (stable < 3 && waited < 120) {
+      Thread.sleep(1000); waited += 1
+      val cur = jit.getTotalCompilationTime
+      if (cur - last < 100) stable += 1 else stable = 0
+      last = cur
+    }
+    val (nEvents2, wClim, wSev, wEvents, _) = runChain()
+    require(nEvents2 == nEvents, s"non-deterministic event count: $nEvents vs $nEvents2")
+
+    val coldTotal = cClim + cSev + cEvents
+    val warmTotal = wClim + wSev + wEvents
+    val json =
+      f"""{"grid_cells":$nCells,"days":$nDays,"points":$nPoints,"events":$nEvents,"cold":{"sec_clim_thresh":$cClim%.3f,"sec_severity":$cSev%.3f,"sec_events":$cEvents%.3f,"sec_total":$coldTotal%.3f},"warm":{"sec_clim_thresh":$wClim%.3f,"sec_severity":$wSev%.3f,"sec_events":$wEvents%.3f,"sec_total":$warmTotal%.3f},"reference_notebook_sec":{"clim_thresh":5.9},"cpus":"$cpus"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_GRID_OUT",
+        "/root/repo/BENCH_GRID.json")), json + "\n")
+    catch { case e: Throwable => System.err.println(s"grid bench write failed: $e") }
+    println(json)
+    Caches.clear(spark)
+    spark.stop()
+  }
+}

@@ -133,22 +133,64 @@ object Mhw {
     * Absent slots contribute nothing (nanmean); outputs every slot within
     * 15 of an available one. */
   def smoothDoy(climDf: DataFrame, valCol: String, half: Int = 15): DataFrame =
+    smoothDoyCols(climDf, Seq(valCol), half)
+
+  /** [[smoothDoy]] over several value columns in one explode+aggregate
+    * (identical per-column arithmetic — the fused legacy chain smooths
+    * seas and thresh in a single pass). */
+  def smoothDoyCols(climDf: DataFrame, valCols: Seq[String], half: Int = 15): DataFrame =
     climDf
       .withColumn("o", explode(sequence(lit(-half), lit(half))))
       .groupBy(col("user_id"), wrapDoy(col("doy") + col("o")).as("doy"))
-      .agg(davg(col(valCol), 6).as(valCol))
+      .agg(davg(col(valCols.head), 6).as(valCols.head),
+           valCols.tail.map(c => davg(col(c), 6).as(c)): _*)
 
   /** Legacy Feb-29: replace every DOY-60 row with 0.5·(DOY59 + DOY61);
-    * if either neighbour is absent the row is absent (NaN semantics). */
-  def interpFeb29(climDf: DataFrame, valCol: String): DataFrame = {
-    val d59 = climDf.filter(col("doy") === 59)
-      .select(col("user_id"), col(valCol).as("v59"))
-    val d61 = climDf.filter(col("doy") === 61)
-      .select(col("user_id"), col(valCol).as("v61"))
-    val feb29 = d59.join(d61, "user_id")
-      .select(col("user_id"), lit(60).as("doy"),
-              r(lit(0.5) * col("v59") + lit(0.5) * col("v61"), 6).as(valCol))
-    climDf.filter(col("doy") =!= 60).unionByName(feb29)
+    * if either neighbour is absent the row is absent (NaN semantics).
+    *
+    * Single-pass form: each row fans out map-side to the slots it
+    * feeds (itself unless DOY 60; DOY 59/61 additionally contribute to
+    * slot 60), then ONE grouped aggregate reassembles the grid. The
+    * naive filter-join-union spelling references the input THREE times,
+    * so Spark evaluates the (expensive) upstream pooling subtree three
+    * times per action — on the reference-scale 3.5 M-point grid that
+    * alone tripled the legacy chain's cost. Values are bit-identical:
+    * the same `0.5·v59 + 0.5·v61` expression, null neighbours still
+    * null the slot, either neighbour absent → slot absent. */
+  def interpFeb29(climDf: DataFrame, valCol: String): DataFrame =
+    interpFeb29Cols(climDf, Seq(valCol))
+
+  /** [[interpFeb29]] over several value columns in one pass (the fused
+    * legacy chain interpolates seas and thresh together). */
+  def interpFeb29Cols(climDf: DataFrame, valCols: Seq[String]): DataFrame = {
+    def payload = valCols.map(c => col(c).as(c))
+    val fan = explode(array(
+      when(col("doy") =!= 60,
+        struct((col("doy").as("doy2") +: lit(0).as("src") +: payload): _*)),
+      when(col("doy") === 59,
+        struct((lit(60).as("doy2") +: lit(59).as("src") +: payload): _*)),
+      when(col("doy") === 61,
+        struct((lit(60).as("doy2") +: lit(61).as("src") +: payload): _*))))
+    val perCol = valCols.flatMap { c =>
+      Seq(max(when(col("c.src") === 0, col(s"c.$c"))).as(s"direct_$c"),
+          max(when(col("c.src") === 59, col(s"c.$c"))).as(s"v59_$c"),
+          max(when(col("c.src") === 61, col(s"c.$c"))).as(s"v61_$c"))
+    }
+    val counts = Seq(
+      sum(when(col("c.src") === 0, 1).otherwise(0)).as("dcnt"),
+      sum(when(col("c.src") === 59, 1).otherwise(0)).as("n59"),
+      sum(when(col("c.src") === 61, 1).otherwise(0)).as("n61"))
+    val aggs = counts ++ perCol
+    climDf.select(col("user_id"), fan.as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("user_id"), col("c.doy2").as("doy"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("dcnt") > 0 || (col("n59") === 1 && col("n61") === 1))
+      .select(col("user_id") +: col("doy") +: valCols.map { c =>
+        when(col("dcnt") > 0, col(s"direct_$c"))
+          .otherwise(r(lit(0.5) * col(s"v59_$c") + lit(0.5) * col(s"v61_$c"), 6))
+          .as(c)
+      }: _*)
   }
 
   // ------------------------------------------------- composed climatologies
@@ -176,6 +218,30 @@ object Mhw {
   /** legacy.compute_threshold: pooled quantile + Feb-29 interp + smoothing. */
   def thresholdLegacy(s: SparkSession, dir: String): DataFrame =
     smoothDoy(interpFeb29(pooledQuantile(daily(s, dir), 5, 0.9), "thresh"), "thresh")
+
+  /** Fused legacy climatology + threshold: ONE shared ±hw pooling
+    * explode and a single per-(key,doy) aggregate computes both the
+    * pooled mean (seas) and the pooled quantile (thresh); the Feb-29
+    * interpolation and circular smoothing then run over both columns in
+    * one pass each. Bit-identical to running [[climatologyLegacy]] and
+    * [[thresholdLegacy]] separately (spec-pinned) at half the
+    * scan/shuffle cost — severity consumes BOTH tables, so this is the
+    * chain a user actually runs (the reference notebook's step 1). */
+  def legacyClimThresh(dailyDf: DataFrame, hw: Int = 5, pctile: Double = 0.9): DataFrame = {
+    val pooled = poolSamples(dailyDf, hw)
+      .groupBy(col("user_id"), col("doy"))
+      .agg(davg(col("sst"), 6).as("seas"),
+           sort_array(collect_list(col("sst"))).as("vs"),
+           max(when(isnan(col("sst")), 1).otherwise(0)).as("has_nan"))
+      .select(col("user_id"), col("doy"), col("seas"),
+              when(col("has_nan") === 1, lit(null))
+                .otherwise(r(linQuantile(col("vs"), pctile), 6)).as("thresh"))
+    smoothDoyCols(interpFeb29Cols(pooled, Seq("seas", "thresh")), Seq("seas", "thresh"))
+  }
+
+  /** Query: the fused legacy chain over the events-derived daily series. */
+  def legacyClimThreshQ(s: SparkSession, dir: String): DataFrame =
+    legacyClimThresh(daily(s, dir))
 
   // --------------------------------------------------------------- detrend
 

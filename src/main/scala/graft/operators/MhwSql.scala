@@ -164,6 +164,14 @@ object MhwSql {
   val thresholdLegacy: String =
     chain(0.9) + "SELECT user_id, doy, thresh FROM lthr_sm"
 
+  /** Fused legacy chain oracle: the separately-derived smoothed legacy
+    * climatology and threshold joined on the (shared) DOY grid — the
+    * fused operator must land on identical rows and values. */
+  val legacyClimThresh: String =
+    chain(0.9) +
+    """SELECT c.user_id, c.doy, c.seas, t.thresh
+      |FROM lclim_sm c JOIN lthr_sm t ON c.user_id = t.user_id AND c.doy = t.doy""".stripMargin
+
   val detrend: String =
     chain(0.9) +
     s""", tt AS (

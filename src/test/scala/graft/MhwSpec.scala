@@ -205,6 +205,22 @@ class MhwSpec extends AnyFunSuite {
     assert(worst < 3.0, s"max |exact-approx| = $worst over $n doy groups")
   }
 
+  test("legacyClimThresh fused chain is bit-identical to the separate legacy operators") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1))
+    val fused = Mhw.legacyClimThreshQ(spark, sf).collect()
+      .map(r => key(r) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    val seas = Mhw.climatologyLegacy(spark, sf).collect()
+      .map(r => key(r) -> Option(r.get(2))).toMap
+    val thresh = Mhw.thresholdLegacy(spark, sf).collect()
+      .map(r => key(r) -> Option(r.get(2))).toMap
+    assert(fused.nonEmpty)
+    assert(fused.keySet == seas.keySet && fused.keySet == thresh.keySet)
+    fused.foreach { case (k, (s, t)) =>
+      assert(s == seas(k) && t == thresh(k), s"mismatch at $k")
+    }
+  }
+
   test("approx threshold at sf0.01: rank-exact within one order statistic of the bracket") {
     // The documented approx_percentile guarantee is rank error <=
     // n/accuracy; pooled groups hold n <= years*(2w+1) values, so with
