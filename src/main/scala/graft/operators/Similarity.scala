@@ -302,13 +302,12 @@ object Similarity {
     cands.transform(topKExact(_, k))
   }
 
-  /** DuckDB oracle for [[annIvf]]: the identical deterministic k-means —
-    * init cells = first `nCells` vectors, `iters` Lloyd rounds as
-    * chained CTEs (assignment via the sequential-fold FloatDot mirror,
-    * centroid means via the decimal-exact 8dp average, quantized to
-    * float), then the same probe + exact cosine + top-k. */
-  def annIvfSql(k: Int = 5, nQueries: Int = 5,
-                nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): String = {
+  /** Shared chained-CTE replay of the deterministic k-means: defines
+    * `c0..c{iters}` (centroid tables) and `bucketed` (final
+    * assignment) — init cells = first `nCells` vectors, assignment via
+    * the sequential-fold FloatDot mirror, centroid means via the
+    * decimal-exact 8dp average quantized to float. */
+  private def ivfChainSql(nCells: Int, iters: Int): String = {
     def score(emb: String) =
       s"(${sqlDotSeq(emb, "c.c")} - ${sqlHalfNormSeq("c.c")})"
     def assign(prev: String, out: String) =
@@ -336,7 +335,21 @@ object Similarity {
        |  SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < $nCells
        |),
        |$lloyd,
-       |${assign(s"c$iters", "bucketed")},
+       |${assign(s"c$iters", "bucketed")}""".stripMargin
+  }
+
+  /** Score fragment against a centroid table alias `c` (shared by the
+    * probe CTE below). */
+  private def ivfScoreSql(emb: String): String =
+    s"(${sqlDotSeq(emb, "c.c")} - ${sqlHalfNormSeq("c.c")})"
+
+  /** DuckDB oracle for [[annIvf]]: the identical deterministic k-means
+    * ([[ivfChainSql]]), then the same probe + exact cosine + top-k. */
+  def annIvfSql(k: Int = 5, nQueries: Int = 5,
+                nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): String = {
+    def score(emb: String) = ivfScoreSql(emb)
+    ivfChainSql(nCells, iters) +
+    s""",
        |probed AS (
        |  SELECT q_id, cl FROM (
        |    SELECT e.vec_id AS q_id, c.cl,
@@ -467,6 +480,66 @@ object Similarity {
        |JOIN embeddings b ON b.vec_id = n.id_b
        |WHERE a.label = b.label
        |  AND floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= $tau""".stripMargin
+
+  /** #31f emb_semantic_dedup (SemDeDup, Abbas et al. 2023, arXiv:
+    * 2303.09540): k-means-cluster the corpus with the same
+    * deterministic Lloyd quantizer as [[annIvf]], then prune within
+    * each cluster — a vector is dropped when a LOWER-id vector in its
+    * cluster has cosine ≥ τ (keep-first, fully deterministic). Emits
+    * every vector with its cluster and kept flag — the canonical
+    * semantic-dedup curation pass over an embedded corpus.
+    *
+    * Scale shape: the pair space is Σ cluster², and SemDeDup's
+    * published contract is that cluster COUNT scales with the corpus
+    * (bounded cluster size, k ≈ √n or larger) — `nCells` is the scale
+    * lever, the within-cluster self-join is the algorithm, not an
+    * accident. Only the k×dim centroid model is ever collected. The
+    * oracle replays the k-means chain and pruning rule exactly. */
+  def embSemanticDedup(s: SparkSession, dir: String, tau: Double = 0.3,
+                       nCells: Int = 16, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val corpus = Tables.embeddings(s, dir).localCheckpoint()
+    val centroids = trainCentroids(corpus, nCells, iters)
+    // truncate lineage: the bucketed table feeds both self-join sides
+    // and the final output
+    val bucketed = assignNearest(
+        corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
+      .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
+      .localCheckpoint()
+    val b = bucketed.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("e_norm").as("n_b"))
+    val dups = bucketed
+      .select(col("cluster"), col("vec_id"),
+        col("embedding").as("emb_a"), col("e_norm").as("n_a"))
+      .join(b, Seq("cluster"))
+      .filter(col("id_b") < col("vec_id"))
+      // lossless fast prefilter (|float_dot − dotDec| < 1e-12), exact
+      // decimal cosine decides
+      .filter(call_function("float_dot", col("emb_a"), col("emb_b")) /
+              (col("n_a") * col("n_b")) >= tau - 1e-9)
+      .filter(r(dotDec(col("emb_a"), col("emb_b")) /
+                (col("n_a") * col("n_b")), 6) >= tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("dup", lit(1))
+    bucketed.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+              col("dup").isNull.as("kept"))
+  }
+
+  /** Oracle: the shared k-means CTE chain ([[ivfChainSql]]) + the same
+    * lower-id within-cluster pruning rule on exact rounded cosines. */
+  def embSemanticDedupSql(tau: Double = 0.3, nCells: Int = 16,
+                          iters: Int = 3): String =
+    ivfChainSql(nCells, iters) +
+    s""",
+       |dups AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.cl = b.cl AND b.vec_id < a.vec_id
+       |  WHERE floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= $tau
+       |)
+       |SELECT b.vec_id, b.cl AS cluster, d.vec_id IS NULL AS kept
+       |FROM bucketed b LEFT JOIN dups d ON b.vec_id = d.vec_id""".stripMargin
 
   /** #31d knn_graph: the all-corpus kNN graph — top-k cosine neighbours
     * for EVERY vector, the input structure of graph-based corpus

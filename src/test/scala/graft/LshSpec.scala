@@ -148,6 +148,39 @@ class LshSpec extends AnyFunSuite {
     assert(recallC >= 0.95, s"near-dup recall=$recallC")
   }
 
+  test("emb_semantic_dedup: keep-first pruning rule holds exactly; cluster minima kept") {
+    val out = Similarity.embSemanticDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length == emb.size) // every vector present exactly once
+    // brute-force mirror of the rule: dropped iff ANY lower-id vector
+    // in the same cluster has rounded cosine >= tau
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (_, members) =>
+      val sorted = members.sortBy(_._1)
+      assert(sorted.head._3, "lowest id in a cluster must always be kept")
+      sorted.foreach { case (id, _, kept) =>
+        val expectDrop = sorted.exists { case (id2, _, _) =>
+          id2 < id && cos(emb(id), emb(id2)) >= 0.3
+        }
+        assert(kept == !expectDrop, s"vec $id kept=$kept expectedDrop=$expectDrop")
+      }
+    }
+    // the rule actually fires on this corpus (some drop, most kept)
+    val dropped = out.count(!_._3)
+    assert(dropped > 0 && dropped < out.length / 2, s"dropped=$dropped")
+  }
+
   test("minhash signature: permutation-min monotonicity (superset has <= minima)") {
     val df = Seq(
       (1L, Seq("a b c", "b c d")),
