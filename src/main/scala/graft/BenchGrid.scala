@@ -29,7 +29,12 @@ object BenchGrid {
     val spark = GraftSession.local(cpus)
     import spark.implicits._
 
-    val nCells = 17 * 17
+    // SPARK_GRAFT_GRID_SCALE multiplies the cell count (1 = the
+    // notebook's 17×17 subset; 10 ≈ 34.8 M points) — the scaling sweep
+    // that shows throughput is linear in cells, the property that
+    // carries to a 1000-executor grid
+    val scale = sys.env.getOrElse("SPARK_GRAFT_GRID_SCALE", "1").toInt
+    val nCells = 17 * 17 * scale
     val d0 = java.sql.Date.valueOf("1982-01-01")
     val nDays = java.time.temporal.ChronoUnit.DAYS.between(
       java.time.LocalDate.of(1982, 1, 1), java.time.LocalDate.of(2015, 1, 1)).toInt
@@ -117,9 +122,12 @@ object BenchGrid {
     val warmTotal = wClim + wSev + wEvents
     val json =
       f"""{"grid_cells":$nCells,"days":$nDays,"points":$nPoints,"events":$nEvents,"cold":{"sec_clim_thresh":$cClim%.3f,"sec_severity":$cSev%.3f,"sec_events":$cEvents%.3f,"sec_total":$coldTotal%.3f},"warm":{"sec_clim_thresh":$wClim%.3f,"sec_severity":$wSev%.3f,"sec_events":$wEvents%.3f,"sec_total":$warmTotal%.3f},"reference_notebook_sec":{"clim_thresh":5.9},"cpus":"$cpus"}"""
+    val outDefault =
+      if (scale == 1) "/root/repo/BENCH_GRID.json"
+      else s"/root/repo/BENCH_GRID_x$scale.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_GRID_OUT",
-        "/root/repo/BENCH_GRID.json")), json + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_GRID_OUT", outDefault)),
+      json + "\n")
     catch { case e: Throwable => System.err.println(s"grid bench write failed: $e") }
     println(json)
     Caches.clear(spark)

@@ -156,10 +156,15 @@ object Graft {
     Mhw.severity(daily, seas, thresh)
 
   /** common.calculate_mhw_metrics: event detection (runs of severity>1,
-    * duration filter, transitive gap-join) + per-event metrics. */
+    * duration filter, transitive gap-join) + per-event metrics.
+    * `maxEvents` mirrors the reference's `maxEvt=200` (core.py:130): it
+    * pre-allocates that many event slots per cell and chronologically
+    * later events are dropped; here the cap is a filter on the per-series
+    * chronological event ordinal — long format needs no padding rows. */
   def calculateMhwMetrics(severity: DataFrame, minDuration: Int = 5,
-                          maxGap: Int = 2): DataFrame =
+                          maxGap: Int = 2, maxEvents: Int = 200): DataFrame =
     Mhw.detectEvents(severity, minDuration, maxGap)
+      .filter(col("evt") <= maxEvents)
 
   /** common.calculate_mhw_metrics variant (b) (core.py:130-165): when
     * the caller holds climatology tables rather than a severity frame,

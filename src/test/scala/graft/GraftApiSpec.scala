@@ -151,6 +151,27 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.restoreKeys(clim, cfg).columns.toSeq == Seq("lat", "lon", "doy", "seas"))
   }
 
+  test("maxEvents caps to the chronologically first events, like the reference maxEvt") {
+    import java.time.LocalDate
+    // three clear events (10 hot days each, 20-day cold gaps — beyond
+    // maxGap) on a flat-threshold series
+    val hot = Set(10 to 19, 40 to 49, 70 to 79).flatten
+    val rows = days(LocalDate.of(2023, 1, 1), LocalDate.of(2023, 4, 10)).zipWithIndex
+      .map { case (d, i) => d.toString -> (if (hot(i)) 30.0 else 10.0) }
+    val dl = series(rows)
+    val doys = dl.select(col("user_id"), col("doy")).distinct()
+    val sev = Graft.calculateSeverity(dl,
+      doys.withColumn("seas", lit(10.0)),
+      doys.withColumn("thresh", lit(15.0)))
+    val all = Graft.calculateMhwMetrics(sev, minDuration = 5, maxGap = 2)
+      .collect().map(r => (r.getAs[Long]("evt"), r.getAs[java.sql.Date]("date_start").toString))
+    assert(all.length == 3)
+    val capped = Graft.calculateMhwMetrics(sev, minDuration = 5, maxGap = 2,
+        maxEvents = 2)
+      .collect().map(r => (r.getAs[Long]("evt"), r.getAs[java.sql.Date]("date_start").toString))
+    assert(capped.toSet == all.sortBy(_._1).take(2).toSet)
+  }
+
   test("metrics-from-clim derives severity internally and equals the explicit chain") {
     val sf = "/root/testdata/sf0.001"
     val dl = Mhw.daily(spark, sf)
