@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** #31g ann_pq — product-quantization ANN (Jégou et al. 2011, the
+  * billion-vector workhorse under FAISS/ScaNN-style indexes).
+  *
+  * The 64-dim embedding splits into 8 contiguous 8-dim subspaces; each
+  * subspace gets a 16-centroid codebook from a deterministic k-means
+  * (init = the first 16 vectors' sub-slices, Lloyd iterations with
+  * decimal-exact 8dp means — the same parity discipline as the IVF
+  * coarse quantizer in Similarity.trainCentroids). A vector encodes as
+  * 8 four-bit codes: 256 bytes of float become 8 bytes — the compression
+  * that lets 100 TB of vectors sit in cluster RAM.
+  *
+  * Queries score by ADC (asymmetric distance computation): per query,
+  * one 8×16 lookup table of exact sub-dot-products (decimal-rounded so
+  * the ADC sum is order-independent), then every corpus vector's
+  * approximate dot is 8 table lookups + an exact decimal sum. The ADC
+  * shortlist (top 32) is re-ranked with the exact decimal cosine — the
+  * standard refine step — and the final top-k is emitted with exact
+  * scores, which is what makes the whole pipeline oracle-checkable
+  * bit-for-bit: DuckDB replays codebook training, encoding, the LUT,
+  * the ADC ranking, and the re-rank as chained CTEs.
+  *
+  * Scale shape: training touches the corpus `iters` times (sub-vector
+  * rows are map-side slices, the centroid update is a partial-agg
+  * groupBy over 8×16×8 cells); encoding is MAP-ONLY — the codebook is a
+  * 1 KB plan literal (8×16×8 floats), each row computes its own argmax
+  * with no join, no shuffle. ADC scoring joins the 8-row-per-vector code
+  * table against a broadcast ≤ nq×8×16-row LUT and partial-aggregates
+  * the per-(query, vector) sums before any exchange.
+  */
+object SimilarityPq {
+
+  private val SubSpaces = 8
+  private val SubDim = 8
+  private val Codes = 16
+
+  /** Left-fold ‖c‖²/2 (matches sqlHalfNormSeq's fold order). */
+  private def halfNormSeq(c: Array[Float]): Double =
+    c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) / 2
+
+  private def subSlice(emb: Column, m: Int): Column =
+    slice(emb, m * SubDim + 1, SubDim)
+
+  /** Column-valued subspace index (LUT side, where m is data). */
+  private def subSliceC(emb: Column, m: Column): Column =
+    slice(emb, m * SubDim + 1, lit(SubDim))
+
+  /** Per-row code for subspace `m` against a collected codebook: argmax
+    * of (sub·c − ‖c‖²/2) with larger-code tiebreak, as a greatest()
+    * literal expression — map-only, like Similarity.assignNearest. */
+  private def codeExpr(cb: Map[(Int, Int), Array[Float]], m: Int): Column = {
+    val sub = subSlice(col("embedding"), m)
+    val cands = cb.collect { case ((`m`, code), c) =>
+      struct(
+        (call_function("float_dot", sub, lit(c)) - lit(halfNormSeq(c))).as("score"),
+        lit(code).as("code"))
+    }.toSeq
+    greatest(cands: _*).getField("code")
+  }
+
+  /** Deterministic per-subspace k-means: returns ((m, code) -> centroid).
+    * Init: sub-slices of vectors 0..15. Each Lloyd round re-assigns via
+    * the literal argmax and recomputes decimal-exact 8dp means (codes
+    * that lose all members drop out, same as the oracle chain). Only the
+    * 8×16×8-float codebook is ever collected — model-sized. */
+  private def trainCodebooks(corpus: DataFrame, iters: Int): Map[(Int, Int), Array[Float]] = {
+    graft.functions.GraftFunctions.ensure(corpus.sparkSession)
+    val init = corpus.filter(col("vec_id") < Codes)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { row =>
+        val id = row.getLong(0).toInt
+        val emb = row.getSeq[Float](1).toArray
+        (0 until SubSpaces).map(m =>
+          (m, id) -> emb.slice(m * SubDim, (m + 1) * SubDim))
+      }.flatten.toMap
+    (1 to iters).foldLeft(init) { (cb, _) =>
+      val codeCols = (0 until SubSpaces).map(m =>
+        struct(lit(m).as("m"), codeExpr(cb, m).as("code"),
+               subSlice(col("embedding"), m).as("sub")))
+      corpus.select(explode(array(codeCols: _*)).as("a"))
+        .select(col("a.m"), col("a.code"), posexplode(col("a.sub")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(davg(col("col").cast("double"), 8).as("mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          val arr = new Array[Float](SubDim)
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3).toFloat)
+          key -> arr
+        }
+    }
+  }
+
+  /** The ADC lookup value q_sub·c, decimal-rounded to 6dp so the 8-term
+    * ADC sum is order-independent on both engines. */
+  private def lutVal(qSub: Column, c: Column): Column =
+    r(dotDec(qSub, c), 6).cast("decimal(18,6)")
+
+  def annPq(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
+            iters: Int = 2, shortlist: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val corpus = Tables.embeddings(s, dir).localCheckpoint()
+    val cb = trainCodebooks(corpus, iters)
+    // encode: map-only — 8 argmax literals per row, no join
+    val codeCols = (0 until SubSpaces).map(m =>
+      struct(lit(m).as("m"), codeExpr(cb, m).as("code")))
+    val codes = corpus.select(col("vec_id"), explode(array(codeCols: _*)).as("a"))
+      .select(col("vec_id"), col("a.m").as("m"), col("a.code").as("code"))
+    // per-query LUT: nq×8×16 exact sub-dots, broadcast
+    val cbDf = s.createDataFrame(cb.toSeq.map { case ((m, code), c) => (m, code, c) })
+      .toDF("m", "code", "c")
+    val qs = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val lut = qs.crossJoin(cbDf)
+      .select(col("q_id"), col("m"), col("code"),
+              lutVal(subSliceC(col("q_emb"), col("m")), col("c")).as("v"))
+    // ADC: 8 lookups + exact decimal sum per (query, vector)
+    val approx = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("v")).as("adc"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val short = approx
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // refine: exact decimal cosine over the shortlist only
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    short
+      .join(qs, Seq("q_id"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("cosine",
+        r(dotDec(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding"))), 6))
+      .withColumn("rank", row_number().over(wFinal).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** Column-valued sub-slice for the oracle/LUT sides where the subspace
+    * index is data, not a literal. */
+  private def subSliceSql(emb: String, m: String): String =
+    s"list_slice($emb, $m * $SubDim + 1, $m * $SubDim + $SubDim)"
+
+  /** DuckDB oracle: the identical deterministic per-subspace k-means
+    * (one chained CTE keyed by subspace — assignment via the
+    * sequential-fold FloatDot mirror with code-DESC tiebreak, update via
+    * decimal-exact 8dp means quantized to float), then the same
+    * encode → LUT → ADC → shortlist → exact re-rank. */
+  def annPqSql(k: Int = 5, nQueries: Int = 5, iters: Int = 2,
+               shortlist: Int = 32): String = {
+    def score(sub: String) = s"(${sqlDotSeq(sub, "c.c")} - ${sqlHalfNormSeq("c.c")})"
+    def assign(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, m, sub, code FROM (
+         |    SELECT s.vec_id, s.m, s.sub, c.code,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |             ${score("s.sub")} DESC, c.code DESC) AS rn
+         |    FROM subs s JOIN $prev c ON c.m = s.m)
+         |  WHERE rn = 1
+         |)"""
+    def update(prevAssign: String, out: String) =
+      s"""$out AS (
+         |  SELECT m, code, list(CAST(mean AS FLOAT) ORDER BY d) AS c FROM (
+         |    SELECT m, code, d, ${sqlAvg("CAST(x AS DOUBLE)", 8)} AS mean FROM (
+         |      SELECT m, code, unnest(sub) AS x, generate_subscripts(sub, 1) AS d
+         |      FROM $prevAssign)
+         |    GROUP BY m, code, d)
+         |  GROUP BY m, code
+         |)"""
+    val lloyd = (1 to iters).map(it =>
+      assign(s"pc${it - 1}", s"pa$it") + ",\n" + update(s"pa$it", s"pc$it"))
+      .mkString(",\n")
+    s"""WITH ms AS (SELECT unnest([${(0 until SubSpaces).mkString(", ")}]) AS m),
+       |subs AS (
+       |  SELECT vec_id, ms.m, ${subSliceSql("embedding", "ms.m")} AS sub
+       |  FROM embeddings CROSS JOIN ms),
+       |pc0 AS (
+       |  SELECT m, CAST(vec_id AS INT) AS code, sub AS c FROM subs WHERE vec_id < $Codes),
+       |$lloyd,
+       |${assign(s"pc$iters", "codes")},
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, c.m, c.code,
+       |         CAST(${sqlR(sqlDotDec(subSliceSql("q.embedding", "c.m"), "c.c"), 6)}
+       |              AS DECIMAL(18,6)) AS v
+       |  FROM embeddings q CROSS JOIN pc$iters c
+       |  WHERE q.vec_id < $nQueries),
+       |adc AS (
+       |  SELECT l.q_id, co.vec_id, sum(l.v) AS adc
+       |  FROM codes co JOIN lut l ON l.m = co.m AND l.code = co.code
+       |  WHERE co.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS srn
+       |    FROM adc)
+       |  WHERE srn <= $shortlist),
+       |rer AS (
+       |  SELECT s.q_id, s.vec_id,
+       |         ${sqlR(sqlCosine("q.embedding", "e.embedding"), 6)} AS cosine
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings e ON e.vec_id = s.vec_id)
+       |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= $k""".stripMargin
+  }
+}

@@ -203,6 +203,28 @@ object Streaming {
       .orderBy(col("event_type")))
   }
 
+  /** #72b stream_cms: the portable Count-Min sketch maintained
+    * incrementally — register counts ARE the streaming state (sum is the
+    * merge operator), so the streaming registers are bit-identical to
+    * the batch sketch and the batch oracle checks the top-k exactly.
+    * Point estimation + exact comparison run batch-side over the
+    * ≤ depth×width register sink. Same mergeable-sketch contract as
+    * [[streamHll]]: O(depth×width) state, no raw retention. */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    val name = s"cms_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Sketches.cmsRegisters(eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val ev = Tables.events(s, dir)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    sealResult(s, name, graft.operators.Sketches.cmsTopK(
+      s.table(name), ev.select(col("user_id")).distinct(), exact, 10))
+  }
+
   // ------------------------------------------------------ #36 sessionize
 
   private val gapUs = 30L * 60 * 1000000
