@@ -83,10 +83,14 @@ object SimilarityPq {
           (m, id) -> emb.slice(m * SubDim, (m + 1) * SubDim))
       }.flatten.toMap
     (1 to iters).foldLeft(init) { (cb, _) =>
-      val codeCols = (0 until SubSpaces).map(m =>
-        struct(lit(m).as("m"), codeExpr(cb, m).as("code"),
+      // one projected column per subspace argmax: each expression stays
+      // well under the 64 KB codegen method limit, so the encode pass
+      // runs inside whole-stage codegen (a single exploded expression
+      // with all 8×16 literal centroids falls back to interpreted eval)
+      val structCols = (0 until SubSpaces).map(m =>
+        struct(lit(m).as("m"), col(s"code_$m").as("code"),
                subSlice(col("embedding"), m).as("sub")))
-      corpus.select(explode(array(codeCols: _*)).as("a"))
+      withCodes(corpus, cb).select(explode(array(structCols: _*)).as("a"))
         .select(col("a.m"), col("a.code"), posexplode(col("a.sub")))
         .groupBy(col("m"), col("code"), col("pos"))
         .agg(davg(col("col").cast("double"), 8).as("mean"))
@@ -100,6 +104,11 @@ object SimilarityPq {
     }
   }
 
+  /** Project the 8 per-subspace codes as separate columns (codegen-
+    * friendly — see trainCodebooks). */
+  private def withCodes(df: DataFrame, cb: Map[(Int, Int), Array[Float]]): DataFrame =
+    df.withColumns(Map((0 until SubSpaces).map(m => s"code_$m" -> codeExpr(cb, m)): _*))
+
   /** The ADC lookup value q_sub·c, decimal-rounded to 6dp so the 8-term
     * ADC sum is order-independent on both engines. */
   private def lutVal(qSub: Column, c: Column): Column =
@@ -111,9 +120,10 @@ object SimilarityPq {
     val corpus = Tables.embeddings(s, dir).localCheckpoint()
     val cb = trainCodebooks(corpus, iters)
     // encode: map-only — 8 argmax literals per row, no join
-    val codeCols = (0 until SubSpaces).map(m =>
-      struct(lit(m).as("m"), codeExpr(cb, m).as("code")))
-    val codes = corpus.select(col("vec_id"), explode(array(codeCols: _*)).as("a"))
+    val structCols = (0 until SubSpaces).map(m =>
+      struct(lit(m).as("m"), col(s"code_$m").as("code")))
+    val codes = withCodes(corpus, cb)
+      .select(col("vec_id"), explode(array(structCols: _*)).as("a"))
       .select(col("vec_id"), col("a.m").as("m"), col("a.code").as("code"))
     // per-query LUT: nq×8×16 exact sub-dots, broadcast
     val cbDf = s.createDataFrame(cb.toSeq.map { case ((m, code), c) => (m, code, c) })
