@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.sources.Tables
+
+/** Corpus-curation selection operators (SURVEY §2 #77-#79): token-budget
+  * selection, weighted domain sampling, and SCD2-style value-change
+  * tracking. These compose the inventory ops (#74 mix weights, #22
+  * quality) into the actions a training-data pipeline actually takes:
+  * pick which documents make the cut.
+  */
+object Curation {
+
+  /** The #22 quality score as a reusable column (identical formula). */
+  private def qualityCol: Column = {
+    val toks = graft.functions.TextFunctions.lowerTokens(col("text"))
+    val len = length(col("text"))
+    val punct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val stop = graft.functions.TextFunctions.markerCount(
+      toks, graft.functions.TextFunctions.stopwordsEn)
+    r(lit(0.4) * (stop / size(toks)) +
+      lit(0.3) * (lit(1.0) - punct / len) +
+      lit(0.3) * least(lit(1.0), len / lit(500.0)), 6)
+  }
+
+  private def qualitySqlFrag: String = {
+    val stopList = graft.functions.TextFunctions.stopwordsEn
+      .map(w => s"'$w'").mkString(", ")
+    val toks = "string_split(lower(trim(text)), ' ')"
+    val stop = s"len(list_filter($toks, x -> x IN ($stopList)))"
+    val punct = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    val len = "length(text)"
+    sqlR(s"0.4 * (CAST($stop AS DOUBLE) / len($toks)) + " +
+         s"0.3 * (1.0 - CAST($punct AS DOUBLE) / $len) + " +
+         s"0.3 * least(1.0, CAST($len AS DOUBLE) / 500.0)", 6)
+  }
+
+  /** #77 corpus_token_budget: select the highest-quality documents whose
+    * total token count fits a budget — by quality THRESHOLD, not by
+    * global rank. The scan aggregates per quality bucket (⌊q·100⌋, ≤101
+    * rows), the cumulative-from-the-top bucket table picks the highest
+    * cutoff whose running token total fits, and the selection is a
+    * broadcast-threshold filter on a second scan. No global sort, no
+    * global window over documents — the 100 TB shape (a rank-based fill
+    * would total-order the corpus). Budget semantics: whole buckets
+    * only, the boundary bucket stays out (deterministic, partial-fill
+    * needs a per-doc order the threshold form deliberately avoids). */
+  def corpusTokenBudget(s: SparkSession, dir: String, budget: Long = 20000): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+      qualityCol.as("quality"))
+    val buckets = docs
+      .withColumn("qb", floor(col("quality") * 100).cast("long"))
+      .groupBy(col("qb")).agg(sum(col("n_tok")).as("bucket_tok"))
+    val wDesc = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = buckets
+      .withColumn("cum_tok", sum(col("bucket_tok")).over(wDesc))
+      .filter(col("cum_tok") <= budget)
+      .agg(min(col("qb")).as("q_cut"))
+    docs.crossJoin(broadcast(cutoff))
+      .filter(floor(col("quality") * 100) >= col("q_cut"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusTokenBudgetSql(budget: Long = 20000): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |         ${qualitySqlFrag} AS quality
+       |  FROM documents),
+       |buckets AS (
+       |  SELECT CAST(floor(quality * 100) AS BIGINT) AS qb,
+       |         CAST(sum(n_tok) AS BIGINT) AS bucket_tok
+       |  FROM docs GROUP BY 1),
+       |cutoff AS (
+       |  SELECT min(qb) AS q_cut FROM (
+       |    SELECT qb, CAST(sum(bucket_tok) OVER (ORDER BY qb DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |    FROM buckets)
+       |  WHERE cum_tok <= $budget)
+       |SELECT d.doc_id, d.lang, d.n_tok, d.quality
+       |FROM docs d CROSS JOIN cutoff c
+       |WHERE floor(d.quality * 100) >= c.q_cut
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** #78 corpus_weighted_sample: deterministic importance resampling of
+    * documents toward the #74 sqrt-temperature mixture. Per (lang,
+    * source) the acceptance rate is `frac · weight/share` capped at 1
+    * (upweighted small domains keep everything at small `frac`); the
+    * accept decision is an md5-uniform per doc_id against that rate —
+    * reproducible, seedless, and exactly the shape a 100 TB sampler
+    * needs (rates from a tiny broadcast dimension, a map-only filter on
+    * the fact scan). Output: per-group kept counts vs expectation. */
+  def corpusWeightedSample(s: SparkSession, dir: String, frac: Double = 0.5): DataFrame = {
+    val rates = Sketches.corpusMixWeights(s, dir)
+      .select(col("lang"), col("source"),
+              least(lit(1.0), r(lit(frac) * col("weight") / nullif(col("share"), lit(0d)), 6))
+                .as("rate"))
+    // md5-uniform in [0,1): top 60 bits of the doc_id hash / 2^60
+    val u = expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+      .cast("double") / math.pow(2, 60)
+    Tables.documents(s, dir)
+      .join(broadcast(rates), Seq("lang", "source"))
+      .withColumn("keep", u < col("rate"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("keep"), 1)).as("n_kept"),
+           r(min(col("rate")) * count(lit(1)), 2).as("n_expected"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  def corpusWeightedSampleSql(frac: Double = 0.5): String =
+    s"""WITH g AS (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT lang, source, n_docs, n_tokens,
+       |         CAST(n_tokens AS DOUBLE) /
+       |           CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE) AS share
+       |  FROM g),
+       |wt AS (
+       |  SELECT *, CAST(${sqlR("sqrt(share)", 10)} AS DECIMAL(18,10)) AS w10 FROM sh),
+       |-- rate mirrors the Spark side exactly: it composes the ROUNDED
+       |-- 6dp weight and share columns that corpus_mix_weights emits
+       |r6 AS (
+       |  SELECT lang, source, ${sqlR("share", 6)} AS s6,
+       |         ${sqlR("CAST(w10 AS DOUBLE) / CAST(sum(w10) OVER () AS DOUBLE)", 6)} AS w6
+       |  FROM wt),
+       |rates AS (
+       |  SELECT lang, source,
+       |         least(1.0, ${sqlR(s"$frac * w6 / nullif(s6, 0.0)", 6)}) AS rate
+       |  FROM r6),
+       |probed AS (
+       |  SELECT d.lang, d.source, r.rate,
+       |         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |           / ${math.pow(2, 60)} < r.rate AS keep
+       |  FROM documents d JOIN rates r USING (lang, source))
+       |SELECT lang, source, count(*) AS n_docs,
+       |       count(CASE WHEN keep THEN 1 END) AS n_kept,
+       |       ${sqlR("min(rate) * count(*)", 2)} AS n_expected
+       |FROM probed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** #79 events_scd2: slowly-changing-dimension type-2 compaction — per
+    * user, collapse the event stream into versioned segments of the
+    * observed `event_type` attribute: one row per run of consecutive
+    * equal values with valid_from/valid_to/is_current. Gaps-and-islands
+    * by VALUE CHANGE (lag-compare → cumulative change count → group),
+    * the canonical warehouse upsert-history shape; all three windows
+    * share one user_id exchange. */
+  def eventsScd2(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+             lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("ver"))
+      .agg(min(col("event_type")).as("event_type"),
+           min(col("ts")).as("valid_from"),
+           max(col("ts")).as("valid_to"),
+           count(lit(1)).as("n_events"))
+      .withColumn("is_current", col("ver") === max(col("ver")).over(wUser))
+      .orderBy(col("user_id"), col("ver"))
+  }
+
+  val eventsScd2Sql: String =
+    """WITH chg AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(event_type, 1) OVER w IS NULL
+      |                OR lag(event_type, 1) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ver AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+      |  FROM chg),
+      |seg AS (
+      |  SELECT user_id, ver, min(event_type) AS event_type,
+      |         min(ts) AS valid_from, max(ts) AS valid_to,
+      |         count(*) AS n_events
+      |  FROM ver GROUP BY 1, 2)
+      |SELECT user_id, ver, event_type, valid_from, valid_to, n_events,
+      |       ver = max(ver) OVER (PARTITION BY user_id) AS is_current
+      |FROM seg ORDER BY user_id, ver""".stripMargin
+}

@@ -125,17 +125,32 @@ object Sketches {
     * no false negatives, pinned in SketchesSpec. At 100 TB this is the
     * semi-join pruning Spark's own runtime filters do, made explicit
     * and portable. */
-  def eventsBloomJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val members = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id")).distinct()
-    // build: k bits per member → per-word bit_or; conditional agg pivots
-    // the ≤4 rows to one (w0..w3) row, absent words coalesce to 0
-    val bits = members
+  def eventsBloomJoin(s: SparkSession, dir: String): DataFrame =
+    bloomProbeReport(s, dir,
+      bloomWords(Tables.events(s, dir)
+        .filter(col("event_type") === "purchase").select(col("user_id"))))
+
+  /** Bloom word table (w, bits) from rows carrying a `user_id` key.
+    * bit_or is idempotent, so NO distinct is needed before the build —
+    * one partial-agg groupBy over ≤4 word groups, and the identical
+    * aggregation runs as streaming state (bit_or is the merge operator —
+    * Streaming.streamBloom). */
+  def bloomWords(keyed: DataFrame): DataFrame =
+    keyed
       .select(explode(array((0 until BloomK).map(bloomBit): _*)).as("bit"))
       .select(expr(s"CAST(bit div $BloomBitsPerWord AS INT)").as("w"),
               expr(s"shiftleft(CAST(1 AS BIGINT), CAST(bit % $BloomBitsPerWord AS INT))").as("mask"))
       .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+
+  /** Probe the full event scan against a bloom word table and report
+    * per-type pass/member/false-positive counts (shared by the batch
+    * and streaming paths). */
+  def bloomProbeReport(s: SparkSession, dir: String, bits: DataFrame): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val members = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    // conditional agg pivots the ≤4 rows to one (w0..w3) row, absent
+    // words coalesce to 0
     val wordAggs = (0 until BloomWords).map(w =>
       coalesce(max(when(col("w") === w, col("bits"))), lit(0L)).as(s"w$w"))
     val bloomRow = bits.agg(wordAggs.head, wordAggs.tail: _*)

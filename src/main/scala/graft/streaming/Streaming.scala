@@ -225,6 +225,27 @@ object Streaming {
       s.table(name), ev.select(col("user_id")).distinct(), exact, 10))
   }
 
+  /** #73b stream_bloom: the portable bloom filter built incrementally —
+    * per-word bit_or IS the streaming state (bit_or is idempotent AND
+    * mergeable, so duplicate keys across micro-batches cost nothing and
+    * no distinct is ever needed). The drained ≤4-word register sink is
+    * bit-identical to the batch build; the probe + per-type report run
+    * batch-side, checked by the batch oracle. */
+  def streamBloom(s: SparkSession, dir: String): DataFrame = {
+    val name = s"bloom_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Sketches.bloomWords(
+          eventsStream(s, dir).filter(col("event_type") === "purchase")
+            .select(col("user_id")))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Sketches.bloomProbeReport(s, dir, s.table(name)))
+  }
+
   // ------------------------------------------------------ #36 sessionize
 
   private val gapUs = 30L * 60 * 1000000
