@@ -167,4 +167,46 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     }
   }
+
+  test("bloom join: constant-size build broadcast to the probe — no fact-side shuffle join") {
+    val p = plan(graft.operators.Sketches.eventsBloomJoin(spark, sf))
+    // the 1-row bloom and the member dimension reach the fact scan as
+    // broadcasts; the fact table itself is never sort-merge joined
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the word build partial-aggregates map-side before its exchange
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"), p)
+  }
+
+  test("cms: register build is a partial-aggregated groupBy (map-side combine)") {
+    val p = plan(graft.operators.Sketches.eventsCms(spark, sf))
+    assert(p.contains("partial_count"), p)
+    // estimation joins the broadcast register table — no shuffle of keys
+    // against registers
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("token budget: bucket threshold — no global window over documents") {
+    val p = plan(graft.operators.Curation.corpusTokenBudget(spark, sf))
+    // the only Window is the cumulative sum over the ≤101-row bucket
+    // table; the document-side selection is a broadcast-filter
+    val windows = "\\) Window".r.findAllIn(p).length
+    assert(windows <= 1, s"expected at most the bucket-table window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("weighted sample: rates broadcast, accept is map-only on the fact scan") {
+    val p = plan(graft.operators.Curation.corpusWeightedSample(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("scd2: all three windows and the aggregation share one user_id exchange") {
+    val p = plan(graft.operators.Curation.eventsScd2(spark, sf))
+    // one exchange for the user_id partitioning + the final presentation
+    // sort's range exchange — nothing else
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected user_id + output-sort exchanges only:\n$p")
+  }
 }
