@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.sources.Tables
+
+/** Graph analytics over relationally-derived edge sets (SURVEY §2 #80,
+  * #81): weighted PageRank and MERGE-style upsert reconciliation.
+  */
+object Graph {
+
+  /** #80 graph_pagerank: weighted PageRank over the brand co-purchase
+    * graph (nodes = brands, symmetric edges weighted by co-occurrence
+    * order count — the same edge derivation as #66 brand_affinity,
+    * without the lift filter). Fixed `iters` power iterations with
+    * damping d: pr'(v) = (1−d)/N + d·Σ_u pr(u)·w(u,v)/outw(u), each
+    * round's scores rounded to 8dp (decimal-summed — deterministic and
+    * oracle-replayable as chained CTEs, like emb_pca / ann_ivf).
+    *
+    * Scale shape: the rank vector is key-proportional (one row per
+    * node) and stays distributed — each round is one edge⋈rank join
+    * partial-aggregated on dst; nothing is ever collected. Convergence
+    * here is a FIXED iteration count (deterministic output beats an
+    * adaptive stop for an oracle-checked operator; dedup_clusters shows
+    * the adaptive variant). The symmetric edge set has no dangling
+    * nodes, so no dangling-mass redistribution term is needed. */
+  def graphPagerank(s: SparkSession, dir: String, damping: Double = 0.85,
+                    iters: Int = 5): DataFrame = {
+    val ob = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
+      .localCheckpoint(false)
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") =!= col("b.brand"))
+      .groupBy(col("a.brand").as("src"), col("b.brand").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    // per-source out-weight folded onto each edge once, up front
+    val edges = pairs
+      .join(pairs.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
+      .localCheckpoint(false)
+    val nodes = edges.select(col("src").as("brand")).distinct().localCheckpoint(false)
+    // lazy count-of-nodes scalar — a 1-row broadcast, not a driver count
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var pr = nodes.crossJoin(broadcast(nDf))
+      .select(col("brand"), r(lit(1.0) / col("n_nodes"), 8).as("pr"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("brand", "src"), "src")
+        .groupBy(col("dst").as("brand"))
+        .agg(dsum(col("pr") * col("w").cast("double") / col("outw").cast("double"))
+          .as("mass"))
+      pr = nodes.join(contrib, Seq("brand"), "left")
+        .crossJoin(broadcast(nDf))
+        .select(col("brand"),
+                r(lit(1 - damping) / col("n_nodes") +
+                  lit(damping) * coalesce(col("mass"), lit(0.0)), 8).as("pr"))
+        .localCheckpoint(false)
+    }
+    pr.select(col("brand"), col("pr"))
+      .orderBy(col("pr").desc, col("brand"))
+  }
+
+  def graphPagerankSql(damping: Double = 0.85, iters: Int = 5): String = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.brand,
+         |         ${sqlR(s"(1 - $damping) / (SELECT n FROM nn) + $damping * coalesce(m.mass, 0.0)", 8)} AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS brand,
+         |           ${sqlSum("p.pr * CAST(e.w AS DOUBLE) / CAST(e.outw AS DOUBLE)")} AS mass
+         |    FROM edges e JOIN $prev p ON p.brand = e.src
+         |    GROUP BY 1) m ON m.brand = n.brand
+         |)"""
+    val rounds = (1 to iters).map(i => round(s"pr${i - 1}", s"pr$i")).mkString(",\n")
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |pairs AS (
+       |  SELECT a.brand AS src, b.brand AS dst, count(*) AS w
+       |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand <> b.brand
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT p.*, o.outw FROM pairs p
+       |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM pairs GROUP BY 1) o
+       |    USING (src)),
+       |nodes AS (SELECT DISTINCT src AS brand FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |pr0 AS (
+       |  SELECT brand, ${sqlR("1.0 / (SELECT n FROM nn)", 8)} AS pr FROM nodes),
+       |$rounds
+       |SELECT brand, pr FROM pr$iters ORDER BY pr DESC, brand""".stripMargin
+  }
+
+  /** #81 orders_merge_upsert: MERGE INTO semantics over a per-customer
+    * snapshot dimension — base = latest order on or before the cutoff,
+    * updates = orders after it. Latest-wins upsert via FULL OUTER join
+    * with every row classified `insert` (new key), `update` (key
+    * existed, newer order arrived) or `unchanged`. Both snapshots
+    * aggregate on o_custkey and the join is co-partitioned on the same
+    * key — one exchange per side, the standard incremental-dimension
+    * maintenance shape. */
+  def ordersMergeUpsert(s: SparkSession, dir: String,
+                        cutoff: String = "1998-01-01"): DataFrame = {
+    def snap(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+          .as("s"))
+        .select(col("o_custkey"), col("s.o_orderdate").as("last_date"),
+                col("s.o_orderkey").as("last_key"), col("s.o_totalprice").as("last_price"))
+    val cut = lit(cutoff).cast("timestamp")
+    val orders = Tables.orders(s, dir)
+    val base = snap(orders.filter(col("o_orderdate") < cut))
+    val upd = snap(orders.filter(col("o_orderdate") >= cut))
+    base.as("b").join(upd.as("u"), Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        when(col("b.last_key").isNull, lit("insert"))
+          .when(col("u.last_key").isNull, lit("unchanged"))
+          .otherwise(lit("update")).as("action"),
+        coalesce(col("u.last_date"), col("b.last_date")).as("last_date"),
+        coalesce(col("u.last_key"), col("b.last_key")).as("last_key"),
+        coalesce(col("u.last_price"), col("b.last_price")).as("last_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  def ordersMergeUpsertSql(cutoff: String = "1998-01-01"): String = {
+    // latest-order snapshot as a rank-1 window (≡ the Spark side's
+    // max-of-struct: date then orderkey; orderkey is unique so the
+    // totalprice member never tiebreaks)
+    def snap(pred: String, out: String) =
+      s"""$out AS (
+         |  SELECT o_custkey, o_orderdate AS last_date, o_orderkey AS last_key,
+         |         o_totalprice AS last_price
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |        FROM orders WHERE $pred)
+         |  WHERE rn = 1)"""
+    s"""WITH ${snap(s"o_orderdate < TIMESTAMP '$cutoff'", "base")},
+       |${snap(s"o_orderdate >= TIMESTAMP '$cutoff'", "upd")}
+       |SELECT coalesce(b.o_custkey, u.o_custkey) AS o_custkey,
+       |       CASE WHEN b.o_custkey IS NULL THEN 'insert'
+       |            WHEN u.o_custkey IS NULL THEN 'unchanged'
+       |            ELSE 'update' END AS action,
+       |       coalesce(u.last_date, b.last_date) AS last_date,
+       |       coalesce(u.last_key, b.last_key) AS last_key,
+       |       coalesce(u.last_price, b.last_price) AS last_price
+       |FROM base b FULL OUTER JOIN upd u ON b.o_custkey = u.o_custkey
+       |ORDER BY 1""".stripMargin
+  }
+}

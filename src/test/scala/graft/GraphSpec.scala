@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Invariants for the graph/merge operators (#80-#81). */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pagerank: probability mass conserved, floor respected, deterministic") {
+    val a = Graph.graphPagerank(spark, sf).collect()
+    assert(a.nonEmpty)
+    val n = a.length
+    val sum = a.map(_.getAs[Double]("pr")).sum
+    // symmetric edges → no dangling mass; per-round 8dp rounding can
+    // drift the total by ≤ n·iters·5e-9
+    assert(math.abs(sum - 1.0) < 1e-5, s"mass $sum")
+    a.foreach(r => assert(r.getAs[Double]("pr") >= (1 - 0.85) / n - 1e-9))
+    val b = Graph.graphPagerank(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("merge upsert: actions partition keys and agree with the raw order stream") {
+    import java.time.LocalDateTime
+    def tsOf(r: org.apache.spark.sql.Row, field: String): LocalDateTime =
+      r.getAs[Any](field) match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case t: LocalDateTime      => t
+      }
+    val out = Graph.ordersMergeUpsert(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[String]("action"), tsOf(r, "last_date"))).toMap
+    val cut = LocalDateTime.of(1998, 1, 1, 0, 0)
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate")).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), tsOf(r, "o_orderdate")))
+    val pre = orders.filter(_._2.isBefore(cut)).map(_._1).toSet
+    val post = orders.filterNot(_._2.isBefore(cut)).map(_._1).toSet
+    assert(out.keySet == pre ++ post)
+    out.foreach { case (k, (action, lastDate)) =>
+      val expected =
+        if (!pre.contains(k)) "insert"
+        else if (!post.contains(k)) "unchanged"
+        else "update"
+      assert(action == expected, s"custkey $k: $action != $expected")
+      // post-merge snapshot carries the key's true latest order date
+      val latest = orders.filter(_._1 == k).map(_._2).max(
+        Ordering.fromLessThan[LocalDateTime](_ isBefore _))
+      assert(lastDate == latest)
+    }
+  }
+}
