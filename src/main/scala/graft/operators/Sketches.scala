@@ -311,6 +311,117 @@ object Sketches {
        |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ------------------------------------ #82 deterministic split
+
+  /** #82 corpus_split: seedless train/val/test assignment — the
+    * md5-uniform of doc_id against fixed 80/10/10 boundaries. Every doc
+    * lands in exactly one split, independent of partitioning, scan
+    * order, or corpus growth (a doc keeps its split when new data
+    * arrives — the property a 100 TB incremental pipeline needs, and
+    * why this is NOT randomSplit, whose assignment depends on partition
+    * layout). Output: per-(lang, split) doc/token inventory. */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    val u = expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+      .cast("double") / math.pow(2, 60)
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+             .as("n_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val corpusSplitSql: String =
+    s"""WITH assigned AS (
+       |  SELECT lang,
+       |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+       |  FROM (SELECT *,
+       |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |            / ${math.pow(2, 60)} AS u
+       |        FROM documents))
+       |SELECT lang, split, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------ #83 histogram quantile sketch
+
+  private val QsBins = 64
+
+  /** #83 events_quantile_sketch: mergeable equi-width histogram
+    * quantiles — the O(bins)-state alternative to exact percentiles
+    * (which co-locate every value of a group). Pass 1: per-type
+    * min/max (algebraic). Pass 2: per-(type, bin) counts (algebraic,
+    * ≤64 rows/group survive the map side). Estimates interpolate
+    * linearly inside the target bin, so |est − exact| ≤ one bin width —
+    * the bound SketchesSpec pins against #49's exact percentiles. Both
+    * passes are map-side-combinable: at 100 TB the shuffle carries
+    * O(types × bins) rows, never values. */
+  def eventsQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val ranges = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = ev.join(broadcast(ranges), "event_type")
+      .withColumn("bin",
+        coalesce(least(lit(QsBins - 1),
+          floor((col("value") - col("vmin")) /
+                nullif(col("vmax") - col("vmin"), lit(0d)) * QsBins).cast("int")), lit(0)))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val cum = binned
+      .withColumn("cum_hi", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_lo", col("cum_hi") - col("cnt"))
+      .join(broadcast(ranges), "event_type")
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    def est(q: Double): Column = {
+      val target = lit(q) * col("n").cast("double")
+      val frac = (target - col("cum_lo").cast("double")) / col("cnt").cast("double")
+      val width = (col("vmax") - col("vmin")) / QsBins
+      r(min(when(col("cum_hi").cast("double") >= target,
+        col("vmin") + (col("bin").cast("double") + least(lit(1d), greatest(lit(0d), frac))) * width)), 6)
+    }
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+           est(0.5).as("p50_est"), est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsQuantileSketchSql: String = {
+    def est(q: Double): String = {
+      val target = s"$q * CAST(n AS DOUBLE)"
+      val frac = s"(($target) - CAST(cum_lo AS DOUBLE)) / CAST(cnt AS DOUBLE)"
+      val width = s"(vmax - vmin) / $QsBins"
+      sqlR(s"min(CASE WHEN CAST(cum_hi AS DOUBLE) >= $target THEN " +
+           s"vmin + (CAST(bin AS DOUBLE) + least(1.0, greatest(0.0, $frac))) * ($width) END)", 6)
+    }
+    s"""WITH ranges AS (
+       |  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+       |  FROM events GROUP BY 1),
+       |binned AS (
+       |  SELECT event_type, bin, count(*) AS cnt FROM (
+       |    SELECT e.event_type,
+       |           coalesce(least($QsBins - 1, CAST(floor((e.value - r.vmin) /
+       |             nullif(r.vmax - r.vmin, 0.0) * $QsBins) AS INT)), 0) AS bin
+       |    FROM events e JOIN ranges r USING (event_type))
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT b.*, r.vmin, r.vmax,
+       |         CAST(sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hi,
+       |         CAST(sum(cnt) OVER (PARTITION BY b.event_type ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt AS cum_lo,
+       |         CAST(sum(cnt) OVER (PARTITION BY b.event_type) AS BIGINT) AS n
+       |  FROM binned b JOIN ranges r USING (event_type))
+       |SELECT event_type, max(n) AS n,
+       |       ${est(0.5)} AS p50_est, ${est(0.9)} AS p90_est, ${est(0.99)} AS p99_est
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // -------------------------------- #76 seasonal decomposition
 
   /** #76 ts_seasonal_decompose: split each series into a day-of-week

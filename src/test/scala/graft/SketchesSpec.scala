@@ -91,6 +91,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(noise.getAs[Double]("strength") == 0.0)
   }
 
+  test("corpus split: exhaustive, deterministic, train-dominant") {
+    val rows = Sketches.corpusSplit(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+    val again = Sketches.corpusSplit(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
+  test("quantile sketch: every estimate within one bin width of the exact order statistic") {
+    // the histogram bound is vs the TYPE-1 quantile (the order statistic
+    // at rank ⌈q·n⌉, which provably shares the estimate's bin) — the
+    // interpolated percentile can drift across empty tail bins
+    val est = Sketches.eventsQuantileSketch(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val vals = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(est.keySet == vals.keySet)
+    for ((t, e) <- est; vs = vals(t); bw = (vs.last - vs.head) / 64.0;
+         (eCol, q) <- Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99)) {
+      val orderStat = vs(math.ceil(q * vs.length).toInt - 1)
+      val d = math.abs(e.getAs[Double](eCol) - orderStat)
+      assert(d <= bw + 1e-9, s"$t $eCol off by $d > bin width $bw")
+    }
+  }
+
   test("PQ ANN recalls the brute-force top-k (refined shortlist)") {
     def key(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.groupBy(_.getAs[Long]("q_id"))
