@@ -65,13 +65,34 @@ object Mhw {
 
   // ---------------------------------------------------------------- pooling
 
+  /** One hash shuffle on the series key. Every aggregate in the pooling
+    * chain groups by (user_id, some-doy-expression), and hash(user_id)
+    * satisfies that clustering requirement, so after this exchange the
+    * ±hw pooling explode, the per-DOY aggregate, the Feb-29 fan-out and
+    * the ±15 smoothing explode all plan into ONE stage with zero further
+    * exchanges. Without it the quantile path shuffles the ×(2hw+1)
+    * exploded samples themselves (collect_list partials don't reduce),
+    * i.e. 11× the daily volume — measured superlinear at the ×30
+    * reference grid (BENCH_GRID_x30). MHW grids are volume-uniform per
+    * key (366·years daily rows each), so keying the exchange on the
+    * series id alone introduces no skew.
+    *
+    * The partition count is pinned to spark.sql.shuffle.partitions:
+    * left implicit, AQE sizes the exchange by its INPUT bytes (the
+    * compact daily table) and coalesces to a handful of partitions —
+    * but each row fans out ×11 and then ×31 downstream in-stage, so
+    * coalescing starves the whole chain of parallelism. */
+  private[graft] def byKey(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col("user_id"))
+
   /** Explode each daily observation to the (2·hw+1) window centers it
     * contributes to, with the reference's cross-year grid semantics: a
     * center that falls off the [1,366] grid belongs to the adjacent year
     * and only counts if that year is present in the data. */
   private[graft] def poolSamples(dailyDf: DataFrame, hw: Int): DataFrame = {
     val years = dailyDf.select(col("yr").as("c_yr")).distinct()
-    dailyDf
+    byKey(dailyDf)
       .withColumn("k", explode(sequence(lit(-hw), lit(hw))))
       .withColumn("c_raw", col("doy") + col("k"))
       .withColumn("c_yr", col("yr") +
@@ -199,9 +220,14 @@ object Mhw {
   def climatologyBpRaw(s: SparkSession, dir: String): DataFrame =
     climatologyBp(daily(s, dir))
 
-  /** best_practice.compute_climatology, smoothPercentile=true. */
+  /** best_practice.compute_climatology, smoothPercentile=true. Keyed
+    * exchange first: the per-DOY mean then aggregates map-side and the
+    * ×31 smoothing explode stays in-stage (one shuffle total), where
+    * smoothing a (user_id, doy)-partitioned grid would re-shuffle the
+    * exploded 31× rows. The bare [[climatologyBpRaw]] keeps the plain
+    * partial-agg shuffle — optimal when nothing runs downstream. */
   def climatologyBpSmooth(s: SparkSession, dir: String): DataFrame =
-    smoothDoy(climatologyBp(daily(s, dir)), "seas")
+    smoothDoy(climatologyBp(byKey(daily(s, dir))), "seas")
 
   /** best_practice.compute_threshold, smoothPercentile=false, q=0.9. */
   def thresholdBpRaw(s: SparkSession, dir: String): DataFrame =
@@ -564,6 +590,42 @@ object Mhw {
            davg(col("intensity_max"), 6).as("mean_imax"),
            max(col("intensity_max")).as("max_imax"),
            dsum(col("intensity_cumul"), 6).as("total_cumul"))
+
+  /** #11j `mhw_trend_annual`: the Oliver-2018 headline statistic —
+    * the linear trend in annual MHW days per series, in days/decade.
+    * Builds the complete per-key annual series (years with zero events
+    * INCLUDED via the key's daily-record year span — a fit over only
+    * event-years biases the trend high), then a closed-form least
+    * squares in exact integer sums (years and day counts are integers,
+    * so Σx, Σx², Σxy are exact longs; only the final slope division is
+    * IEEE). Events are key-proportional-tiny and the year spine is
+    * ~decades/key: both sides of the final join are partial-aggregated
+    * before the one exchange on user_id. */
+  def mhwTrendAnnual(s: SparkSession, dir: String): DataFrame = {
+    val ev = detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    val annual = ev
+      .groupBy(col("user_id"), year(col("date_start")).as("yr"))
+      .agg(sum(col("duration").cast("long")).as("days"))
+    val spine = daily(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+      .select(col("user_id"),
+              explode(sequence(col("y0"), col("y1"))).as("yr"))
+    val full = spine.join(annual, Seq("user_id", "yr"), "left")
+      .select(col("user_id"), col("yr"),
+              coalesce(col("days"), lit(0L)).as("days"))
+    val n = count(lit(1)).cast("double")
+    val st = sum(col("yr").cast("long")).cast("double")
+    val stt = sum((col("yr") * col("yr")).cast("long")).cast("double")
+    val sy = sum(col("days")).cast("double")
+    val sty = sum(col("days") * col("yr")).cast("double")
+    full.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_years"),
+           r(sy / n, 6).as("mean_days"),
+           r(when(n * stt - st * st === 0d, 0d)
+               .otherwise((n * sty - st * sy) / (n * stt - st * st)) * 10, 6)
+             .as("trend_days_per_decade"))
+  }
 
   /** Query #11g mhw_event_rates: the remainder of Oliver's per-event
     * metric battery (reference ground-truth asset
