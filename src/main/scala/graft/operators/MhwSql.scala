@@ -325,6 +325,38 @@ object MhwSql {
        |       ${rr(dsum("intensity_cumul"), 6)} AS total_cumul
        |FROM evm GROUP BY 1, 2""".stripMargin
 
+  /** Trend in annual MHW days (days/decade) — mirrors
+    * Mhw.mhwTrendAnnual: zero-filled annual series over each key's
+    * daily-record year span, integer-exact moment sums, slope ×10. */
+  val mhwTrendAnnual: String =
+    chain(0.6) +
+    s""", ann AS (
+       |  SELECT user_id, year(date_start) AS yr,
+       |         CAST(sum(duration) AS BIGINT) AS days
+       |  FROM evm GROUP BY 1, 2
+       |),
+       |spine AS (
+       |  SELECT user_id, unnest(generate_series(min(yr), max(yr))) AS yr
+       |  FROM daily GROUP BY user_id
+       |),
+       |fullx AS (
+       |  SELECT s.user_id, s.yr, COALESCE(a.days, 0) AS days
+       |  FROM spine s LEFT JOIN ann a ON s.user_id = a.user_id AND s.yr = a.yr
+       |),
+       |fit AS (
+       |  SELECT user_id,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(yr AS BIGINT)) AS DOUBLE) AS st,
+       |    CAST(sum(CAST(yr AS BIGINT) * yr) AS DOUBLE) AS stt,
+       |    CAST(sum(CAST(days AS BIGINT)) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(days AS BIGINT) * yr) AS DOUBLE) AS sty
+       |  FROM fullx GROUP BY 1
+       |)
+       |SELECT user_id, CAST(n AS BIGINT) AS n_years,
+       |       ${rr("sy / n", 6)} AS mean_days,
+       |       ${rr("CASE WHEN n * stt - st * st = 0 THEN 0 ELSE (n * sty - st * sy) / (n * stt - st * st) END * 10", 6)} AS trend_days_per_decade
+       |FROM fit""".stripMargin
+
   /** Oliver's extended per-event battery (intensity_var, relThresh/abs
     * variants, category day counts, onset/decline rates) — mirrors
     * Mhw.mhwEventRates expression-for-expression. */
