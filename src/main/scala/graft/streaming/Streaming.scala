@@ -127,7 +127,7 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+  private[streaming] def eventsStream(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // source wants a dir
       .parquet(dir)
