@@ -54,4 +54,40 @@ class GraphSpec extends AnyFunSuite {
       assert(lastDate == latest)
     }
   }
+
+  test("triangles: counts match a brute-force check; identities hold") {
+    val out = Graph.graphTriangles(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rebuild the undirected edge set the operator derives
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val ob = li.join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
+    val edges = ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .select(col("a.brand").as("u"), col("b.brand").as("v")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(u: String) = edges.collect {
+      case (a, b) if a == u => b
+      case (a, b) if b == u => a
+    }
+    // brute-force per-node triangle count over the tiny brand graph
+    val brute = nodes.map { u =>
+      val nb = adj(u).toSeq
+      u -> (for {
+        i <- nb.indices; j <- (i + 1) until nb.length
+        if edges(if (nb(i) < nb(j)) (nb(i), nb(j)) else (nb(j), nb(i)))
+      } yield 1).size.toLong
+    }.toMap
+    out.foreach { r =>
+      val (brand, deg, tri) = (r.getString(0), r.getAs[Long]("deg"), r.getAs[Long]("triangles"))
+      assert(tri == brute(brand), s"$brand: $tri vs brute ${brute(brand)}")
+      assert(deg == adj(brand).size.toLong)
+      val cc = r.getAs[Double]("clustering_coeff")
+      assert(cc >= 0.0 && cc <= 1.0 + 1e-9)
+    }
+    // each triangle is counted once per corner: total is divisible by 3
+    assert(out.map(_.getAs[Long]("triangles")).sum % 3 == 0)
+  }
 }
