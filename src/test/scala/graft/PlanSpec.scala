@@ -209,4 +209,37 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "\\) Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected user_id + output-sort exchanges only:\n$p")
   }
+
+  test("pooling chain: exploded window samples never cross the wire") {
+    // the shuffle-once rework: the only exchanges in the threshold chain
+    // sit BELOW the ±hw/±15 explodes (daily partial agg, years-distinct,
+    // the keyed repartition). A shuffle whose subtree contains a
+    // Generate means the ×11/×31 fan-out is being shuffled — the shape
+    // that went superlinear at the ×30 reference grid.
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq(Mhw.thresholdBpSmooth(spark, sf),
+        Mhw.legacyClimThresh(Mhw.daily(spark, sf), 5, 0.9)).foreach { df =>
+      val sp = df.queryExecution.sparkPlan
+      val offenders = sp.collect {
+        case e: ShuffleExchangeExec
+          if e.collectFirst { case g: GenerateExec => g }.isDefined => e
+      }
+      assert(offenders.isEmpty,
+        s"${offenders.size} exchange(s) shuffle exploded rows:\n${offenders.mkString("\n")}")
+    }
+  }
+
+  test("ewma: one exchange, one window — a fixed-size expression, no collect_list") {
+    val p = plan(graft.operators.TimeSeries2.tsEwma(spark, sf))
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges")
+    assert(!p.contains("collect_list"))
+  }
+
+  test("cross-corr: calendar-bounded panel table broadcasts — no fact-fact shuffle join") {
+    val p = plan(graft.operators.TimeSeries2.tsCrossCorr(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
