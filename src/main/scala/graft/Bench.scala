@@ -78,23 +78,40 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
         .stripSuffix(".") else s
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def queriesJson(dp: Int): String = results
+    // errored queries are enumerated in `errors` ONLY — a -1 sentinel in
+    // the timings map would poison any consumer summing per-query times
+    val timed = results.filter(_._2 >= 0)
+    val total = if (timed.nonEmpty) timed.map(_._2).sum else 0.0
+    def queriesJson(dp: Int): String = timed
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
+    // operator-cache + block-residency diagnostics: settles whether a
+    // slow cached-family query reused its persisted tables (hits>0,
+    // evictions=0) and whether the BlockManager spilled them to disk
+    val (cHit, cMiss, cEvict) = Caches.stats
+    val cacheJson =
+      s"""{"hits":$cHit,"misses":$cMiss,"evictions":$cEvict}"""
+    val storageJson = Caches.residency(spark)
+      .map { case (n, mem, disk, frac) =>
+        "{\"rdd\":\"" + n.replaceAll("[\"\\\\]", "") + "\",\"mem\":" + mem +
+        ",\"disk\":" + disk + ",\"cached_frac\":" + fmt(frac, 3) + "}" }
+      .mkString("[", ",", "]")
     def line(dp: Int): String =
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec",""" +
-      s""""queries":${queriesJson(dp)},"sf":"$sfDir","n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},"errors":$errJson}"""
+      s""""queries":${queriesJson(dp)},"sf":"$sfDir","n_queries":${timed.size},""" +
+      s""""n_errors":${errors.size},"errors":$errJson,"cache":$cacheJson}"""
     // Full-precision copy to a file: the driver tail-captures stdout and
     // has truncated the per-query map before (BENCH_r02 lost 58/123
     // timings). The file is the durable artifact; stdout stays the
     // driver contract but rounded to 3 dp so the line fits the tail.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line(6) + "\n")
+    // the file artifact additionally carries block residency (too long
+    // for the tail-captured stdout line)
+    val fileLine = line(6).dropRight(1) + s""","storage":$storageJson}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"bench file write failed: $e") }
     println(line(3))
     Caches.clear(spark)

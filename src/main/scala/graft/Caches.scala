@@ -25,6 +25,31 @@ object Caches {
   private val entries =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, Any), Entry]
 
+  // Diagnostics for the bench artifact: the round-3 driver bench showed
+  // the cached dedup family 12x slower than a same-code builder run, and
+  // registry eviction was the prime suspect. The counters settle it:
+  // hits/misses say whether the sweep reuses the persisted tables,
+  // evictions says whether the LRU bound ever fires (with ~9 distinct
+  // keys per sweep it should read 0 forever).
+  private val nHits = new java.util.concurrent.atomic.AtomicLong
+  private val nMisses = new java.util.concurrent.atomic.AtomicLong
+  private val nEvictions = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses, evictions) since JVM start. */
+  def stats: (Long, Long, Long) = (nHits.get, nMisses.get, nEvictions.get)
+
+  /** Block residency of every cached RDD in the context: (name, memory
+    * bytes, disk bytes, cached-partition fraction). Reveals whether the
+    * BlockManager spilled/dropped the persisted tables mid-sweep even
+    * though the registry never evicted them (and how much storage the
+    * accumulated localCheckpoint blocks are holding). */
+  def residency(s: SparkSession): Seq[(String, Long, Long, Double)] =
+    try s.sparkContext.getRDDStorageInfo.toSeq.map { i =>
+      (s"${i.id}:${i.name}", i.memSize, i.diskSize,
+       if (i.numPartitions == 0) 0.0
+       else i.numCachedPartitions.toDouble / i.numPartitions)
+    } catch { case _: Throwable => Nil }
+
   /** Memoize `build` (which should return an already-persisted frame)
     * under (session, key). LRU: re-access moves the entry to the back;
     * past [[maxEntries]] the oldest entry is unpersisted and dropped. */
@@ -38,14 +63,17 @@ object Caches {
       val k = (s, key)
       entries.remove(k) match {
         case Some(e) =>
+          nHits.incrementAndGet()
           entries.put(k, e) // refresh LRU position
           e.df
         case None =>
+          nMisses.incrementAndGet()
           val df = build
           entries.put(k, Entry(s, df))
           while (entries.size > maxEntries) {
             val (ok, oe) = entries.head
             entries.remove(ok)
+            nEvictions.incrementAndGet()
             safeUnpersist(oe.df)
           }
           df

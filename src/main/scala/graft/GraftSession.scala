@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
   * - UTC session timezone (oracle parity)
   * - AQE on: runtime coalescing + skew-join handling stand in for manual
   *   partition tuning at scale
-  * - nanosAsLong: the driver's test parquet stores ns timestamps, which
-  *   Spark's reader otherwise rejects (Tables.events converts back)
+  * - nanosAsLong: older testdata generations stored ns timestamps, which
+  *   Spark's reader otherwise rejects; Tables.normalizeTs canonicalizes
+  *   whichever encoding (ns-long / µs NTZ / µs TIMESTAMP) actually arrives
   * - shuffle.partitions sized to the local core count, NOT the 200
   *   default; on a real cluster this is set ∝ executors
   */

@@ -24,6 +24,14 @@ import org.apache.spark.sql.types.DataTypes
 object Parity {
   private val Dec = DataTypes.createDecimalType(38, 10)
 
+  /** Event-time epoch micros, robust to the column's timestamp flavor.
+    * The driver's parquet has shipped `ts` as int64-nanos, TIMESTAMP µs
+    * and TIMESTAMP_NTZ µs across regenerations; `unix_micros` resolves
+    * only on TIMESTAMP, so cast first — the NTZ→LTZ cast applies the
+    * session timezone, which every entrypoint pins to UTC, making it a
+    * stable relabeling (and a no-op cast on already-TIMESTAMP input). */
+  def epochUs(c: Column): Column = unix_micros(c.cast(DataTypes.TimestampType))
+
   /** Portable round-half-up: floor(x·10^d + 0.5)/10^d. Spark's `round`
     * (decimal-string HALF_UP) and DuckDB's (binary) disagree when x sits
     * exactly on a .5 boundary — e.g. the mean of two 6dp values — so we

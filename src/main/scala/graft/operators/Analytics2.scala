@@ -74,7 +74,7 @@ object Analytics2 {
     * this is the standard feature-engineering shape: state per
     * partition is bounded by the frame span, not the history. */
   def eventsRolling7d(s: SparkSession, dir: String): DataFrame = {
-    val us = unix_micros(col("ts"))
+    val us = epochUs(col("ts"))
     val w = Window.partitionBy(col("user_id")).orderBy(us)
       .rangeBetween(-7L * 86400 * 1000000, Window.currentRow)
     Tables.events(s, dir)
@@ -145,7 +145,7 @@ object Analytics2 {
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("gap_s",
-        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / 1e6)
+        (epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(w)) / 1e6)
       .filter(col("gap_s").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"),

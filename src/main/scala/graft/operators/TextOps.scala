@@ -211,11 +211,15 @@ object TextOps {
       |         ELSE [] END)) AS fp
       |FROM grams""".stripMargin
 
-  /** #26 n-gram Jaccard dedup: word-3-gram shingles → inverted-index
-    * self-join (pairs must share a shingle — never the full pair space)
-    * → Jaccard ≥ τ. Ultra-frequent shingles would be the skew risk at
-    * scale; AQE skew-join handles moderate cases, and a doc-frequency cap
-    * on shingles is the standard mitigation beyond that. */
+  /** #26 n-gram Jaccard dedup: word-3-gram shingles → stop-shingle
+    * filter (document frequency ≤ [[NgramMaxDf]]) → inverted-index
+    * self-join (pairs must share a surviving shingle — never the full
+    * pair space) → Jaccard ≥ τ over the surviving shingle sets. The DF
+    * cap is what makes the self-join scale-safe: an uncapped inverted
+    * index lets ONE corpus-common shingle (boilerplate, license
+    * headers) generate df² candidate pairs; with the cap, candidates
+    * are bounded by maxDf · |postings| — linear in corpus size. The
+    * oracle applies the identical cap. */
   def dedupNgramJaccard(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame =
     dedupNgramJaccardSh(shingleTable(Tables.documents(s, dir)), tau)
 
@@ -234,10 +238,31 @@ object TextOps {
   def dedupNgramJaccardDf(input: DataFrame, tau: Double = 0.3): DataFrame =
     dedupNgramJaccardSh(shingleTable(input), tau)
 
-  /** Core over a pre-shingled (doc_id, sh) table. */
-  def dedupNgramJaccardSh(docs: DataFrame, tau: Double = 0.3): DataFrame = {
-    val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+  /** Stop-shingle document-frequency cap for [[dedupNgramJaccardSh]].
+    * Generous relative to true near-dups (a duplicated passage's
+    * shingles have df ≈ its copy count, far below 128) while bounding
+    * the self-join's worst case per shingle to 128² pairs. */
+  val NgramMaxDf = 128
+
+  /** Core over a pre-shingled (doc_id, sh) table. Candidate generation
+    * is bounded by the stop-shingle rule: the inverted index drops
+    * shingles with document frequency > maxDf before the self-join, and
+    * Jaccard is computed over the SURVIVING shingle sets on both sides
+    * (n_a/n_b count kept shingles — the filter and the similarity are
+    * one consistent semantics, mirrored in the oracle SQL). The DF
+    * window partitions on the shingle — the same key the self-join
+    * shuffles on, so the exchange is reused, and the capped posting
+    * lists can never skew the join. */
+  def dedupNgramJaccardSh(docs: DataFrame, tau: Double = 0.3,
+                          maxDf: Int = NgramMaxDf): DataFrame = {
+    val inv = graft.Caches.persisted(docs.sparkSession,
+        ("ngram_inv", docs.semanticHash(), maxDf)) {
+      docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("df") <= maxDf)
+        .select(col("doc_id"), col("s"))
+    }
+    val counts = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -265,10 +290,15 @@ object TextOps {
       |           ELSE [] END) AS s
       |    FROM toks)
       |),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |kept AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+      |  WHERE df <= 128
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
       |SELECT id_a, id_b, shared, c1.n AS n_a, c2.n AS n_b,
@@ -616,10 +646,17 @@ object TextOps {
     * materialized, only bucket-cooccurring pairs score. */
   def dedupContainment(s: SparkSession, dir: String, tau: Double = 0.6): DataFrame = {
     // the shingle table feeds three consumers (both self-join sides +
-    // counts) — materialize it once rather than re-tokenizing per side
-    val docs = shingleTable(Tables.documents(s, dir)).localCheckpoint(false)
-    val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // counts) — materialize it once rather than re-tokenizing per side.
+    // Same stop-shingle DF cap as n-gram Jaccard (and same exchange
+    // reuse: the DF window and the self-join share the shingle key) —
+    // an uncapped posting list is quadratic in its document frequency.
+    val sh = shingleTable(Tables.documents(s, dir)).localCheckpoint(false)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= NgramMaxDf)
+      .select(col("doc_id"), col("s"))
+      .localCheckpoint(false)
+    val counts = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -646,10 +683,15 @@ object TextOps {
       |           ELSE [] END) AS s
       |    FROM toks)
       |),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |kept AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+      |  WHERE df <= 128
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
       |SELECT id_a, id_b, shared, c1.n AS n_a, c2.n AS n_b,

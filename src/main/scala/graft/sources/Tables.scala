@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated test tables.
   *
@@ -25,16 +25,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong,
-    * and this loader converts the raw nanos back to a timestamp (µs
-    * truncation — lossless at the engine's timestamp granularity). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** Canonicalize an `events`-shaped frame so `ts` is always session-TZ
+    * TIMESTAMP, whatever encoding this testdata generation used. The
+    * driver has shipped three over the rounds:
+    *   - int64 nanos (read as Long under spark.sql.legacy.parquet
+    *     .nanosAsLong) → truncate to µs, relabel as timestamp;
+    *   - TIMESTAMP_NTZ µs (isAdjustedToUTC=false footer) → cast to
+    *     TIMESTAMP; sessions pin spark.sql.session.timeZone=UTC, so the
+    *     cast is a pure relabeling, no instant shift;
+    *   - TIMESTAMP µs → already canonical.
+    * Shared by the batch loader and the streaming source so batch and
+    * stream can never disagree on event time again. */
+  private[graft] def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame =
+    df.schema(col).dataType match {
+      case LongType =>
+        df.withColumn(col, timestamp_micros(expr(s"$col div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(col, df(col).cast(TimestampType))
+      case _ => df
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -120,18 +120,21 @@ object Streaming {
        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) o
        |GROUP BY 1, 2""".stripMargin
 
-  /** Raw-parquet streaming schema (ns timestamps arrive as long under
-    * nanosAsLong, exactly like the batch reader). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  private[streaming] def eventsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // source wants a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Streaming events source. File-stream sources require an explicit
+    * schema; hardcoding one silently desynced from the batch reader when
+    * the testdata regenerated with a new `ts` encoding (µs NTZ vs int64
+    * nanos) — the raw µs were then "div 1000"-ed into 1970. So the schema
+    * comes from the parquet footer via a zero-row batch read (driver-side
+    * metadata only), and the ts canonicalization is the SAME helper the
+    * batch loader uses ([[Tables.normalizeTs]]) — one contract, two
+    * execution modes. */
+  private[streaming] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val footerSchema = s.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeTs(
+      s.readStream.schema(footerSchema)
+        .option("pathGlobFilter", "events.parquet") // source wants a dir
+        .parquet(dir))
+  }
 
   /** Run [[windowCounts]] as a real stream (file source → memory sink,
     * Trigger.AvailableNow) and return the sink table. */
@@ -282,7 +285,7 @@ object Streaming {
     import s.implicits._
     withStreamPartitions(s) {
       val events = eventsStream(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .select(col("user_id"), epochUs(col("ts")).as("ts_us"))
         .as[SessEvent]
       val sessions = events.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldGroup)
@@ -369,7 +372,7 @@ object Streaming {
     }
     s.table(name)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
-              (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+              (epochUs(col("p_ts")) - epochUs(col("c_ts"))).as("gap_us"))
   }
 
   /** Driver-contract entry for #38 (exact batch-join oracle). */

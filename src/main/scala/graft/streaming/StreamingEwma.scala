@@ -74,7 +74,7 @@ object StreamingEwma {
     Streaming.withStreamPartitions(s) {
       val in = Streaming.eventsStream(s, dir)
         .select(col("event_id"), col("user_id"),
-                unix_micros(col("ts")).as("ts_us"), col("value"))
+                graft.Parity.epochUs(col("ts")).as("ts_us"), col("value"))
         .as[EwmaIn]
       val q = in.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldEwma)

@@ -12,6 +12,19 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("4")
   private val sf = "/root/testdata/sf0.001"
 
+  /** Row timestamps collect as java.sql.Timestamp (TIMESTAMP) or
+    * LocalDateTime (TIMESTAMP_NTZ) depending on the testdata's parquet
+    * encoding — compare on epoch micros, not a concrete class. */
+  private def tsUs(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    case d: java.time.LocalDateTime =>
+      d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    case other => fail(s"unexpected timestamp class: ${other.getClass}")
+  }
+
   test("token budget: selection fits, is threshold-maximal, and dominates the rejects") {
     val budget = 5000L
     val sel = Curation.corpusTokenBudget(spark, sf, budget).collect()
@@ -58,8 +71,7 @@ class CurationSpec extends AnyFunSuite {
       sorted.sliding(2).foreach {
         case Array(p, n) =>
           assert(p.getAs[String]("event_type") != n.getAs[String]("event_type"))
-          assert(!p.getAs[java.sql.Timestamp]("valid_to")
-            .after(n.getAs[java.sql.Timestamp]("valid_from")))
+          assert(tsUs(p.getAs[Any]("valid_to")) <= tsUs(n.getAs[Any]("valid_from")))
         case _ => ()
       }
     }

@@ -168,6 +168,39 @@ class IOSpec extends AnyFunSuite {
            li.filter(col("l_suppkey").between(40, 47)).count())
   }
 
+  test("normalizeTs canonicalizes every ts encoding the driver has shipped") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // one instant, three encodings: 2024-03-01T12:34:56.789012 UTC
+    val us = 1709296496789012L
+
+    // (a) int64 nanos read as Long (the legacy nanosAsLong path)
+    val nsDf = Seq(us * 1000).toDF("ts")
+    val a = Tables.normalizeTs(nsDf)
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(a.select(unix_micros(col("ts"))).head.getLong(0) == us)
+
+    // (b) TIMESTAMP_NTZ µs — through a real parquet round-trip so the
+    // footer annotation (isAdjustedToUTC=false) is exercised, not just
+    // the in-memory type
+    val ntzDir = tmp("ntz")
+    Seq(us).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(ntzDir)
+    val ntzBack = spark.read.parquet(ntzDir)
+    assert(ntzBack.schema("ts").dataType == TimestampNTZType, "round-trip kept NTZ")
+    val b = Tables.normalizeTs(ntzBack)
+    assert(b.schema("ts").dataType == TimestampType)
+    assert(b.select(unix_micros(col("ts"))).head.getLong(0) == us,
+      "UTC session: NTZ relabel must not shift the instant")
+
+    // (c) TIMESTAMP µs — already canonical, passthrough
+    val tsDf = Seq(us).toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    val c = Tables.normalizeTs(tsDf)
+    assert(c.schema("ts").dataType == TimestampType)
+    assert(c.select(unix_micros(col("ts"))).head.getLong(0) == us)
+  }
+
   test("GraftCatalog: the corpus is queryable through spark.sql") {
     GraftCatalog.registerAll(spark, sf)
     val viaSql = spark.sql(

@@ -242,4 +242,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("ngram dedup: stop-shingle cap keeps a hot shingle out of the pair join") {
+    // the scale guarantee: a shingle above the DF cap generates ZERO
+    // candidate pairs (previously df² — the round-3 scale-killer). 200
+    // identical 3-token docs share one shingle with df=200 > 128; the
+    // uncapped join would emit all 19900 jaccard-1.0 pairs. The two
+    // 4-token docs share two rare shingles and must still pair.
+    import spark.implicits._
+    val docs = ((1 to 200).map(i => (i.toLong, "aa bb cc")) ++
+                Seq((1001L, "xx yy zz ww"), (1002L, "xx yy zz ww"))).toDF("doc_id", "text")
+    val pairs = graft.operators.TextOps.dedupNgramJaccardDf(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1001L, 1002L)),
+      s"only the rare-shingle pair should survive the cap: ${pairs.toSeq}")
+  }
+
+  test("q4: semi-join keeps the fact side un-duplicated; orders date filter pushed") {
+    val p = plan(graft.operators.Relational2.q4Priority(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
+  test("q20: no fact-fact sort-merge join; dims broadcast") {
+    val p = plan(graft.operators.Relational3.q20PromoSuppliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -15,6 +15,18 @@ class StreamingSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Stage the NORMALIZED events table (canonical TIMESTAMP ts, whatever
+    * encoding the source parquet used) split into per-subdir files, and
+    * return the staged schema for the file-stream reader — the specs must
+    * not hardcode an encoding the testdata generator is free to change. */
+  private def stageSplit(dir: String, parts: Seq[(String, org.apache.spark.sql.DataFrame)])
+      : org.apache.spark.sql.types.StructType = {
+    parts.foreach { case (sub, df) =>
+      df.coalesce(1).write.parquet(s"$dir/in/$sub")
+    }
+    spark.read.parquet(s"$dir/in").schema
+  }
+
   test("stream_window_counts: streaming run equals batch run") {
     val batch = Streaming.streamWindowCounts(spark, sf)
       .orderBy("window_start", "event_type").collect().toSeq
@@ -25,19 +37,13 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream_hll: register maxes merge across micro-batches; estimate equals batch sketch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    import org.apache.spark.sql.types._
     import graft.operators.Analytics2
     val ev = graft.sources.Tables.events(spark, sf)
     val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
     val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    raw.filter(expr(s"ts div 1000 <= $cut")).coalesce(1).write.parquet(s"$dir/in/b=0")
-    raw.filter(expr(s"ts div 1000 > $cut")).coalesce(1).write.parquet(s"$dir/in/b=1")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType),
-      StructField("b", IntegerType)))
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> ev.filter(unix_micros(col("ts")) <= cut),
+      "b=1" -> ev.filter(unix_micros(col("ts")) > cut)))
     val events = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
     val q = Analytics2.hllRegisters(events)
@@ -60,22 +66,16 @@ class StreamingSpec extends AnyFunSuite {
     val ev = graft.sources.Tables.events(spark, sf)
     val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    val raw = spark.read.parquet(s"$sf/events.parquet") // keep raw long ts
-    raw.filter(expr(s"ts div 1000 <= $cut")).coalesce(1).write.parquet(s"$dir/in/b=0")
-    raw.filter(expr(s"ts div 1000 > $cut")).coalesce(1).write.parquet(s"$dir/in/b=1")
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> ev.filter(unix_micros(col("ts")) <= cut),
+      "b=1" -> ev.filter(unix_micros(col("ts")) > cut)))
 
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType),
-      StructField("b", IntegerType)))
     import spark.implicits._
     val events = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/in")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), Parity.epochUs(col("ts")).as("ts_us"))
       .as[graft.streaming.SessEvent]
     val q = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
@@ -145,25 +145,17 @@ class StreamingSpec extends AnyFunSuite {
   test("stream_click_attr: click state joins purchases arriving a micro-batch later") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    import org.apache.spark.sql.types._
     // all clicks land in file b=0, all purchases in b=1;
     // maxFilesPerTrigger=1 forces the purchase batch to join against
     // click state carried from the previous micro-batch
     val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    raw.filter(col("event_type") === "click").coalesce(1)
-      .write.parquet(s"$dir/in/b=0")
-    raw.filter(col("event_type") === "purchase").coalesce(1)
-      .write.parquet(s"$dir/in/b=1")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType),
-      StructField("b", IntegerType)))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> ev.filter(col("event_type") === "click"),
+      "b=1" -> ev.filter(col("event_type") === "purchase")))
     def side(tpe: String, u: String, t: String, id: String) =
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$dir/in")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(u), col("ts").as(t), col("event_id").as(id))
         .withWatermark(t, "1 hour")
