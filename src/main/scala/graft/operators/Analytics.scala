@@ -307,8 +307,9 @@ object Analytics {
 
   /** DataFrame-generic core: expects canonical (doc_id, text).
     *
-    * Iteration hygiene: every round's label table is
-    * `localCheckpoint`ed, not persisted — lineage is truncated (round
+    * Iteration hygiene: every round's label table has its lineage cut
+    * (Lineage.cut: reliable checkpoint when a checkpoint dir is
+    * configured, localCheckpoint otherwise), not persisted — (round
     * N's plan doesn't embed rounds 1..N-1, so planning stays O(1) per
     * round) and nothing enters the CacheManager registry, whose
     * persist/unpersist bookkeeping walks every cached plan in the
@@ -325,7 +326,7 @@ object Analytics {
     // lazy checkpoint: the convergence agg is the first action, so one
     // job per round both materializes the round and reads its label sum
     var cur = input.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      .localCheckpoint(false)
+      .transform(graft.Lineage.cut)
     var lblSum = cur.agg(sum(col("lbl"))).head.getLong(0)
     var done = false
     while (!done) {
@@ -335,7 +336,7 @@ object Analytics {
       cur = cur.join(nb, cur("id") === nb("src"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nb_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(false)
+        .transform(graft.Lineage.cut)
       val nextSum = cur.agg(sum(col("lbl"))).head.getLong(0)
       done = nextSum == lblSum
       lblSum = nextSum

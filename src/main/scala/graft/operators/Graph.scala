@@ -21,7 +21,11 @@ object Graph {
     *
     * Scale shape: the rank vector is key-proportional (one row per
     * node) and stays distributed — each round is one edge⋈rank join
-    * partial-aggregated on dst; nothing is ever collected. Convergence
+    * partial-aggregated on dst; nothing is ever collected. Per-round
+    * lineage cuts go through [[graft.Lineage.cut]]: reliable
+    * (DFS-backed) checkpointing when the session configures a
+    * checkpoint dir — the executor-loss-safe posture on a large
+    * cluster — and executor-local blocks otherwise. Convergence
     * here is a FIXED iteration count (deterministic output beats an
     * adaptive stop for an oracle-checked operator; dedup_clusters shows
     * the adaptive variant). The symmetric edge set has no dangling
@@ -32,7 +36,7 @@ object Graph {
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
-      .localCheckpoint(false)
+      .transform(graft.Lineage.cut)
     val pairs = ob.as("a").join(ob.as("b"),
         col("a.ok") === col("b.ok") && col("a.brand") =!= col("b.brand"))
       .groupBy(col("a.brand").as("src"), col("b.brand").as("dst"))
@@ -40,13 +44,13 @@ object Graph {
     // per-source out-weight folded onto each edge once, up front
     val edges = pairs
       .join(pairs.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
-      .localCheckpoint(false)
-    val nodes = edges.select(col("src").as("brand")).distinct().localCheckpoint(false)
+      .transform(graft.Lineage.cut)
+    val nodes = edges.select(col("src").as("brand")).distinct().transform(graft.Lineage.cut)
     // lazy count-of-nodes scalar — a 1-row broadcast, not a driver count
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var pr = nodes.crossJoin(broadcast(nDf))
       .select(col("brand"), r(lit(1.0) / col("n_nodes"), 8).as("pr"))
-      .localCheckpoint(false)
+      .transform(graft.Lineage.cut)
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(pr.withColumnRenamed("brand", "src"), "src")
@@ -58,7 +62,7 @@ object Graph {
         .select(col("brand"),
                 r(lit(1 - damping) / col("n_nodes") +
                   lit(damping) * coalesce(col("mass"), lit(0.0)), 8).as("pr"))
-        .localCheckpoint(false)
+        .transform(graft.Lineage.cut)
     }
     pr.select(col("brand"), col("pr"))
       .orderBy(col("pr").desc, col("brand"))
@@ -113,7 +117,7 @@ object Graph {
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
-      .localCheckpoint(false)
+      .transform(graft.Lineage.cut)
     val sym = ob.as("a").join(ob.as("b"),
         col("a.ok") === col("b.ok") && col("a.brand") =!= col("b.brand"))
       .select(col("a.brand").as("src"), col("b.brand").as("dst")).distinct()
@@ -124,7 +128,7 @@ object Graph {
       .join(deg.withColumnRenamed("brand", "dst").withColumnRenamed("deg", "dd"), "dst")
       .filter(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src"), col("dst"), col("ds"), col("dd"))
-      .localCheckpoint(false)
+      .transform(graft.Lineage.cut)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
         struct(col("e1.dd"), col("e1.dst")) < struct(col("e2.dd"), col("e2.dst")))

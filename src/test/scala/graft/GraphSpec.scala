@@ -25,6 +25,23 @@ class GraphSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("pagerank under a reliable checkpoint dir: identical output through the DFS-checkpoint path") {
+    // Lineage.cut switches to fault-tolerant checkpointing when the
+    // session configures a checkpoint dir (the 1000-executor posture);
+    // results must be bit-identical to the localCheckpoint path
+    val viaLocal = Graph.graphPagerank(spark, sf).collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val viaDfs = Graph.graphPagerank(spark, sf).collect().map(_.toSeq).toSeq
+      assert(viaDfs == viaLocal)
+      // the reliable path actually wrote checkpoint data
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("merge upsert: actions partition keys and agree with the raw order stream") {
     import java.time.LocalDateTime
     def tsOf(r: org.apache.spark.sql.Row, field: String): LocalDateTime =
