@@ -351,26 +351,30 @@ object Sketches {
 
   private val QsBins = 64
 
-  /** #83 events_quantile_sketch: mergeable equi-width histogram
-    * quantiles — the O(bins)-state alternative to exact percentiles
-    * (which co-locate every value of a group). Pass 1: per-type
-    * min/max (algebraic). Pass 2: per-(type, bin) counts (algebraic,
-    * ≤64 rows/group survive the map side). Estimates interpolate
-    * linearly inside the target bin, so |est − exact| ≤ one bin width —
-    * the bound SketchesSpec pins against #49's exact percentiles. Both
-    * passes are map-side-combinable: at 100 TB the shuffle carries
-    * O(types × bins) rows, never values. */
-  def eventsQuantileSketch(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-    val ranges = ev.groupBy(col("event_type"))
+  /** Per-type value ranges — the sketch's "model side": bin edges must
+    * be fixed before counting, so a streaming deployment computes (or
+    * configures) them up front and the unbounded pass only maintains
+    * counts. */
+  private[graft] def qsRanges(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
-    val binned = ev.join(broadcast(ranges), "event_type")
+
+  /** Histogram registers: per-(type, bin) counts against fixed ranges.
+    * Sum-mergeable — the same expression is the streaming state in
+    * [[graft.streaming.Streaming.streamQuantile]], so stream registers
+    * are bit-identical to the batch sketch. Stream-static broadcast
+    * join: the tiny ranges table is the static side. */
+  private[graft] def qsBinned(ev: DataFrame, ranges: DataFrame): DataFrame =
+    ev.join(broadcast(ranges), "event_type")
       .withColumn("bin",
         coalesce(least(lit(QsBins - 1),
           floor((col("value") - col("vmin")) /
                 nullif(col("vmax") - col("vmin"), lit(0d)) * QsBins).cast("int")), lit(0)))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Estimate p50/p90/p99 from the ≤ types×bins register table. */
+  private[graft] def qsFinalize(binned: DataFrame, ranges: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
     val cum = binned
       .withColumn("cum_hi", sum(col("cnt")).over(
@@ -389,6 +393,21 @@ object Sketches {
       .agg(max(col("n")).as("n"),
            est(0.5).as("p50_est"), est(0.9).as("p90_est"), est(0.99).as("p99_est"))
       .orderBy(col("event_type"))
+  }
+
+  /** #83 events_quantile_sketch: mergeable equi-width histogram
+    * quantiles — the O(bins)-state alternative to exact percentiles
+    * (which co-locate every value of a group). Pass 1: per-type
+    * min/max (algebraic). Pass 2: per-(type, bin) counts (algebraic,
+    * ≤64 rows/group survive the map side). Estimates interpolate
+    * linearly inside the target bin, so |est − exact| ≤ one bin width —
+    * the bound SketchesSpec pins against #49's exact percentiles. Both
+    * passes are map-side-combinable: at 100 TB the shuffle carries
+    * O(types × bins) rows, never values. */
+  def eventsQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val ranges = qsRanges(ev)
+    qsFinalize(qsBinned(ev, ranges), ranges)
   }
 
   val eventsQuantileSketchSql: String = {

@@ -249,6 +249,34 @@ object Streaming {
       graft.operators.Sketches.bloomProbeReport(s, dir, s.table(name)))
   }
 
+  /** #83b stream_quantile: the histogram-quantile sketch maintained
+    * incrementally — per-(type, bin) counts ARE the streaming state
+    * (sum is the merge operator), so the drained registers are
+    * bit-identical to the batch sketch and the batch oracle checks the
+    * estimates exactly. The bin edges are the sketch's model side: a
+    * streaming deployment fixes them up front (here from the batch
+    * ranges pass — a stream-static broadcast join, the supported
+    * pattern), and the unbounded pass maintains only O(types × bins)
+    * counters. Finalization (cumulative interpolation) runs batch-side
+    * over the tiny register sink. Completes the mergeable-sketch
+    * streaming family: HLL (max), CMS (sum), bloom (bit_or),
+    * histogram quantiles (sum). */
+  def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    val name = s"qs_${System.nanoTime()}"
+    val ranges = graft.operators.Sketches.qsRanges(
+      Tables.events(s, dir).select(col("event_type"), col("value")))
+    withStreamPartitions(s) {
+      val q = graft.operators.Sketches.qsBinned(
+          eventsStream(s, dir).select(col("event_type"), col("value")), ranges)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Sketches.qsFinalize(s.table(name), ranges))
+  }
+
   // ------------------------------------------------------ #36 sessionize
 
   private val gapUs = 30L * 60 * 1000000

@@ -58,6 +58,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream_quantile: histogram registers merge across micro-batches; estimates equal batch sketch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.Sketches
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs").toString
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> ev.filter(unix_micros(col("ts")) <= cut),
+      "b=1" -> ev.filter(unix_micros(col("ts")) > cut)))
+    val evCols = ev.select(col("event_type"), col("value"))
+    val ranges = Sketches.qsRanges(evCols)
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .select(col("event_type"), col("value"))
+    val q = Sketches.qsBinned(events, ranges)
+      .writeStream.format("memory").queryName("qs_batches")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2)
+    val streamed = Sketches.qsFinalize(spark.table("qs_batches"), ranges)
+      .collect().map(_.toSeq).toSet
+    val batch = Sketches.eventsQuantileSketch(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_sessionize: state carries across micro-batches") {
     import org.apache.spark.sql.functions._
     // split events at the median ts into two files; maxFilesPerTrigger=1
