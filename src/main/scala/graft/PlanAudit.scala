@@ -27,6 +27,15 @@ object PlanAudit {
     rows.foreach { case (q, ex, bhj, smj, shj, sc, w) =>
       println(f"$q%-24s $ex%4d $bhj%4d $smj%4d $shj%4d $sc%5d $w%4d")
     }
+    // durable artifact: plan shapes are deterministic (unlike wall-clock
+    // on a shared host), so per-round diffs of this file surface plan
+    // regressions — a lost broadcast, an extra exchange — reliably
+    val json = rows.map { case (q, ex, bhj, smj, shj, sc, w) =>
+      s""""$q":{"exchanges":$ex,"bhj":$bhj,"smj":$smj,"shj":$shj,"scans":$sc,"windows":$w}"""
+    }.mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PLAN_OUT", "/root/repo/PLAN_AUDIT.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"plan audit write failed: $e") }
     spark.stop()
   }
 }

@@ -541,6 +541,88 @@ object Similarity {
        |SELECT b.vec_id, b.cl AS cluster, d.vec_id IS NULL AS kept
        |FROM bucketed b LEFT JOIN dups d ON b.vec_id = d.vec_id""".stripMargin
 
+  /** #31i corpus_curate_semantic: the fused text+embedding curation
+    * pass — the end-to-end shape of modern LLM training-data curation
+    * (quality gate, then semantic dedup of the survivors):
+    *  1. quality gate on `documents` (the same formula as #22/#55) —
+    *     a map-side projection over the documents scan, no extra
+    *     shuffle;
+    *  2. join `embeddings` on doc_id = vec_id — the one co-keyed
+    *     fact⋈fact shuffle in the plan;
+    *  3. the SAME deterministic k-means as ann_ivf / emb_semantic_dedup
+    *     trained on the FULL embedding corpus (the cluster model is a
+    *     property of the corpus, invariant to the gate; only the
+    *     k×dim centroid table is collected/broadcast);
+    *  4. SemDeDup keep-first pruning within each cluster AMONG THE
+    *     GATED vectors (lower-id survivor, exact decimal cosine ≥ τ).
+    * Output: one row per gated doc with its cluster and kept flag.
+    * Scale: pair space is Σ gated-cluster² with cluster count as the
+    * lever (SemDeDup contract); the gate only shrinks it. */
+  def corpusCurateSemantic(s: SparkSession, dir: String,
+                           minQuality: Double = 0.5, tau: Double = 0.3,
+                           nCells: Int = 16, iters: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions._
+    graft.functions.GraftFunctions.ensure(s)
+    val toks = lowerTokens(col("text"))
+    val len = length(col("text"))
+    val punct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val stop = markerCount(toks, stopwordsEn)
+    val gated = Tables.documents(s, dir)
+      .withColumn("quality",
+        r(lit(0.4) * (stop / size(toks)) +
+          lit(0.3) * (lit(1.0) - punct / len) +
+          lit(0.3) * least(lit(1.0), len / lit(500.0)), 6))
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+    val corpus = Tables.embeddings(s, dir).localCheckpoint()
+    val centroids = trainCentroids(corpus, nCells, iters)
+    val bucketed = assignNearest(
+        corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
+      .join(gated, col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+              col("embedding"), col("e_norm"), col("cluster"))
+      .localCheckpoint()
+    val b = bucketed.select(col("cluster"), col("doc_id").as("id_b"),
+      col("embedding").as("emb_b"), col("e_norm").as("n_b"))
+    val dups = bucketed
+      .select(col("cluster"), col("doc_id"),
+        col("embedding").as("emb_a"), col("e_norm").as("n_a"))
+      .join(b, Seq("cluster"))
+      .filter(col("id_b") < col("doc_id"))
+      .filter(call_function("float_dot", col("emb_a"), col("emb_b")) /
+              (col("n_a") * col("n_b")) >= tau - 1e-9)
+      .filter(r(dotDec(col("emb_a"), col("emb_b")) /
+                (col("n_a") * col("n_b")), 6) >= tau)
+      .select(col("doc_id")).distinct()
+      .withColumn("dup", lit(1))
+    bucketed.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+              col("cluster").cast("long").as("cluster"),
+              col("dup").isNull.as("kept"))
+  }
+
+  /** Oracle: quality CTE + the shared k-means chain + the same gated
+    * within-cluster pruning rule on exact rounded cosines. */
+  def corpusCurateSemanticSql(minQuality: Double = 0.5, tau: Double = 0.3,
+                              nCells: Int = 16, iters: Int = 3): String =
+    ivfChainSql(nCells, iters) +
+    s""",
+       |q AS (${TextOps.textQualitySql}),
+       |gated AS (
+       |  SELECT d.doc_id, d.lang, d.source, q.quality
+       |  FROM documents d JOIN q USING (doc_id)
+       |  WHERE q.quality >= $minQuality),
+       |gb AS (
+       |  SELECT g.doc_id, g.lang, g.source, g.quality, b.cl, b.embedding
+       |  FROM gated g JOIN bucketed b ON b.vec_id = g.doc_id),
+       |dups AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM gb a JOIN gb b ON a.cl = b.cl AND b.doc_id < a.doc_id
+       |  WHERE floor((${sqlCosine("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= $tau)
+       |SELECT g.doc_id, g.lang, g.source, g.quality, g.cl AS cluster,
+       |       d.doc_id IS NULL AS kept
+       |FROM gb g LEFT JOIN dups d ON g.doc_id = d.doc_id""".stripMargin
+
   /** #31d knn_graph: the all-corpus kNN graph — top-k cosine neighbours
     * for EVERY vector, the input structure of graph-based corpus
     * curation (SemDeDup-style cluster pruning, kNN classifiers).

@@ -181,6 +181,48 @@ class LshSpec extends AnyFunSuite {
     assert(dropped > 0 && dropped < out.length / 2, s"dropped=$dropped")
   }
 
+  test("corpus_curate_semantic: gate + gated keep-first rule hold exactly") {
+    val out = Similarity.corpusCurateSemantic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"),
+                 r.getAs[Long]("cluster"), r.getAs[Boolean]("kept")))
+    assert(out.nonEmpty)
+    // (1) every emitted doc passes the gate
+    out.foreach { case (_, q, _, _) => assert(q >= 0.5) }
+    // (2) the gate actually excludes documents
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length < nDocs)
+    // (3) pruning is keep-first AMONG GATED docs only: a doc whose only
+    // near-dup was gated out must be kept
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    out.groupBy(_._3).foreach { case (_, members) =>
+      val sorted = members.sortBy(_._1)
+      assert(sorted.head._4, "lowest gated id in a cluster must be kept")
+      sorted.foreach { case (id, _, _, kept) =>
+        val expectDrop = sorted.exists { case (id2, _, _, _) =>
+          id2 < id && cos(emb(id), emb(id2)) >= 0.3
+        }
+        assert(kept == !expectDrop, s"doc $id kept=$kept expectedDrop=$expectDrop")
+      }
+    }
+    // (4) gating rescues docs the ungated pass would drop: kept here ⊇
+    // (kept by emb_semantic_dedup ∩ gated)
+    val fullKept = Similarity.embSemanticDedup(spark, sf).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val gatedIds = out.map(_._1).toSet
+    val keptHere = out.filter(_._4).map(_._1).toSet
+    assert((fullKept & gatedIds).subsetOf(keptHere))
+  }
+
   test("minhash signature: permutation-min monotonicity (superset has <= minima)") {
     val df = Seq(
       (1L, Seq("a b c", "b c d")),
