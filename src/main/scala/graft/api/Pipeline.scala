@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.operators.{LshDedup, Similarity, TextOps}
 
@@ -127,5 +127,25 @@ object Pipeline {
         .over(Window.partitionBy(fingerprint(t))))
       .filter(col(cfg.idCol) === col("__keep")).drop("__keep")
     stratifiedSample(deduped, stratumCol, cfg.idCol, rates, defaultRate)
+  }
+
+  /** Fused text+embedding curation: quality gate on the documents, then
+    * SemDeDup keep-first pruning among the gated vectors (shared
+    * deterministic k-means model trained on the FULL embedding corpus).
+    * One row per gated doc with cluster and kept flag — see
+    * Similarity.corpusCurateSemanticDf for the plan shape. */
+  def curateSemantic(docsDf: DataFrame, vecsDf: DataFrame,
+                     minQuality: Double = 0.5, tau: Double = 0.3,
+                     nCells: Int = 16, iters: Int = 3,
+                     dCfg: DocConfig = DocConfig(),
+                     vCfg: VecConfig = VecConfig()): DataFrame = {
+    // carry lang/source through when the caller has them (they are
+    // reporting columns, not semantics) — null otherwise
+    def opt(c: String) =
+      (if (docsDf.columns.contains(c)) col(c) else lit(null).cast("string")).as(c)
+    val d = docsDf.select(col(dCfg.idCol).cast("long").as("doc_id"),
+                          col(dCfg.textCol).as("text"), opt("lang"), opt("source"))
+    graft.operators.Similarity.corpusCurateSemanticDf(
+      d, vecs(vecsDf, vCfg), minQuality, tau, nCells, iters)
   }
 }

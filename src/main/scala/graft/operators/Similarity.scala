@@ -560,21 +560,30 @@ object Similarity {
     * lever (SemDeDup contract); the gate only shrinks it. */
   def corpusCurateSemantic(s: SparkSession, dir: String,
                            minQuality: Double = 0.5, tau: Double = 0.3,
-                           nCells: Int = 16, iters: Int = 3): DataFrame = {
+                           nCells: Int = 16, iters: Int = 3): DataFrame =
+    corpusCurateSemanticDf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+                           minQuality, tau, nCells, iters)
+
+  /** DataFrame-generic core: `documents` needs (doc_id, text, lang,
+    * source); `embeddings` needs (vec_id, embedding) with vec_id in the
+    * doc_id domain. */
+  def corpusCurateSemanticDf(documents: DataFrame, embeddings: DataFrame,
+                             minQuality: Double = 0.5, tau: Double = 0.3,
+                             nCells: Int = 16, iters: Int = 3): DataFrame = {
     import graft.functions.TextFunctions._
-    graft.functions.GraftFunctions.ensure(s)
+    graft.functions.GraftFunctions.ensure(documents.sparkSession)
     val toks = lowerTokens(col("text"))
     val len = length(col("text"))
     val punct = regexp_count(col("text"), lit("[.,;:!?]"))
     val stop = markerCount(toks, stopwordsEn)
-    val gated = Tables.documents(s, dir)
+    val gated = documents
       .withColumn("quality",
         r(lit(0.4) * (stop / size(toks)) +
           lit(0.3) * (lit(1.0) - punct / len) +
           lit(0.3) * least(lit(1.0), len / lit(500.0)), 6))
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
-    val corpus = Tables.embeddings(s, dir).localCheckpoint()
+    val corpus = embeddings.localCheckpoint()
     val centroids = trainCentroids(corpus, nCells, iters)
     val bucketed = assignNearest(
         corpus.withColumn("e_norm", norm(col("embedding"))), centroids)

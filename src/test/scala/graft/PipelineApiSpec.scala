@@ -55,4 +55,24 @@ class PipelineApiSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(viaApi == canonical && viaApi.nonEmpty)
   }
+
+  test("curateSemantic over renamed columns equals the canonical run; lang optional") {
+    val docsRen = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text").as("body"),
+              col("lang"), col("source"))
+    val vecsRen = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"), col("label"))
+    val viaApi = Pipeline.curateSemantic(docsRen, vecsRen,
+        dCfg = DocConfig("id", "body"), vCfg = VecConfig("vid", "vec"))
+      .collect().map(_.toSeq).toSet
+    val canonical = operators.Similarity.corpusCurateSemantic(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaApi == canonical && viaApi.nonEmpty)
+    // lang/source are reporting columns: absent → nulls, same kept set
+    val noMeta = Pipeline.curateSemantic(
+        docsRen.select(col("id"), col("body")), vecsRen,
+        dCfg = DocConfig("id", "body"), vCfg = VecConfig("vid", "vec"))
+    assert(noMeta.filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet ==
+           canonical.collect { case s if s(5) == true => s(0).asInstanceOf[Long] }.toSet)
+  }
 }
