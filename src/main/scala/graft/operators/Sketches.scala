@@ -441,6 +441,120 @@ object Sketches {
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------ #89 KMV distinct-set overlap
+
+  /** KMV geometry: k minimum hash values per set; hashes uniform on
+    * [0, 16^15) = [0, 2^60) — 15 md5 hex digits, the same portable
+    * construction as the CMS positions. */
+  private val KmvK = 256
+  private val KmvM = 1152921504606846976L // 16^15 = 2^60, exact in double
+
+  /** #89 events_kmv_overlap: audience-overlap estimation between event
+    * types from k-minimum-values sketches (Bar-Yossef et al. 2002;
+    * the KMV/theta-sketch family) — |A∩B|, |A∪B| and Jaccard for every
+    * type pair WITHOUT co-locating the distinct sets. The sketch is a
+    * bounded aggregate: per type, the k smallest distinct user hashes
+    * (CollectTopK min-heaps — map-side k-element heaps, O(k) rows per
+    * partition cross the wire, never the users). Union/Jaccard come
+    * from the k smallest of the two sketches' union: with U the k-min
+    * union sample and X = |U ∩ A ∩ B|, Ĵ = X/k, |A∪B|^ = (k−1)·M/U_(k)
+    * (exact when the union sample isn't full), |A∩B|^ = Ĵ·|A∪B|^.
+    * Exact intersections ride along for the report via the user-keyed
+    * distinct self-join (fan-out ≤ types² per user — bounded).
+    * At 100 TB: one (type, hash)-distinct shuffle + a 5-row sketch
+    * crossjoin — the sketch side never scales with users; sketches are
+    * mergeable (k-min of k-mins), so segments/days union for free. */
+  def eventsKmvOverlap(s: SparkSession, dir: String, k: Int = KmvK): DataFrame =
+    eventsKmvOverlapDf(Tables.events(s, dir), k)
+
+  /** DataFrame-generic core: expects (event_type, user_id). */
+  def eventsKmvOverlapDf(ev: DataFrame, k: Int = KmvK): DataFrame = {
+    graft.functions.GraftFunctions.ensure(ev.sparkSession)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+                 16, 10).cast("long")
+    val du = ev.select(col("event_type"), col("user_id")).distinct()
+    val hashes = ev.select(col("event_type"), h.as("h")).distinct()
+    val sk = hashes.groupBy(col("event_type"))
+      .agg(array_sort(call_function("collect_top_k", col("h"), lit(k), lit(true)))
+        .as("ks"))
+    val nd = du.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+    val ix = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val side = sk.join(nd, "event_type")
+    val pairs = side.select(col("event_type").as("type_a"), col("ks").as("ks_a"),
+                            col("nd").as("nd_a"))
+      .crossJoin(side.select(col("event_type").as("type_b"), col("ks").as("ks_b"),
+                             col("nd").as("nd_b")))
+      .filter(col("type_a") < col("type_b"))
+      .join(ix, Seq("type_a", "type_b"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+    val uarr = slice(array_sort(array_union(col("ks_a"), col("ks_b"))), 1, k)
+    val kk = size(uarr).cast("double")
+    val kth = element_at(uarr, size(uarr)).cast("double")
+    val x = size(array_intersect(array_intersect(uarr, col("ks_a")), col("ks_b")))
+      .cast("double")
+    val uRaw = when(size(uarr) < k, kk)
+      .otherwise((kk - 1) * lit(KmvM.toDouble) / kth)
+    val jRaw = x / kk
+    pairs.select(
+        col("type_a"), col("type_b"),
+        r(jRaw, 6).as("jaccard_est"),
+        r(uRaw, 2).as("union_est"),
+        r(jRaw * uRaw, 2).as("inter_est"),
+        col("inter_exact"),
+        (col("nd_a") + col("nd_b") - col("inter_exact")).as("union_exact"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Oracle: identical hashes, k-min lists (row_number ≤ k), union
+    * sample arithmetic and rounding. */
+  def eventsKmvOverlapSql(k: Int = KmvK): String =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |hs AS (
+       |  SELECT DISTINCT event_type,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events),
+       |sk AS (
+       |  SELECT event_type, list(h ORDER BY h) AS ks FROM (
+       |    SELECT event_type, h,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |    FROM hs)
+       |  WHERE rk <= $k GROUP BY 1),
+       |nd AS (SELECT event_type, count(*) AS nd FROM du GROUP BY 1),
+       |ix AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |         count(*) AS inter_exact
+       |  FROM du x JOIN du y
+       |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         list_sort(list_distinct(a.ks || b.ks))[1:$k] AS u,
+       |         a.ks AS ks_a, b.ks AS ks_b, na.nd AS nd_a, nb.nd AS nd_b,
+       |         coalesce(i.inter_exact, 0) AS inter_exact
+       |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+       |  JOIN nd na ON na.event_type = a.event_type
+       |  JOIN nd nb ON nb.event_type = b.event_type
+       |  LEFT JOIN ix i ON i.type_a = a.event_type AND i.type_b = b.event_type),
+       |est AS (
+       |  SELECT type_a, type_b, nd_a, nd_b, inter_exact,
+       |         CAST(len(list_intersect(list_intersect(u, ks_a), ks_b)) AS DOUBLE)
+       |           / CAST(len(u) AS DOUBLE) AS j_raw,
+       |         CASE WHEN len(u) < $k THEN CAST(len(u) AS DOUBLE)
+       |              ELSE (CAST(len(u) AS DOUBLE) - 1) * ${KmvM.toDouble}
+       |                   / CAST(u[len(u)] AS DOUBLE) END AS u_raw
+       |  FROM pr)
+       |SELECT type_a, type_b,
+       |       ${sqlR("j_raw", 6)} AS jaccard_est,
+       |       ${sqlR("u_raw", 2)} AS union_est,
+       |       ${sqlR("j_raw * u_raw", 2)} AS inter_est,
+       |       inter_exact,
+       |       nd_a + nd_b - inter_exact AS union_exact
+       |FROM est ORDER BY 1, 2""".stripMargin
+
   // -------------------------------- #76 seasonal decomposition
 
   /** #76 ts_seasonal_decompose: split each series into a day-of-week

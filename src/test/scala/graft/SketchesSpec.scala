@@ -160,4 +160,40 @@ class SketchesSpec extends AnyFunSuite {
              sorted.map(_.getAs[Double]("cosine")).sortBy(-(_: Double)).toSeq)
     }
   }
+
+  test("kmv overlap: estimates track a known partial overlap; exacts are exact") {
+    import spark.implicits._
+    // A = users 0..9999, B = 5000..14999 → inter 5000, union 15000,
+    // J = 1/3; sketches full (10000 ≫ k=256) so the estimator path runs.
+    // md5-hashed → fully deterministic: these are regression values.
+    val ev = ((0 until 10000).map(u => ("A", u.toLong)) ++
+              (5000 until 15000).map(u => ("B", u.toLong)))
+      .toDF("event_type", "user_id")
+    val out = graft.operators.Sketches.eventsKmvOverlapDf(ev).collect()
+    assert(out.length == 1)
+    val r0 = out.head
+    assert(r0.getAs[Long]("inter_exact") == 5000L)
+    assert(r0.getAs[Long]("union_exact") == 15000L)
+    val j = r0.getAs[Double]("jaccard_est")
+    val u = r0.getAs[Double]("union_est")
+    val i = r0.getAs[Double]("inter_est")
+    // k=256 → RSE ≈ 1/√k ≈ 6.3%; allow 3σ
+    assert(math.abs(j - 1.0 / 3) < 0.1, s"jaccard_est $j")
+    assert(math.abs(u - 15000) / 15000 < 0.2, s"union_est $u")
+    assert(math.abs(i - 5000) / 5000 < 0.3, s"inter_est $i")
+  }
+
+  test("kmv sketches merge: k-min of unioned k-mins equals k-min of the union") {
+    // the mergeability contract that lets per-day/per-segment sketches
+    // combine without touching raw data
+    val k = 256
+    def h(u: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val s1 = (0L until 4000L).map(h)
+    val s2 = (2000L until 8000L).map(h)
+    def kmin(xs: Seq[Long]) = xs.distinct.sorted.take(k)
+    assert(kmin(kmin(s1) ++ kmin(s2)) == kmin(s1 ++ s2))
+  }
 }
