@@ -279,4 +279,58 @@ object Events {
       |  WHERE event_type IN ('click', 'purchase')
       |)
       |WHERE event_type = 'purchase'""".stripMargin
+
+  /** #20b asof_join_nearest: the full as-of direction family in ONE
+    * window pass — per purchase, the latest prior click (backward), the
+    * earliest later click (forward), and whichever is nearer in event
+    * time (nearest; ties break backward, the pandas `merge_asof`
+    * convention). Same single user_id exchange as [[asofJoin]]: the
+    * union-of-streams window form never materializes a pair space, and
+    * adding directions costs two more frame aggregates over the SAME
+    * sort — not new shuffles. */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    val prevUs = graft.Parity.epochUs(col("prev_click_ts"))
+    val nextUs = graft.Parity.epochUs(col("next_click_ts"))
+    val pUs = graft.Parity.epochUs(col("ts"))
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_ts", clickTs)
+      .withColumn("prev_click_ts",
+        max(col("click_ts")).over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_click_ts",
+        min(col("click_ts")).over(wUser.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_click_ts",
+        when(col("next_click_ts").isNull, col("prev_click_ts"))
+          .when(col("prev_click_ts").isNull, col("next_click_ts"))
+          .when(pUs - prevUs <= nextUs - pUs, col("prev_click_ts"))
+          .otherwise(col("next_click_ts")))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts").as("purchase_ts"),
+              col("prev_click_ts"), col("next_click_ts"), col("nearest_click_ts"))
+  }
+
+  val asofJoinNearestSql: String =
+    """SELECT event_id AS purchase_id, user_id,
+      |       CAST(ts AS TIMESTAMP) AS purchase_ts,
+      |       prev_click_ts, next_click_ts,
+      |       CASE WHEN next_click_ts IS NULL THEN prev_click_ts
+      |            WHEN prev_click_ts IS NULL THEN next_click_ts
+      |            WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(prev_click_ts)
+      |                 <= epoch_us(next_click_ts) - epoch_us(CAST(ts AS TIMESTAMP))
+      |              THEN prev_click_ts
+      |            ELSE next_click_ts END AS nearest_click_ts
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts,
+      |         min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |)
+      |WHERE event_type = 'purchase'""".stripMargin
 }

@@ -60,6 +60,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1)
   }
 
+  test("asof nearest: all three directions still one exchange, no join") {
+    val p = plan(Events.asofJoinNearest(spark, sf))
+    assert(!p.contains("Join"))
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges:\n$p")
+  }
+
   test("q19: OR-of-ANDs partially pushed; part side broadcast") {
     val p = plan(graft.operators.Relational2.q19Discounted(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
