@@ -467,16 +467,26 @@ object Sketches {
   def eventsKmvOverlap(s: SparkSession, dir: String, k: Int = KmvK): DataFrame =
     eventsKmvOverlapDf(Tables.events(s, dir), k)
 
-  /** DataFrame-generic core: expects (event_type, user_id). */
-  def eventsKmvOverlapDf(ev: DataFrame, k: Int = KmvK): DataFrame = {
-    graft.functions.GraftFunctions.ensure(ev.sparkSession)
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
-                 16, 10).cast("long")
-    val du = ev.select(col("event_type"), col("user_id")).distinct()
-    val hashes = ev.select(col("event_type"), h.as("h")).distinct()
-    val sk = hashes.groupBy(col("event_type"))
+  /** The portable 60-bit user hash (reads the `user_id` column). */
+  private[graft] def kmvHash: Column =
+    conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+         16, 10).cast("long")
+
+  /** Per-type k-min sketch over a (event_type, h)-DISTINCT frame.
+    * CollectTopK min-heaps; the same aggregate is the streaming state in
+    * [[graft.streaming.Streaming.streamKmv]] (k-min is the merge
+    * operator), so drained stream sketches are bit-identical. */
+  private[graft] def kmvSketches(hashed: DataFrame, k: Int = KmvK): DataFrame =
+    hashed.groupBy(col("event_type"))
       .agg(array_sort(call_function("collect_top_k", col("h"), lit(k), lit(true)))
         .as("ks"))
+
+  /** Pair estimates from the ≤ types-row sketch table, with exact
+    * distinct/intersection columns recomputed from the raw events for
+    * the report. */
+  private[graft] def kmvFinalize(s: SparkSession, sk: DataFrame,
+                                 ev: DataFrame, k: Int = KmvK): DataFrame = {
+    val du = ev.select(col("event_type"), col("user_id")).distinct()
     val nd = du.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
     val ix = du.as("x").join(du.as("y"),
         col("x.user_id") === col("y.user_id") &&
@@ -507,6 +517,13 @@ object Sketches {
         col("inter_exact"),
         (col("nd_a") + col("nd_b") - col("inter_exact")).as("union_exact"))
       .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** DataFrame-generic core: expects (event_type, user_id). */
+  def eventsKmvOverlapDf(ev: DataFrame, k: Int = KmvK): DataFrame = {
+    graft.functions.GraftFunctions.ensure(ev.sparkSession)
+    val hashed = ev.select(col("event_type"), kmvHash.as("h")).distinct()
+    kmvFinalize(ev.sparkSession, kmvSketches(hashed, k), ev, k)
   }
 
   /** Oracle: identical hashes, k-min lists (row_number ≤ k), union

@@ -277,6 +277,35 @@ object Streaming {
       graft.operators.Sketches.qsFinalize(s.table(name), ranges))
   }
 
+  /** #89b stream_kmv: the KMV overlap sketch maintained incrementally —
+    * per-type k-min hash lists ARE the streaming state (k-min is the
+    * merge operator: k-min of k-mins ≡ k-min of the union, the law
+    * SketchesSpec pins), so the drained sketches are bit-identical to
+    * the batch build and the batch oracle checks the pair estimates
+    * exactly. Duplicate hashes across micro-batches cost nothing at the
+    * sketch level (min ignores repeats), but CollectTopK keeps value
+    * MULTIPLICITY — so the stream first deduplicates (type, hash) with
+    * keyed state (dropDuplicates), then folds the k-min aggregate:
+    * two chained stateful operators, the supported dedup→agg shape.
+    * Pair estimation + exact comparison run batch-side over the
+    * 5-row sketch sink. */
+  def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    val name = s"kmv_${System.nanoTime()}"
+    graft.functions.GraftFunctions.ensure(s)
+    withStreamPartitions(s) {
+      val q = graft.operators.Sketches.kmvSketches(
+          eventsStream(s, dir).select(col("event_type"), col("user_id"))
+            .withColumn("h", graft.operators.Sketches.kmvHash)
+            .dropDuplicates("event_type", "h"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name, graft.operators.Sketches.kmvFinalize(s,
+      s.table(name), Tables.events(s, dir)))
+  }
+
   // ------------------------------------------------------ #36 sessionize
 
   private val gapUs = 30L * 60 * 1000000

@@ -85,6 +85,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_kmv: k-min sketches merge across micro-batches; estimates equal batch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.Sketches
+    graft.functions.GraftFunctions.ensure(spark)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> ev.filter(unix_micros(col("ts")) <= cut),
+      "b=1" -> ev.filter(unix_micros(col("ts")) > cut)))
+    val q = Sketches.kmvSketches(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+          .select(col("event_type"), col("user_id"))
+          .withColumn("h", Sketches.kmvHash)
+          .dropDuplicates("event_type", "h"))
+      .writeStream.format("memory").queryName("kmv_batches")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2)
+    val streamed = Sketches.kmvFinalize(spark, spark.table("kmv_batches"), ev)
+      .collect().map(_.toSeq).toSet
+    val batch = Sketches.eventsKmvOverlapDf(ev).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_sessionize: state carries across micro-batches") {
     import org.apache.spark.sql.functions._
     // split events at the median ts into two files; maxFilesPerTrigger=1
