@@ -57,10 +57,17 @@ object Sketches {
       .join(broadcast(regs), Seq("r", "pos"))
       .groupBy(col("user_id"))
       .agg(min(col("cnt")).as("cms_est"))
-    val w = Window.orderBy(col("cms_est").desc, col("user_id"))
-    est.join(exact, Seq("user_id"))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    // Top-k via TakeOrderedAndProject (per-partition bounded heaps, like
+    // eventsHeavyHitters) — the global row_number window this replaced
+    // would sort EVERY candidate key on one executor at 100 TB key
+    // cardinality. The rank window that remains runs over ≤ k rows.
+    val top = est.join(exact, Seq("user_id"))
+      .orderBy(col("cms_est").desc, col("user_id"))
+      .limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cms_est").desc, col("user_id")))
+          .cast("int"))
       .select(col("user_id"), col("cms_est"), col("n_exact"), col("rank"))
   }
 

@@ -193,6 +193,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("cms top-k: bounded TakeOrderedAndProject — no single-partition window " +
+       "over the candidate key set") {
+    val p = plan(graft.operators.Sketches.eventsCms(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // The only Window left is the rank over the ≤k survivors of the limit:
+    // in the formatted plan it must sit ABOVE the TakeOrderedAndProject
+    // (bounded input), i.e. no Window below the take.
+    val winIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && takeIdx >= 0 && winIdx < takeIdx,
+      s"rank window must consume the bounded top-k, plan:\n$p")
+  }
+
   test("token budget: bucket threshold — no global window over documents") {
     val p = plan(graft.operators.Curation.corpusTokenBudget(spark, sf))
     // the only Window is the cumulative sum over the ≤101-row bucket
