@@ -101,19 +101,48 @@ object Bench {
       .mkString("[", ",", "]")
     def line(dp: Int): String =
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec",""" +
-      s""""queries":${queriesJson(dp)},"sf":"$sfDir","n_queries":${timed.size},""" +
+      s""""queries":${queriesJson(dp)},"sf":"$sfDir","n_queries":${queries.size},""" +
+      s""""n_timed":${timed.size},""" +
       s""""n_errors":${errors.size},"errors":$errJson,"cache":$cacheJson}"""
-    // Full-precision copy to a file: the driver tail-captures stdout and
-    // has truncated the per-query map before (BENCH_r02 lost 58/123
-    // timings). The file is the durable artifact; stdout stays the
-    // driver contract but rounded to 3 dp so the line fits the tail.
+    // Full-precision copy to a file: the driver tail-captures only the
+    // last ~2000 chars of stdout, and a full 150-query map is ~4 KB —
+    // every round so far the tail sliced the line mid-map and the
+    // driver's `parsed` came back null (BENCH_r02..r04). The file is
+    // the durable full artifact; stdout's LAST line below is a
+    // self-contained JSON sized to survive the tail window whole.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     // the file artifact additionally carries block residency (too long
     // for the tail-captured stdout line)
     val fileLine = line(6).dropRight(1) + s""","storage":$storageJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"bench file write failed: $e") }
+    // Human/grep copy of the full line first (may be tail-truncated —
+    // that's fine, it is not the parse target) ...
     println(line(3))
+    // ... then the parse target: totals + error NAMES + the slowest
+    // per-query timings, greedily packed into a conservative budget so
+    // the whole line fits the driver's tail capture. `n_queries` counts
+    // attempted queries (the driver-contract meaning), `n_timed` the
+    // successfully timed subset; full per-query map lives in
+    // `queries_full`.
+    val budget = 1600
+    val errNames = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val head =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${queries.size},"n_timed":${timed.size},""" +
+      s""""n_errors":${errors.size},"errored":$errNames,"cache":$cacheJson,""" +
+      s""""queries_full":"$outFile","queries":{"""
+    val entries = timed.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+    val packed = new StringBuilder(head)
+    var used = head.length + 2 // "}}"
+    var first = true
+    entries.foreach { e =>
+      val cost = e.length + (if (first) 0 else 1)
+      if (used + cost <= budget) { if (!first) packed += ','; packed ++= e; used += cost; first = false }
+    }
+    packed ++= "}}"
+    println(packed.result())
     Caches.clear(spark)
     spark.stop()
   }
