@@ -416,11 +416,13 @@ object Similarity {
       // near-dup contract: only same-label pairs are duplicates)
       .filter(col("label") === col("label_b"))
       // fast prefilter via the native FloatDot expression: its IEEE sum
-      // differs from dotDec by < 1e-12, so a 1e-9 slack can't drop a
-      // pair the exact cosine would keep; the (slow) decimal dot then
-      // runs only on survivors
+      // differs from dotDec by < 1e-12, and the authoritative gate is the
+      // 6dp ROUND-HALF-UP decimal cosine — which admits true cosines down
+      // to tau − 5e-7 — so the slack must cover the rounding window, not
+      // just the float error: 1e-6 ≥ 5e-7 + 1e-12. The (slow) decimal dot
+      // then runs only on survivors
       .filter(call_function("float_dot", col("emb_a"), col("emb_b")) /
-              (col("n_a") * col("n_b")) >= tau - 1e-9)
+              (col("n_a") * col("n_b")) >= tau - 1e-6)
       .withColumn("cosine",
         r(dotDec(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cosine") >= tau)
@@ -442,7 +444,7 @@ object Similarity {
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .filter(call_function("float_dot", col("emb_a"), col("emb_b")) /
-              (col("n_a") * col("n_b")) >= tau - 1e-9)
+              (col("n_a") * col("n_b")) >= tau - 1e-6)
       .withColumn("cosine",
         r(dotDec(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cosine") >= tau)
@@ -513,10 +515,11 @@ object Similarity {
         col("embedding").as("emb_a"), col("e_norm").as("n_a"))
       .join(b, Seq("cluster"))
       .filter(col("id_b") < col("vec_id"))
-      // lossless fast prefilter (|float_dot − dotDec| < 1e-12), exact
-      // decimal cosine decides
+      // lossless fast prefilter (1e-6 slack covers the 6dp round-half-up
+      // window of the decimal gate plus float error), exact decimal
+      // cosine decides
       .filter(call_function("float_dot", col("emb_a"), col("emb_b")) /
-              (col("n_a") * col("n_b")) >= tau - 1e-9)
+              (col("n_a") * col("n_b")) >= tau - 1e-6)
       .filter(r(dotDec(col("emb_a"), col("emb_b")) /
                 (col("n_a") * col("n_b")), 6) >= tau)
       .select(col("vec_id")).distinct()
@@ -599,7 +602,7 @@ object Similarity {
       .join(b, Seq("cluster"))
       .filter(col("id_b") < col("doc_id"))
       .filter(call_function("float_dot", col("emb_a"), col("emb_b")) /
-              (col("n_a") * col("n_b")) >= tau - 1e-9)
+              (col("n_a") * col("n_b")) >= tau - 1e-6)
       .filter(r(dotDec(col("emb_a"), col("emb_b")) /
                 (col("n_a") * col("n_b")), 6) >= tau)
       .select(col("doc_id")).distinct()
