@@ -73,9 +73,25 @@ object LshDedup {
 
   /** DataFrame-generic core: expects canonical (doc_id, text). The
     * shingle table comes from TextOps.shingleTable — memoized, so the
-    * n-gram Jaccard and MinHash operators share one evaluation. */
+    * n-gram Jaccard and MinHash operators share one evaluation.
+    *
+    * Adversarial-skew guarantee (`maxBucket`, the banded analog of the
+    * r4 stop-shingle DF cap on the n-gram/containment operators): a
+    * corpus saturated with near-duplicates collapses every band bucket
+    * onto the same key, and the all-pairs bucket join goes quadratic in
+    * the hottest bucket. Buckets larger than `maxBucket` therefore
+    * switch from all-pairs to CHAIN pairing — each member pairs with
+    * its doc_id-successor in the bucket — which is linear in bucket
+    * size yet preserves intra-bucket CONNECTIVITY, the property
+    * cluster-level dedup actually consumes (a saturated bucket's
+    * members all exceed τ pairwise, so the chain edges verify and the
+    * connected component is intact; LshSpec pins this under a
+    * 600-clone corpus). Pair-level output differs from all-pairs ONLY
+    * in buckets past the cap. The oracle SQL replicates the cap with
+    * the identical window expression. */
   def dedupMinhashDf(input: DataFrame, tau: Double = 0.3,
-                     k: Int = 64, bands: Int = 32): DataFrame = {
+                     k: Int = 64, bands: Int = 32,
+                     maxBucket: Int = 256): DataFrame = {
     val rows = k / bands
     val docs = TextOps.shingleTable(input).filter(size(col("sh")) > 0)
     val sigs = docs
@@ -95,11 +111,21 @@ object LshDedup {
         concat_ws(":", (lit(b) +: (0 until rows).map(j =>
           col(s"m${b * rows + j}"))).map(_.cast("string")): _*)
       }: _*)).as("band_key"))
-    val candidates = bandKeys.as("a")
-      .join(bandKeys.as("b"),
+    // bucket cardinality + successor in one band_key exchange (count
+    // needs no sort; lead shares the partitioning)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
+    val bk = bandKeys
+      .withColumn("cnt", count(lit(1)).over(wB))
+      .withColumn("nxt", lead(col("doc_id"), 1).over(wB.orderBy("doc_id")))
+    val small = bk.filter(col("cnt") <= maxBucket)
+    val allPairs = small.as("a")
+      .join(small.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val chainPairs = bk
+      .filter(col("cnt") > maxBucket && col("nxt").isNotNull)
+      .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
+    val candidates = allPairs.union(chainPairs).distinct()
     candidates
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -115,7 +141,8 @@ object LshDedup {
     * md5-affine hash family (coefficients embedded as literals), same
     * banding, exact-Jaccard verify via the inverted-index shared-shingle
     * count (≡ array_intersect on distinct shingle sets). */
-  def dedupMinhashSql(tau: Double = 0.3, k: Int = 64, bands: Int = 32): String = {
+  def dedupMinhashSql(tau: Double = 0.3, k: Int = 64, bands: Int = 32,
+                      maxBucket: Int = 256): String = {
     val rows = k / bands
     val mins = (0 until k).map { i =>
       val (a, b) = coef(i); s"min(($a * sm + $b) % $P) AS m$i"
@@ -149,9 +176,21 @@ object LshDedup {
        |         unnest([$bandExprs]) AS band_key
        |  FROM sig
        |),
+       |bb AS (
+       |  SELECT doc_id, band_key,
+       |         count(*) OVER (PARTITION BY band_key) AS cnt,
+       |         lead(doc_id) OVER (PARTITION BY band_key ORDER BY doc_id) AS nxt
+       |  FROM bands
+       |),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM bb a JOIN bb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |    WHERE a.cnt <= $maxBucket
+       |    UNION ALL
+       |    SELECT doc_id AS id_a, nxt AS id_b FROM bb
+       |    WHERE cnt > $maxBucket AND nxt IS NOT NULL
+       |  )
        |),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |shared AS (

@@ -31,6 +31,40 @@ class LshSpec extends AnyFunSuite {
     exact.filter(_._2 >= 0.5).keys.foreach(k => assert(mh.contains(k)))
   }
 
+  test("dedup_minhash: bucket cap keeps a near-duplicate-saturated corpus " +
+       "linear while preserving cluster connectivity") {
+    // Adversarial corpus: 600 clones of one document (tiny per-doc noise
+    // via a shared prefix keeps shingle sets overwhelmingly overlapping)
+    // — every band bucket of every clone collapses onto the same key.
+    // All-pairs would emit 600·599/2 = 179 700 candidates per bucket;
+    // the cap must keep output pairs LINEAR in corpus size while the
+    // verified pairs still connect all clones into one component.
+    val n = 600
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until n).map(i => (i.toLong, s"$body extra$i"))
+      .toDF("doc_id", "text")
+    val cap = 64
+    val pairs = LshDedup.dedupMinhashDf(docs, tau = 0.3, maxBucket = cap)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // linear, not quadratic: chain pairing emits ≤ (n−1) distinct
+    // successor edges per saturated bucket family — far under all-pairs
+    assert(pairs.length < 4 * n, s"${pairs.length} pairs — cap did not engage")
+    assert(pairs.nonEmpty)
+    // connectivity: union-find over the verified pairs → one component
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val roots = (0 until n).map(find).distinct
+    assert(roots.size == 1, s"${roots.size} components — connectivity lost under the cap")
+    // and the cap leaves an UNsaturated corpus bit-identical: pairs from
+    // the capped run at default size == pairs with the cap effectively off
+    val uncapped = LshDedup.dedupMinhashDf(docs, tau = 0.3, maxBucket = n + 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.toSet.subsetOf(uncapped),
+      "capped output must be a subset of the all-pairs output")
+  }
+
   test("dedup_simhash: identical docs collide at hamming 0; near-identical close") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = a.replace("dog", "cat")
