@@ -288,7 +288,19 @@ object Streaming {
     * keyed state (dropDuplicates), then folds the k-min aggregate:
     * two chained stateful operators, the supported dedup→agg shape.
     * Pair estimation + exact comparison run batch-side over the
-    * 5-row sketch sink. */
+    * 5-row sketch sink.
+    *
+    * State-size caveat (deliberate): the AGGREGATE state is O(k) per
+    * type, but the dedup stage keys on (type, hash) — O(distinct keys),
+    * unbounded in a continuous deployment (fine under AvailableNow
+    * drains like this query). A continuous deployment should either
+    * (a) add `withWatermark` + `dropDuplicatesWithinWatermark` and
+    * accept that a hash re-seen past the horizon re-enters CollectTopK
+    * (harmless unless its multiplicity displaces a distinct value from
+    * the k-list exactly at the boundary), or (b) replace dedup+agg with
+    * a `flatMapGroupsWithState` fold carrying the ≤k distinct smallest
+    * hashes per type — truly O(k) total state. The batch sketch
+    * (kmvSketches over a static frame) is unaffected. */
   def streamKmv(s: SparkSession, dir: String): DataFrame = {
     val name = s"kmv_${System.nanoTime()}"
     graft.functions.GraftFunctions.ensure(s)

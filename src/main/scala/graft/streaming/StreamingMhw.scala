@@ -10,9 +10,12 @@ import graft.operators.{Mhw, MhwSql}
 /** A severity observation consumed by the streaming detector. */
 case class SevIn(user_id: Long, idx: Int, t_anom: Double, severity: Double)
 
-/** Carried per-series state: events emitted so far plus the day buffer
-  * from the start of the newest (still-open) event chain. */
-case class MhwStreamState(evtBase: Long, days: Seq[SevIn])
+/** Carried per-series state: events emitted so far, the day buffer from
+  * the start of the newest (still-open) event chain, and the late-data
+  * horizon — the largest index ever DISCARDED from the buffer (emitted
+  * or dropped); rows at or before it are ignored (see foldMhw). */
+case class MhwStreamState(evtBase: Long, days: Seq[SevIn],
+                          horizon: Int = Int.MinValue)
 
 /** A closed (emitted) MHW event — same metrics as the batch operator. */
 case class MhwStreamEvent(user_id: Long, evt: Long,
@@ -34,11 +37,23 @@ case class MhwStreamEvent(user_id: Long, evt: Long,
   * contract (same shape as [[Streaming.streamSessionize]]).
   *
   * Scale: one shuffle on the series key; state per key is O(open-event
-  * span) days — bounded by event duration, not history. Arrival must be
-  * in event-time order per key (append-only daily ingestion), the
-  * standard contract for watermark-ordered pipelines; incremental ≡
+  * span) days — bounded by event duration, not history. Incremental ≡
   * batch parity under arbitrary in-order chunking is property-pinned in
   * StreamingMhwSpec.
+  *
+  * Late / out-of-order data (the watermark analog, spec-pinned):
+  * ordering WITHIN the retained buffer is free — the fold re-sorts and
+  * re-detects over (state ++ batch), so a day arriving out of order
+  * while its chain region is still open is incorporated exactly as if
+  * in-order. The per-key HORIZON is the largest index ever discarded
+  * from the buffer (everything before the open chain's start after an
+  * emission; everything before the trailing run otherwise): rows at or
+  * before the horizon are DROPPED — their neighbourhood was already
+  * emitted or discarded, so no consistent retroactive merge exists
+  * (mirrors Spark's own watermark rule "state older than the watermark
+  * is final"). Consequences: a closed event is never re-emitted or
+  * mutated, and a late fragment can neither bridge into a closed chain
+  * nor extend the open chain backward past its recorded start.
   */
 object StreamingMhw {
 
@@ -104,25 +119,36 @@ object StreamingMhw {
     days.drop(i)
   }
 
-  /** Per-group fold: re-detect over (state buffer ++ batch), emit every
-    * chain but the newest, retain days from the newest chain's start. */
+  /** Per-group fold: drop rows at/before the late-data horizon,
+    * re-detect over (state buffer ++ surviving batch), emit every chain
+    * but the newest, retain days from the newest chain's start, advance
+    * the horizon over everything discarded. */
   private[graft] def foldMhw(
       uid: Long, rows: Iterator[SevIn],
       state: GroupState[MhwStreamState]): Iterator[MhwStreamEvent] = {
     val prev = state.getOption.getOrElse(MhwStreamState(0L, Nil))
-    val days = (prev.days ++ rows).sortBy(_.idx).toIndexedSeq
-    val cs = chains(days)
-    if (cs.isEmpty) {
-      state.update(MhwStreamState(prev.evtBase, trailingRun(days)))
+    val fresh = rows.filter(_.idx > prev.horizon)
+    val days = (prev.days ++ fresh).sortBy(_.idx).toIndexedSeq
+    if (days.isEmpty) { // batch was entirely late — state unchanged
+      state.update(prev)
       Iterator.empty
     } else {
-      val emit = cs.dropRight(1).zipWithIndex.map { case ((a, b), i) =>
-        metricsOf(uid, prev.evtBase + i + 1, a, b, days)
+      val cs = chains(days)
+      if (cs.isEmpty) {
+        val tr = trailingRun(days)
+        val h = if (tr.nonEmpty) tr.head.idx - 1 else days.last.idx
+        state.update(MhwStreamState(prev.evtBase, tr, math.max(prev.horizon, h)))
+        Iterator.empty
+      } else {
+        val emit = cs.dropRight(1).zipWithIndex.map { case ((a, b), i) =>
+          metricsOf(uid, prev.evtBase + i + 1, a, b, days)
+        }
+        val keepFrom = cs.last._1
+        state.update(MhwStreamState(prev.evtBase + emit.size,
+          days.filter(_.idx >= keepFrom),
+          math.max(prev.horizon, keepFrom - 1)))
+        emit.iterator
       }
-      val keepFrom = cs.last._1
-      state.update(MhwStreamState(prev.evtBase + emit.size,
-        days.filter(_.idx >= keepFrom)))
-      emit.iterator
     }
   }
 

@@ -73,6 +73,52 @@ class StreamingMhwSpec extends AnyFunSuite {
     }
   }
 
+  private def d(idx: Int, sev: Double = 2.0): SevIn =
+    SevIn(1L, idx, sev * 1.5, sev)
+
+  test("foldMhw late data: out-of-order rows above the horizon are folded " +
+       "exactly as if in-order (open-chain region repair)") {
+    // in-order reference: one 0..7 run, closed by a later 12..14 run
+    val closer = Seq(d(12), d(13), d(14))
+    val (ref, refState) = foldChunks(Seq((0 to 7).map(d(_)), closer))
+    // days 3 and 5 arrive a chunk LATE, while their chain is still open
+    val (late, lateState) = foldChunks(Seq(
+      Seq(0, 1, 2, 4, 6, 7).map(d(_)), Seq(d(3), d(5)), closer))
+    assert(late == ref, "late-but-above-horizon rows must repair the open chain")
+    assert(lateState.map(s => (s.evtBase, s.days)) ==
+           refState.map(s => (s.evtBase, s.days)))
+  }
+
+  test("foldMhw late data: rows at/before the horizon are dropped — closed " +
+       "events are never re-emitted, mutated, or bridged into") {
+    // chain A (0..9), closed by chain B (15..17): horizon becomes 14
+    val (emitted1, st1) = foldChunks(Seq((0 to 9).map(d(_)), (15 to 17).map(d(_))))
+    assert(emitted1.map(e => (e.index_start, e.index_end)) == Seq((0, 9)))
+    assert(st1.get.horizon == 14)
+    // a late qualifying fragment 11..13 — in-order it would have gap-joined
+    // A (11−9 ≤ 2) — arrives after A closed: dropped entirely
+    var state = st1
+    val gs = TestGroupState.create[MhwStreamState](
+      org.apache.spark.api.java.Optional.fromNullable(state.orNull),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), false)
+    val lateOut = StreamingMhw.foldMhw(1L, (11 to 13).map(d(_)).iterator, gs).toSeq
+    assert(lateOut.isEmpty, "late fragment behind the horizon must not emit")
+    state = if (gs.exists) Some(gs.get) else None
+    assert(state.map(s => (s.evtBase, s.days, s.horizon)) ==
+           st1.map(s => (s.evtBase, s.days, s.horizon)),
+      "an entirely-late batch must leave state untouched")
+    // subsequent in-order flow closes B at its recorded span — the
+    // dropped fragment neither bridged B back to A nor shifted B's start
+    val gs2 = TestGroupState.create[MhwStreamState](
+      org.apache.spark.api.java.Optional.fromNullable(state.orNull),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), false)
+    val out2 = StreamingMhw.foldMhw(1L,
+      ((18 to 19).map(d(_)) ++ (25 to 27).map(d(_))).iterator, gs2).toSeq
+    assert(out2.map(e => (e.evt, e.index_start, e.index_end)) == Seq((2L, 15, 19)))
+  }
+
   test("stream_mhw_events: closed events equal batch events minus each series' last") {
     val batch = Mhw.mhwEvents(spark, sf)
     val lastPerUser = batch.groupBy("user_id").agg(max("evt").as("evt"))
