@@ -119,15 +119,26 @@ object Mhw {
     * Strict skipna: any NaN observation in a window nulls that center.
     * `exact=false` switches to approx_percentile for extreme scale; the
     * exact path co-locates each (key,doy) group's ≤ years×(2w+1) values —
-    * bounded per group, no global hotspot. */
+    * bounded per group, no global hotspot.
+    *
+    * Approx error contract (MhwSpec "approx threshold rank-error
+    * bound"): approx_percentile is Greenwald–Khanna with relative rank
+    * error 1/`accuracy` — the returned value's rank in the pooled group
+    * is within n/accuracy of the target rank ⌊p·(n−1)⌋, so the VALUE
+    * error is bounded by the sample spread across that rank window
+    * (data-dependent, tight where the distribution is dense). At the
+    * default accuracy=10000 any group with < 10000 samples (= fewer
+    * than ~900 pooled years) is rank-exact, which is why sf-local runs
+    * match the exact path bit-for-bit; the spec exercises a LOW
+    * accuracy to pin the bound in the divergent regime. */
   def pooledQuantile(dailyDf: DataFrame, hw: Int, pctile: Double,
-                     exact: Boolean = true): DataFrame = {
+                     exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     val q =
       if (exact) linQuantile(col("vs"), pctile)
       else element_at(col("vs"), 1)
     val agg =
       if (exact) sort_array(collect_list(col("sst")))
-      else expr(s"array(approx_percentile(sst, $pctile, 10000))")
+      else expr(s"array(approx_percentile(sst, $pctile, $accuracy))")
     poolSamples(dailyDf, hw)
       .groupBy(col("user_id"), col("doy"))
       .agg(agg.as("vs"),

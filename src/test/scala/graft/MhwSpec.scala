@@ -252,6 +252,59 @@ class MhwSpec extends AnyFunSuite {
     assert(agg.getLong(2) == 0, s"${agg.getLong(2)} approx values outside the rank bracket")
   }
 
+  test("approx threshold rank-error bound holds in the genuinely divergent regime " +
+       "(accuracy << group size)") {
+    // The regime approx_percentile exists for: group size n well above
+    // `accuracy`, where it actually diverges from the exact quantile.
+    // Contract pinned (Greenwald–Khanna, relative rank error
+    // 1/accuracy): the returned value sits within n/accuracy ranks of
+    // the target rank l = ⌊0.9·(n−1)⌋, and therefore |approx − exact|
+    // is bounded by the sample spread across [l−e, l+e]. 32 years of
+    // daily data → pooled groups of ~352; accuracy=20 → e ≈ 18 ranks.
+    val base = java.time.LocalDate.of(1982, 1, 1)
+    val rows = (0 until 11688).map { i =>
+      (1L, java.sql.Date.valueOf(base.plusDays(i)),
+       (i * 2654435761L % 99991L) / 999.91)
+    }
+    val dl = rows.toDF("user_id", "d", "sst")
+      .withColumn("yr", year($"d"))
+      .withColumn("doy", DoyFunctions.climDoy($"d"))
+    val acc = 20
+    val pooled = Mhw.poolSamples(dl, 5)
+      .groupBy($"doy").agg(sort_array(collect_list($"sst")).as("vs"))
+    val ap = Mhw.pooledQuantile(dl, 5, 0.9, exact = false, accuracy = acc)
+      .select($"doy", $"thresh")
+    val ex = Mhw.pooledQuantile(dl, 5, 0.9)
+      .select($"doy", $"thresh".as("t_exact"))
+    val joined = pooled.join(ap, "doy").join(ex, "doy").collect()
+    assert(joined.length == 366)
+    var diverged = 0
+    joined.foreach { r =>
+      val vs = r.getAs[scala.collection.Seq[Double]]("vs")
+      val approx = r.getAs[Double]("thresh")
+      val exact = r.getAs[Double]("t_exact")
+      val n = vs.length
+      val e = math.ceil(n.toDouble / acc).toInt + 1 // +1: 6dp output rounding
+      val target = math.floor(0.9 * (n - 1)).toInt
+      // rank of the approx value: member index nearest the target
+      // (duplicates → any matching index is a valid rank witness)
+      val ranks = vs.indices.filter(i => math.abs(vs(i) - approx) < 1e-6)
+      assert(ranks.nonEmpty, s"doy ${r.getAs[Int]("doy")}: approx $approx not a pooled member")
+      val rank = ranks.minBy(i => math.abs(i - target))
+      assert(math.abs(rank - target) <= e,
+        s"doy ${r.getAs[Int]("doy")}: rank $rank vs target $target exceeds n/accuracy = $e")
+      // implied value bound: spread of the admissible rank window
+      val lo = vs(math.max(target - e, 0))
+      val hi = vs(math.min(target + e, n - 1))
+      assert(approx >= lo - 1e-6 && approx <= hi + 1e-6,
+        s"doy ${r.getAs[Int]("doy")}: $approx outside value window [$lo, $hi]")
+      assert(math.abs(approx - exact) <= (hi - lo) + 1e-6)
+      if (math.abs(approx - exact) > 1e-6) diverged += 1
+    }
+    // the whole point of this spec: the regime must actually diverge
+    assert(diverged > 50, s"only $diverged/366 groups diverged — not the divergent regime")
+  }
+
   test("CUSUM changepoint lands on a mean shift; flat series ties to first day") {
     val base = java.time.LocalDate.of(2020, 1, 1)
     // user 1: 100 days at 10.0 then 100 days at 20.0 → overall mean 15,
