@@ -34,6 +34,15 @@ object BenchGrid {
     // that shows throughput is linear in cells, the property that
     // carries to a 1000-executor grid
     val scale = sys.env.getOrElse("SPARK_GRAFT_GRID_SCALE", "1").toInt
+    // SPARK_GRAFT_KEYDIM_BCAST=false runs the large-deployment posture:
+    // per-key clim/threshold tables are NOT force-broadcast and the
+    // severity joins degrade to co-partitioned shuffle joins (the
+    // PlanSpec-pinned shape) — at ×100 (28.9k cells → 10.6M clim rows)
+    // this is the honest 100 TB configuration, and the run doubles as
+    // the no-driver-OOM proof for the gate.
+    sys.env.get("SPARK_GRAFT_KEYDIM_BCAST")
+      .foreach(v => spark.conf.set(Hints.BroadcastKeyDims, v))
+    val keyDimBcast = spark.conf.get(Hints.BroadcastKeyDims, "true")
     val nCells = 17 * 17 * scale
     val d0 = java.sql.Date.valueOf("1982-01-01")
     val nDays = java.time.temporal.ChronoUnit.DAYS.between(
@@ -121,7 +130,7 @@ object BenchGrid {
     val coldTotal = cClim + cSev + cEvents
     val warmTotal = wClim + wSev + wEvents
     val json =
-      f"""{"grid_cells":$nCells,"days":$nDays,"points":$nPoints,"events":$nEvents,"cold":{"sec_clim_thresh":$cClim%.3f,"sec_severity":$cSev%.3f,"sec_events":$cEvents%.3f,"sec_total":$coldTotal%.3f},"warm":{"sec_clim_thresh":$wClim%.3f,"sec_severity":$wSev%.3f,"sec_events":$wEvents%.3f,"sec_total":$warmTotal%.3f},"reference_notebook_sec":{"clim_thresh":5.9},"cpus":"$cpus"}"""
+      f"""{"grid_cells":$nCells,"days":$nDays,"points":$nPoints,"events":$nEvents,"cold":{"sec_clim_thresh":$cClim%.3f,"sec_severity":$cSev%.3f,"sec_events":$cEvents%.3f,"sec_total":$coldTotal%.3f},"warm":{"sec_clim_thresh":$wClim%.3f,"sec_severity":$wSev%.3f,"sec_events":$wEvents%.3f,"sec_total":$warmTotal%.3f},"reference_notebook_sec":{"clim_thresh":5.9},"cpus":"$cpus","broadcast_key_dims":$keyDimBcast}"""
     val outDefault =
       if (scale == 1) "/root/repo/BENCH_GRID.json"
       else s"/root/repo/BENCH_GRID_x$scale.json"
