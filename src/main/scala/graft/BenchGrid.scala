@@ -43,6 +43,15 @@ object BenchGrid {
     sys.env.get("SPARK_GRAFT_KEYDIM_BCAST")
       .foreach(v => spark.conf.set(Hints.BroadcastKeyDims, v))
     val keyDimBcast = spark.conf.get(Hints.BroadcastKeyDims, "true")
+    // On a real cluster shuffle.partitions scales with the data, not the
+    // local core count: at ×100 (348 M points) 32 partitions put ~120 M
+    // exploded pooling rows in each aggregation task → sort-spill, the
+    // measured superlinearity of the first ×100 run. The knob mirrors
+    // what any deployment does (set partitions ∝ input volume); oracle
+    // parity is untouched (partitioning never changes values here).
+    sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val nCells = 17 * 17 * scale
     val d0 = java.sql.Date.valueOf("1982-01-01")
     val nDays = java.time.temporal.ChronoUnit.DAYS.between(
@@ -130,7 +139,7 @@ object BenchGrid {
     val coldTotal = cClim + cSev + cEvents
     val warmTotal = wClim + wSev + wEvents
     val json =
-      f"""{"grid_cells":$nCells,"days":$nDays,"points":$nPoints,"events":$nEvents,"cold":{"sec_clim_thresh":$cClim%.3f,"sec_severity":$cSev%.3f,"sec_events":$cEvents%.3f,"sec_total":$coldTotal%.3f},"warm":{"sec_clim_thresh":$wClim%.3f,"sec_severity":$wSev%.3f,"sec_events":$wEvents%.3f,"sec_total":$warmTotal%.3f},"reference_notebook_sec":{"clim_thresh":5.9},"cpus":"$cpus","broadcast_key_dims":$keyDimBcast}"""
+      f"""{"grid_cells":$nCells,"days":$nDays,"points":$nPoints,"events":$nEvents,"cold":{"sec_clim_thresh":$cClim%.3f,"sec_severity":$cSev%.3f,"sec_events":$cEvents%.3f,"sec_total":$coldTotal%.3f},"warm":{"sec_clim_thresh":$wClim%.3f,"sec_severity":$wSev%.3f,"sec_events":$wEvents%.3f,"sec_total":$warmTotal%.3f},"reference_notebook_sec":{"clim_thresh":5.9},"cpus":"$cpus","broadcast_key_dims":$keyDimBcast,"shuffle_partitions":$shufflePartitions}"""
     val outDefault =
       if (scale == 1) "/root/repo/BENCH_GRID.json"
       else s"/root/repo/BENCH_GRID_x$scale.json"

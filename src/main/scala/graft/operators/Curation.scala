@@ -195,4 +195,57 @@ object Curation {
       |SELECT user_id, ver, event_type, valid_from, valid_to, n_events,
       |       ver = max(ver) OVER (PARTITION BY user_id) AS is_current
       |FROM seg ORDER BY user_id, ver""".stripMargin
+
+  // ------------------------------------------------------- dup inflation
+
+  /** #90 `doc_dup_inflation`: per-source duplication telemetry — how
+    * much of each source's TOKEN budget is exact-duplicate content. The
+    * dedup decision (#25's keep-min-id rule on the normalized
+    * fingerprint) is weighted by whitespace token counts, answering the
+    * question a mixture designer actually asks: not "how many dup docs"
+    * but "how many redundant tokens am I paying for per source".
+    *
+    * Scale shape: one fingerprint groupBy (linear, partial-agg) and a
+    * co-keyed join back on fp — the same exchange key, no second
+    * shuffle of consequence; the source rollup aggregates a handful of
+    * rows. Token counting is map-side. */
+  def docDupInflation(s: SparkSession, dir: String): DataFrame =
+    docDupInflationDf(Tables.documents(s, dir))
+
+  /** Core: expects canonical (doc_id, source, text). */
+  def docDupInflationDf(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), col("source"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+      size(graft.functions.TextFunctions.lowerTokens(col("text")))
+        .cast("long").as("n_tokens"))
+    val keep = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    base.join(keep, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+             .as("n_dup_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(when(col("doc_id") =!= col("keep_id"), col("n_tokens"))
+                 .otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_token_share",
+        r(col("dup_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  val docDupInflationSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       |         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |keep AS (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY 1)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+       |       ${sqlR("CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS DOUBLE) / sum(n_tokens)", 6)} AS dup_token_share
+       |FROM base JOIN keep USING (fp)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

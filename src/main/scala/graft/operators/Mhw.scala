@@ -735,4 +735,100 @@ object Mhw {
         .when(td === 0, col("ta_peak") - col("ta_last"))
         .otherwise((col("ta_peak") - col("ta_last")) / td), 6).as("rate_decline"))
   }
+
+  // ----------------------------------------------------------- cold spells
+
+  /** Severity chain over the NEGATED daily series — the engine of marine
+    * cold-spell detection (reference ground-truth asset
+    * tests/data/legacy/marineHeatWaves.py:245,414: `coldSpells=True`
+    * negates the input, runs the identical detect pipeline, and negates
+    * intensities back on output). Negation is applied AFTER the daily
+    * mean's 6dp stage rounding, so in negated space every downstream
+    * value is the exact IEEE negation of a rounded double — the oracle
+    * replays the same order of operations. Memoized separately from the
+    * warm-spell chain (same plan shape, different sign). */
+  def coldSeverityChain(s: SparkSession, dir: String, pctile: Double = 0.6): DataFrame =
+    graft.Caches.persisted(s, ("mhw_cold_sev", dir, pctile)) {
+      coldSeverityChainDf(daily(s, dir), pctile)
+    }
+
+  /** Core of [[coldSeverityChain]] over any (user_id, d, sst, yr, doy)
+    * daily frame. */
+  def coldSeverityChainDf(dailyDf: DataFrame, pctile: Double): DataFrame = {
+    val dl = dailyDf.withColumn("sst", -col("sst"))
+    val seas = smoothDoy(climatologyBp(dl), "seas")
+    val thresh = smoothDoy(pooledQuantile(dl, 5, pctile), "thresh")
+    severity(dl, seas, thresh)
+  }
+
+  /** Query #11h mhw_cold_spells: Oliver's `detect(coldSpells=True)` —
+    * marine cold-spell events. The negated series runs the exact warm
+    * pipeline (bp-smooth climatology, pooled-quantile threshold at the
+    * q=0.6 test parameterization ≡ the 40th percentile of the original
+    * series, severity, run/gap-join detection), then the intensity
+    * metrics are negated back so cold events report negative anomalies,
+    * exactly as the reference flips them on output. Category keeps the
+    * Hobday-2018 rule on the (positive) negated-space severity. Plan
+    * shape is identical to [[mhwEvents]] — the sign flip is free. */
+  def mhwColdSpells(s: SparkSession, dir: String): DataFrame =
+    coldEventsOf(coldSeverityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+
+  /** Detection + output flip over a negated-space severity frame (the
+    * output half of Oliver's coldSpells branch). */
+  def coldEventsOf(coldSev: DataFrame, minDuration: Int, maxGap: Int): DataFrame =
+    detectEvents(coldSev, minDuration, maxGap)
+      .select(
+        col("user_id"), col("evt"), col("index_start"), col("index_end"),
+        col("date_start"), col("date_end"), col("duration"),
+        col("index_peak"), col("date_peak"),
+        (-col("intensity_max")).as("intensity_max"),
+        (-col("intensity_mean")).as("intensity_mean"),
+        (-col("intensity_cumul")).as("intensity_cumul"),
+        categoryOf(col("severity_max")).as("category"))
+
+  // ----------------------------------------------------------- event ranks
+
+  /** Query #11i mhw_event_rank: Oliver's `rank()` (reference asset
+    * tests/data/legacy/marineHeatWaves.py:785-860) — per-series rank and
+    * return period of each event under duration, intensity_max and
+    * intensity_cumulative. Rank 1 = largest; ties follow numpy's stable
+    * argsort (`n_events − argsort(argsort(x))`): of two equal events the
+    * LATER one takes the smaller rank, i.e. `row_number` ordered by
+    * (metric DESC, evt DESC). Return period = (nYears + 1) / rank with
+    * nYears = (days on record)/365.25 — per series, from its own daily
+    * record length, Oliver's time-vector convention.
+    *
+    * Scale shape: events are key-proportional-tiny; the three rank
+    * windows share partitionBy(user_id) (one exchange, three in-stage
+    * sorts) and the per-key record-length table joins co-keyed. */
+  def mhwEventRank(s: SparkSession, dir: String): DataFrame =
+    eventRank(
+      detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2),
+      daily(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n_days")))
+
+  /** Core of [[mhwEventRank]]: `ev` = detectEvents output (or any frame
+    * with user_id, evt, duration, intensity_max, intensity_cumul), `nd`
+    * = per-key record length (user_id, n_days). */
+  def eventRank(ev: DataFrame, nd: DataFrame): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    def rk(c: Column): Column =
+      row_number().over(wU.orderBy(c.desc, col("evt").desc)).cast("long")
+    val nYears = col("n_days").cast("double") / lit(365.25)
+    def rp(rankCol: Column): Column = r((nYears + 1) / rankCol, 6)
+    ev.join(graft.Hints.keyDim(nd), Seq("user_id"))
+      .select(
+        col("user_id"), col("evt"), col("duration"),
+        col("intensity_max"), col("intensity_cumul"),
+        rk(col("duration")).as("rank_duration"),
+        rk(col("intensity_max")).as("rank_imax"),
+        rk(col("intensity_cumul")).as("rank_icum"),
+        col("n_days"))
+      .select(
+        col("user_id"), col("evt"), col("duration"),
+        col("intensity_max"), col("intensity_cumul"),
+        col("rank_duration"), col("rank_imax"), col("rank_icum"),
+        rp(col("rank_duration")).as("rp_duration"),
+        rp(col("rank_imax")).as("rp_imax"),
+        rp(col("rank_icum")).as("rp_icum"))
+  }
 }

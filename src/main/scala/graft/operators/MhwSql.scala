@@ -38,11 +38,15 @@ object MhwSql {
 
   private val doyExpr = climDoySql("CAST(ts AS DATE)")
 
-  /** Shared CTE chain. `p` = pctile of the severity chain's threshold. */
-  private def chain(p: Double): String =
+  /** Shared CTE chain. `p` = pctile of the severity chain's threshold.
+    * `neg` runs the chain in NEGATED space (cold-spell detection): the
+    * sign is applied AFTER the daily mean's 6dp rounding, mirroring
+    * Mhw.coldSeverityChain's order of operations exactly. */
+  private def chain(p: Double, neg: Boolean = false): String = {
+    val sign = if (neg) "-" else ""
     s"""WITH daily AS (
        |  SELECT user_id, CAST(ts AS DATE) AS d, year(CAST(ts AS DATE)) AS yr,
-       |         $doyExpr AS doy, ${davg("value", 6)} AS sst
+       |         $doyExpr AS doy, $sign(${davg("value", 6)}) AS sst
        |  FROM events GROUP BY 1, 2, 3, 4
        |),
        |yrs AS (SELECT DISTINCT yr FROM daily),
@@ -146,6 +150,7 @@ object MhwSql {
        |  GROUP BY 1, 2, 3, 4, 5, 6, 7, o.d0
        |)
        |""".stripMargin
+  }
 
   val climDoySqlQ: String =
     s"""SELECT d, ${climDoySql("d")} AS doy
@@ -436,4 +441,43 @@ object MhwSql {
        |       ${davg("CAST(duration AS DOUBLE)", 4)} AS avg_duration,
        |       max(intensity_max) AS max_intensity
        |FROM evm GROUP BY 1""".stripMargin
+
+  /** Cold spells: the full chain replayed in negated space, intensities
+    * negated back on output (marineHeatWaves.py:414 flips them). */
+  val mhwColdSpells: String =
+    chain(0.6, neg = true) +
+    s"""SELECT user_id, evt, index_start, index_end, date_start, date_end,
+       |       duration, index_peak, date_peak,
+       |       -intensity_max AS intensity_max,
+       |       -intensity_mean AS intensity_mean,
+       |       -intensity_cumul AS intensity_cumul,
+       |       CASE WHEN severity_max <= 2 THEN 'moderate'
+       |            WHEN severity_max <= 3 THEN 'strong'
+       |            WHEN severity_max <= 4 THEN 'severe'
+       |            ELSE 'extreme' END AS category
+       |FROM evm""".stripMargin
+
+  /** Oliver rank(): per-series descending rank (numpy stable-argsort tie
+    * rule → evt DESC tiebreak) + return period (nYears+1)/rank with
+    * nYears from each key's daily record length. */
+  val mhwEventRank: String =
+    chain(0.6) +
+    s""", nd AS (SELECT user_id, count(*) AS n_days FROM daily GROUP BY 1),
+       |rk AS (
+       |  SELECT e.user_id, e.evt, e.duration, e.intensity_max, e.intensity_cumul,
+       |         CAST(row_number() OVER (PARTITION BY e.user_id
+       |              ORDER BY e.duration DESC, e.evt DESC) AS BIGINT) AS rank_duration,
+       |         CAST(row_number() OVER (PARTITION BY e.user_id
+       |              ORDER BY e.intensity_max DESC, e.evt DESC) AS BIGINT) AS rank_imax,
+       |         CAST(row_number() OVER (PARTITION BY e.user_id
+       |              ORDER BY e.intensity_cumul DESC, e.evt DESC) AS BIGINT) AS rank_icum,
+       |         nd.n_days
+       |  FROM evm e JOIN nd ON nd.user_id = e.user_id
+       |)
+       |SELECT user_id, evt, duration, intensity_max, intensity_cumul,
+       |       rank_duration, rank_imax, rank_icum,
+       |       ${rr("(CAST(n_days AS DOUBLE) / 365.25 + 1) / rank_duration", 6)} AS rp_duration,
+       |       ${rr("(CAST(n_days AS DOUBLE) / 365.25 + 1) / rank_imax", 6)} AS rp_imax,
+       |       ${rr("(CAST(n_days AS DOUBLE) / 365.25 + 1) / rank_icum", 6)} AS rp_icum
+       |FROM rk""".stripMargin
 }

@@ -853,4 +853,83 @@ object Similarity {
        |SELECT label, n, mean_proj,
        |       ${sqlR("sqrt(greatest(p2 / n - (p1 / n) * (p1 / n), 0.0))", 6)} AS sd_proj
        |FROM st ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------- outliers
+
+  /** #31j emb_outliers: embedding-space quality screen — per-label
+    * centroid distance statistics and a 3σ outlier count, the
+    * "mislabeled / garbage vector" pruning pass of an embedding-curated
+    * corpus (the distance tail is where wrong-cluster and degenerate
+    * vectors live). Per label: n, mean/sd/max of the squared L2 distance
+    * to the label centroid, and how many vectors sit beyond
+    * mean + 3·sd.
+    *
+    * Scale shape: the centroid table is |labels|×dim (broadcast); the
+    * per-vector distance is a map-side-combinable explode-groupBy on
+    * vec_id (all 64 components of a vector share its row → partials
+    * collapse before the shuffle); label stats aggregate |labels| rows.
+    * Squared distance avoids a sqrt at the comparison boundary; all
+    * sums are decimal-exact and 6dp stage-rounded for oracle parity. */
+  def embOutliers(s: SparkSession, dir: String): DataFrame =
+    embOutliersDf(Tables.embeddings(s, dir))
+
+  def embOutliersDf(emb: DataFrame): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+              col("col").cast("double").as("x"))
+    val cent = ex.groupBy(col("label"), col("pos"))
+      .agg(davg(col("x"), 6).as("c"))
+    val dist = ex.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(dsum((col("x") - col("c")) * (col("x") - col("c")), 6).as("dist2"))
+    val n = count(lit(1)).cast("double")
+    val s1 = dsum(col("dist2"))
+    val s2 = dsum(col("dist2") * col("dist2"))
+    val stats = dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           davg(col("dist2"), 6).as("mean_dist2"),
+           r(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0))), 6)
+             .as("sd_dist2"))
+    dist.join(broadcast(stats), Seq("label"))
+      .groupBy(col("label"))
+      .agg(first(col("n")).as("n"),
+           first(col("mean_dist2")).as("mean_dist2"),
+           first(col("sd_dist2")).as("sd_dist2"),
+           max(col("dist2")).as("max_dist2"),
+           sum(when(col("dist2") >
+                 r(col("mean_dist2") + lit(3.0) * col("sd_dist2"), 6), 1L)
+               .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("label"))
+  }
+
+  val embOutliersSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, CAST(x AS DOUBLE) AS x, d
+       |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+       |               generate_subscripts(embedding, 1) AS d
+       |        FROM embeddings)
+       |),
+       |cent AS (
+       |  SELECT label, d, ${sqlAvg("x", 6)} AS c
+       |  FROM ex GROUP BY 1, 2
+       |),
+       |dist AS (
+       |  SELECT vec_id, label, ${sqlSum("(x - c) * (x - c)", 6)} AS dist2
+       |  FROM ex JOIN cent USING (label, d) GROUP BY 1, 2
+       |),
+       |stats AS (
+       |  SELECT label, count(*) AS n, ${sqlAvg("dist2", 6)} AS mean_dist2,
+       |         ${sqlR(
+              s"sqrt(greatest(${sqlSum("dist2 * dist2")} / count(*) - " +
+              s"(${sqlSum("dist2")} / count(*)) * (${sqlSum("dist2")} / count(*)), 0.0))", 6)} AS sd_dist2
+       |  FROM dist GROUP BY 1
+       |)
+       |SELECT d.label, first(s.n) AS n, first(s.mean_dist2) AS mean_dist2,
+       |       first(s.sd_dist2) AS sd_dist2, max(d.dist2) AS max_dist2,
+       |       CAST(sum(CASE WHEN d.dist2 >
+       |              ${sqlR("s.mean_dist2 + 3.0 * s.sd_dist2", 6)}
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM dist d JOIN stats s USING (label)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

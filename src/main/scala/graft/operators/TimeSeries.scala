@@ -127,4 +127,79 @@ object TimeSeries {
       |SELECT user_id, d AS cp_date, cusum AS cp_cusum,
       |       CAST(n AS BIGINT) AS n_days
       |FROM rk WHERE rk = 1""".stripMargin
+
+  /** #11k `ts_interp_linear`: capped linear gap interpolation — the
+    * reference ecosystem's `pad(data, maxPadLength)` (ground-truth asset
+    * tests/data/legacy/marineHeatWaves.py:888-916: np.interp over the
+    * missing indices, then gaps LONGER than maxPadLength restored to
+    * missing). Per key, each spine day in a gap takes
+    * v_prev + (v_next − v_prev)·(d − d_prev)/(d_next − d_prev) iff the
+    * gap run length ≤ maxPad, else stays null; spine endpoints are
+    * observed by construction so there is no edge-extension case.
+    *
+    * One exchange: the prev/next observation carriers are two window
+    * frames over the same partitionBy(user_id).orderBy(d) sort. The
+    * spine explode is map-side, like [[fillForward]]. */
+  def interpLinear(s: SparkSession, dir: String, maxPad: Int = 2): DataFrame =
+    interpLinearOf(Mhw.daily(s, dir), maxPad)
+
+  /** Core on any (user_id, d, sst) daily frame — spec entry point. */
+  def interpLinearOf(dl: DataFrame, maxPad: Int): DataFrame = {
+    val spine = dl.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val wPrev = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsD = when(col("sst").isNotNull, col("d"))
+    val interp = col("pv") +
+      (col("nv") - col("pv")) *
+        (datediff(col("d"), col("pd")).cast("double") /
+         datediff(col("nd"), col("pd")).cast("double"))
+    spine
+      .join(dl.select(col("user_id"), col("d"), col("sst")),
+            Seq("user_id", "d"), "left")
+      .withColumn("pv", last(col("sst"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(obsD, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("sst"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(obsD, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("d"),
+        when(col("sst").isNotNull, col("sst"))
+          .when(datediff(col("nd"), col("pd")) - 1 <= maxPad, r(interp, 6))
+          .as("sst_interp"),
+        (col("sst").isNull &&
+         (datediff(col("nd"), col("pd")) - 1 <= maxPad)).as("filled"))
+  }
+
+  def interpLinearSql(maxPad: Int = 2): String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |         floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value)) * 1e6 + 0.5) / 1e6 AS sst
+       |  FROM events GROUP BY 1, 2
+       |),
+       |spine AS (
+       |  SELECT user_id, unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+       |  FROM daily GROUP BY user_id
+       |),
+       |carried AS (
+       |  SELECT s.user_id, s.d, dd.sst,
+       |         last_value(dd.sst IGNORE NULLS) OVER wp AS pv,
+       |         last_value(CASE WHEN dd.sst IS NOT NULL THEN s.d END IGNORE NULLS) OVER wp AS pd,
+       |         first_value(dd.sst IGNORE NULLS) OVER wn AS nv,
+       |         first_value(CASE WHEN dd.sst IS NOT NULL THEN s.d END IGNORE NULLS) OVER wn AS nd
+       |  FROM spine s LEFT JOIN daily dd ON s.user_id = dd.user_id AND s.d = dd.d
+       |  WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.d ROWS UNBOUNDED PRECEDING),
+       |         wn AS (PARTITION BY s.user_id ORDER BY s.d
+       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |)
+       |SELECT user_id, d,
+       |       CASE WHEN sst IS NOT NULL THEN sst
+       |            WHEN datediff('day', pd, nd) - 1 <= $maxPad
+       |            THEN floor((pv + (nv - pv) * (CAST(datediff('day', pd, d) AS DOUBLE)
+       |                 / CAST(datediff('day', pd, nd) AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |       END AS sst_interp,
+       |       (sst IS NULL AND datediff('day', pd, nd) - 1 <= $maxPad) AS filled
+       |FROM carried""".stripMargin
 }

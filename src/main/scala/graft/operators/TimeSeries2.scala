@@ -201,4 +201,64 @@ object TimeSeries2 {
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
        |FROM dev d JOIN mad m USING (event_type)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ Theil–Sen trend
+
+  /** #88 `ts_theilsen`: Theil–Sen robust trend of each key's TRAILING
+    * window (default 90 days) — the median of all pairwise slopes
+    * (v_j − v_i)/(d_j − d_i) over the daily means in the window, the
+    * distribution-free "is this series drifting" screen: one anomalous
+    * day drags an OLS fit but moves the pairwise-slope median by at
+    * most one rank. (Sen's estimator is inherently O(n²) in the series
+    * length, so the contract bounds n by the WINDOW, not the record —
+    * for whole-record robust trends at scale use the monthly/annual
+    * aggregate first, as mhw_trend_annual does for its OLS.)
+    *
+    * Scale shape: the per-key trailing-max join is co-keyed
+    * ([[graft.Hints.keyDim]]-gated broadcast); the pair self-join is
+    * co-partitioned on user_id with ≤ C(window, 2) ≈ 4k pairs per key,
+    * and the median's collect_list holds only those. Reported per day
+    * and per 30 days; slopes and the median are 6dp stage-rounded for
+    * oracle parity. */
+  def tsTheilSen(s: SparkSession, dir: String): DataFrame =
+    tsTheilSenDf(Mhw.daily(s, dir))
+
+  def tsTheilSenDf(dl: DataFrame, windowDays: Int = 90): DataFrame = {
+    val mx = dl.groupBy(col("user_id")).agg(max(col("d")).as("dmax"))
+    val win = dl.join(graft.Hints.keyDim(mx), Seq("user_id"))
+      .filter(datediff(col("dmax"), col("d")) < windowDays)
+      .select(col("user_id"), col("d"), col("sst"))
+    val a = win.select(col("user_id"), col("d").as("d1"), col("sst").as("v1"))
+    val b = win.select(col("user_id"), col("d").as("d2"), col("sst").as("v2"))
+    val pairs = a.join(b, Seq("user_id")).filter(col("d2") > col("d1"))
+      .select(col("user_id"),
+        r((col("v2") - col("v1")) /
+            datediff(col("d2"), col("d1")).cast("double"), 6).as("slope"))
+    pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           r(medSorted(sort_array(collect_list(col("slope")))), 6).as("sen_slope"))
+      .withColumn("sen_slope_month", r(col("sen_slope") * 30, 6))
+  }
+
+  def tsTheilSenSql(windowDays: Int = 90): String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |         ${sqlAvg("value", 6)} AS sst
+       |  FROM events GROUP BY 1, 2
+       |),
+       |mx AS (SELECT user_id, max(d) AS dmax FROM daily GROUP BY 1),
+       |win AS (
+       |  SELECT dl.user_id, dl.d, dl.sst
+       |  FROM daily dl JOIN mx USING (user_id)
+       |  WHERE datediff('day', dl.d, mx.dmax) < $windowDays
+       |),
+       |pairs AS (
+       |  SELECT a.user_id,
+       |         ${sqlR("(b.sst - a.sst) / CAST(datediff('day', a.d, b.d) AS DOUBLE)", 6)} AS slope
+       |  FROM win a JOIN win b ON a.user_id = b.user_id AND b.d > a.d
+       |)
+       |SELECT user_id, count(*) AS n_pairs,
+       |       ${sqlR(sqlMed("slope"), 6)} AS sen_slope,
+       |       ${sqlR(s"(${sqlR(sqlMed("slope"), 6)}) * 30", 6)} AS sen_slope_month
+       |FROM pairs GROUP BY 1""".stripMargin
 }
