@@ -233,6 +233,68 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** #91 `corpus_shard_pack`: assign documents to fixed-byte output
+    * shards in (source, doc_id) order — the shard-packing step every
+    * large training pipeline runs before writing tar/parquet shards. A
+    * document starts a new shard when the running byte total of its
+    * source crosses a multiple of `shardBytes` (greedy sequential
+    * packing; oversized docs own their span).
+    *
+    * Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: the
+    * running total per source is computed as (a) a bucket-local cumsum
+    * over windows of ≤ `bucketDocs` docs (bucket = doc_id div
+    * bucketDocs, ordered by construction), plus (b) a per-source
+    * running offset over the BUCKET AGGREGATE — a table bounded by
+    * docs/bucketDocs rows, joined back broadcast. No partition ever
+    * holds a whole source (the shape the cmsTopK review flagged);
+    * every stage is either bounded-window or tiny. The shard id
+    * depends only on (source, doc_id, n_bytes), so the result is
+    * independent of physical partitioning — which is what makes the
+    * plain single-window SQL replay a valid oracle. */
+  def corpusShardPack(s: SparkSession, dir: String,
+                      shardBytes: Long = 16384L,
+                      bucketDocs: Long = 1000L): DataFrame =
+    corpusShardPackDf(Tables.documents(s, dir), shardBytes, bucketDocs)
+
+  def corpusShardPackDf(docs: DataFrame, shardBytes: Long = 16384L,
+                        bucketDocs: Long = 1000L): DataFrame = {
+    val sized = docs.select(col("doc_id"), col("source"),
+      octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      (col("doc_id") / lit(bucketDocs)).cast("long").as("bkt"))
+    val wLocal = Window.partitionBy("source", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sized.withColumn("cum_local", sum(col("n_bytes")).over(wLocal))
+    val wBkt = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_bytes")).as("bkt_bytes"))
+      .withColumn("offset",
+        coalesce(sum(col("bkt_bytes")).over(wBkt), lit(0L)))
+      .select(col("source"), col("bkt"), col("offset"))
+    local.join(graft.Hints.keyDim(offsets), Seq("source", "bkt"))
+      .select(col("doc_id"), col("source"), col("n_bytes"),
+        ((col("offset") + col("cum_local") - col("n_bytes")) / shardBytes)
+          .cast("long").as("shard_id"),
+        (col("offset") + col("cum_local") - col("n_bytes")).as("shard_offset"))
+  }
+
+  def corpusShardPackSql(shardBytes: Long = 16384L): String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source,
+       |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+       |  FROM documents
+       |),
+       |packed AS (
+       |  SELECT doc_id, source, n_bytes,
+       |         CAST(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_bytes AS start_off
+       |  FROM sized
+       |)
+       |SELECT doc_id, source, n_bytes,
+       |       CAST(floor(start_off / $shardBytes) AS BIGINT) AS shard_id,
+       |       start_off AS shard_offset
+       |FROM packed""".stripMargin
+
   val docDupInflationSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, source,

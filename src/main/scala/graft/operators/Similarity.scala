@@ -880,9 +880,13 @@ object Similarity {
               col("col").cast("double").as("x"))
     val cent = ex.groupBy(col("label"), col("pos"))
       .agg(davg(col("x"), 6).as("c"))
+    // persist the per-vector distances: both the label stats and the
+    // final flagging pass consume them — without this the exploded
+    // corpus scan + centroid join runs twice (4 scans at 100 TB)
     val dist = ex.join(broadcast(cent), Seq("label", "pos"))
       .groupBy(col("vec_id"), col("label"))
       .agg(dsum((col("x") - col("c")) * (col("x") - col("c")), 6).as("dist2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = count(lit(1)).cast("double")
     val s1 = dsum(col("dist2"))
     val s2 = dsum(col("dist2") * col("dist2"))

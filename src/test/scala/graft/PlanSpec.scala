@@ -288,4 +288,43 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.Relational3.q20PromoSuppliers(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("shard pack: distributed prefix sum — bounded windows, no whole-source pass") {
+    val p = plan(graft.operators.Curation.corpusShardPack(spark, sf))
+    // two Window operators: the bucket-local cumsum (groups ≤ bucketDocs
+    // rows) and the per-source offset scan over the BUCKET AGGREGATE
+    // (docs/bucketDocs rows) — neither ever holds a whole source of
+    // documents
+    val windows = "\\) Window".r.findAllIn(p).length
+    assert(windows == 2, s"expected 2 bounded windows, got $windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the offset table is key-proportional-tiny: broadcast back
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("theil-sen: equi-joins only — the pair space never plans a cartesian") {
+    val p = plan(graft.operators.TimeSeries2.tsTheilSen(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("interp linear: both direction frames share the key exchange") {
+    val p = plan(graft.operators.TimeSeries.interpLinear(spark, sf))
+    // spine aggregation + the (user_id, d) join/window key — the
+    // prev/next carriers add NO exchange beyond those
+    val exchanges = "\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("emb outliers: centroids broadcast; distances persisted, not recomputed") {
+    val df = graft.operators.Similarity.embOutliers(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-vector distance table feeds both the stats and the
+    // flagging pass through one InMemoryRelation — the corpus is not
+    // re-scanned for the second consumer
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -223,6 +223,42 @@ class Round5OpsSpec extends AnyFunSuite {
       math.floor(9.0 / 11.0 * 1e6 + 0.5) / 1e6)
   }
 
+  test("shard pack: boundary rule, offsets, and bucket-size invariance") {
+    import graft.operators.Curation
+    // source A: sizes 6,6,6 with shardBytes=10 → offsets 0,6,12 →
+    // shards 0,0,1; source B restarts at offset 0
+    val docs = Seq(
+      (1L, "A", "aaaaaa"), (2L, "A", "bbbbbb"), (3L, "A", "cccccc"),
+      (10L, "B", "dd")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.corpusShardPackDf(docs, shardBytes = 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard_id"), r.getAs[Long]("shard_offset"))).toMap
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L) == (0L, 6L))
+    assert(out(3L) == (1L, 12L))
+    assert(out(10L) == (0L, 0L))
+
+    // the distributed prefix sum must be invariant to the bucket size:
+    // bucketDocs=1 (every doc its own bucket — pure offset-table path)
+    // and bucketDocs=1e6 (single bucket — pure local-window path) agree
+    val many = (1 to 200).map(i => (i.toLong, s"s${i % 3}", "x" * (i % 37 + 1)))
+      .toDF("doc_id", "source", "text")
+    val a = Curation.corpusShardPackDf(many, 64L, bucketDocs = 1L)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.corpusShardPackDf(many, 64L, bucketDocs = 1000000L)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // greedy packing: a shard never exceeds shardBytes unless a single
+    // oversized doc owns the overflow
+    val shards = Curation.corpusShardPackDf(many, 64L).collect()
+      .groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard_id")))
+    shards.foreach { case (_, rows) =>
+      val total = rows.map(_.getAs[Long]("n_bytes")).sum
+      assert(total <= 64L + rows.map(_.getAs[Long]("n_bytes")).max)
+    }
+  }
+
   test("emb outliers: homogeneous labels have zero outliers and zero distance") {
     val emb = (1 to 6).map(i => (i.toLong, Array.fill(3)(2.5f), if (i % 2 == 0) "x" else "y"))
       .toDF("vec_id", "embedding", "label")
