@@ -151,4 +151,76 @@ class OliverParitySpec extends AnyFunSuite {
       .orderBy("date_start").collect()
     assertEventsMatch(actual, "full-chain", cumulAtolPerDay = Atol)
   }
+
+  test("event ranks + return periods match Oliver's rank() exactly " +
+       "(ranks.csv, no ties in this fixture)") {
+    val sev = Mhw.severity(daily, oliverSeas, oliverThresh)
+    val ev = Graft.calculateMhwMetrics(sev, minDuration = 5, maxGap = 2)
+    val nd = Seq((0L, 11688L)).toDF("user_id", "n_days") // the fixture's full time vector
+    val actual = Mhw.eventRank(ev, nd)
+      .join(ev.select(col("evt"), col("date_start")), "evt")
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("date_start").toString -> r).toMap
+    val exp = spark.read.option("header", "true")
+      .schema("date_start DATE, duration DOUBLE, intensity_max DOUBLE, " +
+        "intensity_cumulative DOUBLE, rank_duration INT, rank_imax INT, " +
+        "rank_icum INT, rp_duration DOUBLE, rp_imax DOUBLE, rp_icum DOUBLE")
+      .csv(fixture("ranks.csv")).collect()
+    assert(exp.length == actual.size && exp.nonEmpty)
+    exp.foreach { e =>
+      val key = e.getAs[java.sql.Date]("date_start").toString
+      val a = actual(key)
+      Seq("rank_duration", "rank_imax", "rank_icum").foreach { c =>
+        assert(a.getAs[Long](c) == e.getAs[Int](c).toLong, s"$key $c")
+      }
+      Seq("rp_duration", "rp_imax", "rp_icum").foreach { c =>
+        // ours is 6dp stage-rounded; Oliver's is raw float64
+        assert(math.abs(a.getAs[Double](c) - e.getAs[Double](c)) < 1e-5,
+          s"$key $c: ${a.getAs[Double](c)} vs ${e.getAs[Double](c)}")
+      }
+    }
+  }
+
+  test("cold-spell chain reproduces Oliver's detect(coldSpells=True) " +
+       "(series_cold.csv -> cold_events.csv)") {
+    val coldDaily = spark.read
+      .option("header", "true")
+      .schema("date DATE, temp DOUBLE")
+      .csv(fixture("series_cold.csv"))
+      .select(lit(0L).as("user_id"), col("date").as("d"), col("temp").as("sst"))
+      .withColumn("yr", year(col("d")))
+      .withColumn("doy", Graft.climDoy(col("d")))
+      .persist()
+    // Oliver's cold recipe through OUR pieces: negate, legacy clim +
+    // threshold, severity, detect, negate intensities back (coldEventsOf)
+    val neg = coldDaily.withColumn("sst", -col("sst"))
+    val seas = Graft.computeClimatologyLegacy(neg)
+    val thresh = Graft.computeThresholdLegacy(neg)
+    val actual = Mhw.coldEventsOf(
+        Mhw.severity(neg, seas, thresh), minDuration = 5, maxGap = 2)
+      .orderBy("date_start").collect()
+    val exp = spark.read.option("header", "true")
+      .schema("date_start DATE, date_end DATE, date_peak DATE, duration DOUBLE, " +
+        "intensity_max DOUBLE, intensity_mean DOUBLE, intensity_cumulative DOUBLE")
+      .csv(fixture("cold_events.csv"))
+      .orderBy("date_start").collect()
+    assert(actual.length == exp.length,
+      s"cold: ${actual.length} events vs Oliver's ${exp.length}")
+    actual.zip(exp).zipWithIndex.foreach { case ((a, e), i) =>
+      assert(a.getAs[java.sql.Date]("date_start") == e.getAs[java.sql.Date]("date_start"), s"cold ev$i date_start")
+      assert(a.getAs[java.sql.Date]("date_end") == e.getAs[java.sql.Date]("date_end"), s"cold ev$i date_end")
+      assert(a.getAs[java.sql.Date]("date_peak") == e.getAs[java.sql.Date]("date_peak"), s"cold ev$i date_peak")
+      assert(a.getAs[Int]("duration").toDouble == e.getAs[Double]("duration"), s"cold ev$i duration")
+      Seq("intensity_max", "intensity_mean").foreach { c =>
+        val (av, ev) = (a.getAs[Double](c), e.getAs[Double](c))
+        assert(av < 0, s"cold ev$i $c must be negative (Oliver flips cold intensities)")
+        assert(math.abs(av - ev) < Atol, s"cold ev$i $c: $av vs $ev")
+      }
+      val (ac, ec) =
+        (a.getAs[Double]("intensity_cumul"), e.getAs[Double]("intensity_cumulative"))
+      val cumulAtol = Atol + Atol * e.getAs[Double]("duration")
+      assert(math.abs(ac - ec) < cumulAtol,
+        s"cold ev$i intensity_cumulative: $ac vs $ec (atol $cumulAtol)")
+    }
+  }
 }
