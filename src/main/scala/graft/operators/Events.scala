@@ -333,4 +333,49 @@ object Events {
       |  WHERE event_type IN ('click', 'purchase')
       |)
       |WHERE event_type = 'purchase'""".stripMargin
+
+  /** #20e asof_join_tolerance: backward as-of with a max-staleness bound
+    * — pandas `merge_asof(tolerance=...)`: a purchase only attributes to
+    * its latest prior click when that click is within `tolUs` (1 hour
+    * here); staler matches are nulled, with the staleness and a match
+    * flag reported. Same single user_id exchange as [[asofJoin]] — the
+    * tolerance is a per-row filter on the windowed carrier, not a new
+    * plan shape. */
+  def asofJoinTolerance(s: SparkSession, dir: String,
+                        tolUs: Long = 3600L * 1000000L): DataFrame = {
+    val staleUs =
+      graft.Parity.epochUs(col("ts")) - graft.Parity.epochUs(col("last_click_ts"))
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts",
+        max(col("click_ts")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts").as("purchase_ts"),
+              when(staleUs <= tolUs, col("last_click_ts")).as("matched_click_ts"),
+              when(col("last_click_ts").isNotNull, staleUs).as("staleness_us"),
+              coalesce(staleUs <= tolUs, lit(false)).as("matched"))
+  }
+
+  def asofJoinToleranceSql(tolUs: Long = 3600L * 1000000L): String =
+    s"""SELECT event_id AS purchase_id, user_id,
+       |       CAST(ts AS TIMESTAMP) AS purchase_ts,
+       |       CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(last_click_ts) <= $tolUs
+       |            THEN last_click_ts END AS matched_click_ts,
+       |       CASE WHEN last_click_ts IS NOT NULL
+       |            THEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(last_click_ts)
+       |       END AS staleness_us,
+       |       COALESCE(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(last_click_ts) <= $tolUs,
+       |                false) AS matched
+       |FROM (
+       |  SELECT event_id, user_id, ts, event_type,
+       |         max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+       |  FROM events
+       |  WHERE event_type IN ('click', 'purchase')
+       |)
+       |WHERE event_type = 'purchase'""".stripMargin
 }

@@ -736,6 +736,61 @@ object Mhw {
         .otherwise((col("ta_peak") - col("ta_last")) / td), 6).as("rate_decline"))
   }
 
+  /** #87b mhw_trend_significance: Oliver's `meanTrend` inference
+    * (reference asset tests/data/legacy/marineHeatWaves.py:687-784)
+    * applied to the annual-MHW-days series of [[mhwTrendAnnual]] — the
+    * centered-time OLS with the trend's standard error:
+    * se = s/√Sxx with s² = SSE/(n−2), plus the t-ratio trend/se (the
+    * statistic Oliver compares to the Student-t quantile; the quantile
+    * itself is a caller-side table lookup, not data-dependent work).
+    * All moment sums are exact integers (years × day counts); only the
+    * final algebra is IEEE, so the oracle lands on the same bits. Same
+    * plan as mhwTrendAnnual: tiny per-key aggregates, one exchange. */
+  def mhwTrendSignificance(s: SparkSession, dir: String): DataFrame = {
+    val ev = detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    val annual = ev
+      .groupBy(col("user_id"), year(col("date_start")).as("yr"))
+      .agg(sum(col("duration").cast("long")).as("days"))
+    val spine = daily(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+      .select(col("user_id"),
+              explode(sequence(col("y0"), col("y1"))).as("yr"))
+    val full = spine.join(annual, Seq("user_id", "yr"), "left")
+      .select(col("user_id"), col("yr"),
+              coalesce(col("days"), lit(0L)).as("days"))
+    trendInference(full)
+  }
+
+  /** OLS trend inference over any complete (user_id, yr, days) annual
+    * frame — the meanTrend algebra, spec entry point. */
+  def trendInference(full: DataFrame): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    val st = sum(col("yr").cast("long")).cast("double")
+    val stt = sum((col("yr") * col("yr")).cast("long")).cast("double")
+    val sy = sum(col("days")).cast("double")
+    val syy = sum(col("days") * col("days")).cast("double")
+    val sty = sum(col("days") * col("yr")).cast("double")
+    val g = full.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_years"), n.as("nn"), st.as("st"), stt.as("stt"),
+           sy.as("sy"), syy.as("syy"), sty.as("sty"))
+      .withColumn("sxx", col("stt") - col("st") * col("st") / col("nn"))
+      .withColumn("sxy", col("sty") - col("st") * col("sy") / col("nn"))
+      .withColumn("syc", col("syy") - col("sy") * col("sy") / col("nn"))
+      .withColumn("slope",
+        when(col("sxx") === 0d, 0d).otherwise(col("sxy") / col("sxx")))
+      .withColumn("sse",
+        greatest(col("syc") - col("slope") * col("slope") * col("sxx"), lit(0d)))
+      .withColumn("se",
+        when(col("nn") > 2 && col("sxx") > 0,
+          sqrt(col("sse") / (col("nn") - 2) / col("sxx"))))
+    g.select(col("user_id"), col("n_years"),
+      r(col("sy") / col("nn"), 6).as("mean_days"),
+      r(col("slope"), 6).as("trend_days_per_year"),
+      r(col("se"), 6).as("se_trend"),
+      r(when(col("se") > 0, col("slope") / col("se")), 6).as("t_ratio"))
+  }
+
   // ----------------------------------------------------------- cold spells
 
   /** Severity chain over the NEGATED daily series — the engine of marine

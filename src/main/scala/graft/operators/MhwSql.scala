@@ -362,6 +362,60 @@ object MhwSql {
        |       ${rr("CASE WHEN n * stt - st * st = 0 THEN 0 ELSE (n * sty - st * sy) / (n * stt - st * st) END * 10", 6)} AS trend_days_per_decade
        |FROM fit""".stripMargin
 
+  /** Oliver meanTrend inference over the annual MHW-days series —
+    * mirrors Mhw.mhwTrendSignificance expression-for-expression (exact
+    * integer moments, IEEE tail algebra). */
+  val mhwTrendSignificance: String =
+    chain(0.6) +
+    s""", ann AS (
+       |  SELECT user_id, year(date_start) AS yr,
+       |         CAST(sum(duration) AS BIGINT) AS days
+       |  FROM evm GROUP BY 1, 2
+       |),
+       |spine AS (
+       |  SELECT user_id, unnest(generate_series(min(yr), max(yr))) AS yr
+       |  FROM daily GROUP BY user_id
+       |),
+       |fullx AS (
+       |  SELECT s.user_id, s.yr, COALESCE(a.days, 0) AS days
+       |  FROM spine s LEFT JOIN ann a ON s.user_id = a.user_id AND s.yr = a.yr
+       |),
+       |m AS (
+       |  SELECT user_id,
+       |    CAST(count(*) AS BIGINT) AS n_years,
+       |    CAST(count(*) AS DOUBLE) AS nn,
+       |    CAST(sum(CAST(yr AS BIGINT)) AS DOUBLE) AS st,
+       |    CAST(sum(CAST(yr AS BIGINT) * yr) AS DOUBLE) AS stt,
+       |    CAST(sum(CAST(days AS BIGINT)) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(days AS BIGINT) * days) AS DOUBLE) AS syy,
+       |    CAST(sum(CAST(days AS BIGINT) * yr) AS DOUBLE) AS sty
+       |  FROM fullx GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT user_id, n_years, nn, sy,
+       |         stt - st * st / nn AS sxx,
+       |         sty - st * sy / nn AS sxy,
+       |         syy - sy * sy / nn AS syc
+       |  FROM m
+       |),
+       |f2 AS (
+       |  SELECT *, CASE WHEN sxx = 0 THEN 0 ELSE sxy / sxx END AS slope
+       |  FROM f
+       |),
+       |f3 AS (
+       |  SELECT *, greatest(syc - slope * slope * sxx, 0) AS sse,
+       |         CASE WHEN nn > 2 AND sxx > 0
+       |              THEN sqrt(greatest(syc - slope * slope * sxx, 0) / (nn - 2) / sxx)
+       |         END AS se
+       |  FROM f2
+       |)
+       |SELECT user_id, n_years,
+       |       ${rr("sy / nn", 6)} AS mean_days,
+       |       ${rr("slope", 6)} AS trend_days_per_year,
+       |       ${rr("se", 6)} AS se_trend,
+       |       ${rr("CASE WHEN se > 0 THEN slope / se END", 6)} AS t_ratio
+       |FROM f3""".stripMargin
+
   /** Oliver's extended per-event battery (intensity_var, relThresh/abs
     * variants, category day counts, onset/decline rates) — mirrors
     * Mhw.mhwEventRates expression-for-expression. */

@@ -223,6 +223,64 @@ class Round5OpsSpec extends AnyFunSuite {
       math.floor(9.0 / 11.0 * 1e6 + 0.5) / 1e6)
   }
 
+  test("trend significance: exact fit has zero se; hand case matches closed form") {
+    // perfectly linear: SSE = 0 → se_trend = 0, t_ratio null (0/0 guard)
+    val lin = (2000 to 2004).map(y => (1L, y, 10L * (y - 1999)))
+      .toDF("user_id", "yr", "days")
+    val l = Mhw.trendInference(lin).collect().head
+    assert(l.getAs[Double]("trend_days_per_year") == 10.0)
+    assert(l.getAs[Double]("se_trend") == 0.0)
+    assert(l.isNullAt(l.fieldIndex("t_ratio")))
+
+    // hand case y = (0, 10, 0) over 2000..2002: slope 0,
+    // SSE = Syy = 200/3, s² = 200/3 (df = 1), Sxx = 2 →
+    // se = sqrt(100/3) = 5.773503 (6dp), t_ratio = 0
+    val hand = Seq((2L, 2000, 0L), (2L, 2001, 10L), (2L, 2002, 0L))
+      .toDF("user_id", "yr", "days")
+    val h = Mhw.trendInference(hand).collect().head
+    assert(h.getAs[Double]("mean_days") ==
+      math.floor(10.0 / 3 * 1e6 + 0.5) / 1e6)
+    assert(h.getAs[Double]("trend_days_per_year") == 0.0)
+    assert(h.getAs[Double]("se_trend") ==
+      math.floor(math.sqrt(100.0 / 3) * 1e6 + 0.5) / 1e6)
+    assert(h.getAs[Double]("t_ratio") == 0.0)
+
+    // two years: df = 0 → inference undefined, slope still exact
+    val two = Seq((3L, 2000, 5L), (3L, 2001, 15L)).toDF("user_id", "yr", "days")
+    val t2 = Mhw.trendInference(two).collect().head
+    assert(t2.getAs[Double]("trend_days_per_year") == 10.0)
+    assert(t2.isNullAt(t2.fieldIndex("se_trend")))
+  }
+
+  test("asof tolerance: stale clicks nulled, fresh matched, staleness reported") {
+    import graft.operators.Events
+    // spec drives the registered query indirectly via a hand events frame
+    // is not possible (dir-based); assert on sf0.001 instead: every
+    // matched row has staleness <= tol, every unmatched-with-click row
+    // has staleness > tol, and matched_click_ts agrees with asof_join
+    val sf = "/root/testdata/sf0.001"
+    val tol = 3600L * 1000000L
+    val out = Events.asofJoinTolerance(spark, sf).persist()
+    assert(out.count() > 0)
+    assert(out.filter(col("matched") &&
+      (col("staleness_us") > tol || col("staleness_us").isNull)).count() == 0)
+    assert(out.filter(!col("matched") && col("staleness_us").isNotNull &&
+      col("staleness_us") <= tol).count() == 0)
+    // tolerance=∞ degenerates to the plain backward as-of
+    val base = Events.asofJoin(spark, sf)
+      .select(col("purchase_id"), col("last_click_ts"))
+    val inf = Events.asofJoinTolerance(spark, sf, Long.MaxValue)
+      .select(col("purchase_id"), col("matched_click_ts"))
+    val diff = base.join(inf, "purchase_id")
+      .filter(
+        (col("last_click_ts").isNull =!= col("matched_click_ts").isNull) ||
+        (col("last_click_ts").isNotNull &&
+         col("last_click_ts") =!= col("matched_click_ts")))
+      .count()
+    assert(diff == 0)
+    out.unpersist()
+  }
+
   test("shard pack: boundary rule, offsets, and bucket-size invariance") {
     import graft.operators.Curation
     // source A: sizes 6,6,6 with shardBytes=10 → offsets 0,6,12 →
