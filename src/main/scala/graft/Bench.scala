@@ -96,7 +96,11 @@ object Bench {
       s"""{"hits":$cHit,"misses":$cMiss,"evictions":$cEvict}"""
     val storageJson = Caches.residency(spark)
       .map { case (n, mem, disk, frac) =>
-        "{\"rdd\":\"" + n.replaceAll("[\"\\\\]", "") + "\",\"mem\":" + mem +
+        // RDD names are plan strings: multi-line, arbitrarily long —
+        // keep the first line only and drop every control char, or the
+        // emitted file is not valid JSON (BENCH_FULL round-5 regression)
+        val clean = n.takeWhile(_ != '\n').replaceAll("[\"\\\\\\p{Cntrl}]", "").take(120)
+        "{\"rdd\":\"" + clean + "\",\"mem\":" + mem +
         ",\"disk\":" + disk + ",\"cached_frac\":" + fmt(frac, 3) + "}" }
       .mkString("[", ",", "]")
     def line(dp: Int): String =
