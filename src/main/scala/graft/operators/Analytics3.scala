@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+import graft.Parity._
+import graft.sources.Tables
+
+/** Round-5 batch-3 analytics: RFM segmentation, ML lag-feature
+  * generation, and Zipf-fit corpus diagnostics (SURVEY §2 #92-#94).
+  */
+object Analytics3 {
+
+  private val Dec = DataTypes.createDecimalType(38, 10)
+
+  /** numpy-"linear" interpolation quantile over a pre-sorted array —
+    * the same explicit formula both engines evaluate bit-identically
+    * (see Mhw.linQuantile). */
+  private def linQuantile(vs: Column, p: Double): Column = {
+    val n = size(vs)
+    val h = (n - 1) * lit(p)
+    val l = floor(h).cast("int")
+    val f = h - l
+    val vl = element_at(vs, l + 1)
+    val vu = element_at(vs, least(l + 2, n))
+    vl + (vu - vl) * f
+  }
+
+  /** DuckDB mirror of [[linQuantile]] over `list_sort(list(x))`. */
+  private def sqlQuantile(x: String, p: Double): String = {
+    val l = s"CAST(floor((count($x) - 1) * $p) AS INT)"
+    val f = s"((count($x) - 1) * $p - floor((count($x) - 1) * $p))"
+    val vs = s"list_sort(list($x))"
+    val vl = s"$vs[$l + 1]"
+    val vu = s"$vs[LEAST($l + 2, CAST(count($x) AS INT))]"
+    s"($vl + ($vu - $vl) * $f)"
+  }
+
+  // ------------------------------------------------------------- #92 RFM
+
+  /** #92 events_rfm: recency/frequency/monetary customer segmentation
+    * over `orders`. Scores are assigned against global QUARTILE
+    * BOUNDARIES computed by aggregation — NOT by an `ntile` ranking
+    * window, which would total-order every customer through one
+    * partition. The boundary table is a single broadcast row (9
+    * doubles); scoring is a map-only comparison on the per-customer
+    * aggregate, so the whole plan is two hash aggregates + one
+    * broadcast — the 100 TB shape. `exact=true` computes boundaries by
+    * sorted-array interpolation (bit-identical to the oracle);
+    * `exact=false` is the extreme-scale path via mergeable
+    * approx_percentile (same contract as Mhw.pooledQuantile).
+    *
+    * Scoring convention: quartile scores 1-4; recency is
+    * better-when-lower (score 4 = most recent quartile), frequency and
+    * monetary better-when-higher. Boundaries are compared with strict
+    * `>` so ties land in the lower score deterministically. */
+  def eventsRfm(s: SparkSession, dir: String, exact: Boolean = true): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val horizon = o.agg(max(col("o_orderdate")).as("d_max"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+           count(lit(1)).as("frequency"),
+           dsum(col("o_totalprice"), 2).as("monetary"))
+      .crossJoin(broadcast(horizon))
+      .select(col("o_custkey"),
+              datediff(col("d_max"), col("last_d")).cast("long").as("recency"),
+              col("frequency"), col("monetary"))
+    def bounds(nm: String, src: String): Seq[Column] =
+      Seq(25, 50, 75).map { p =>
+        val q =
+          if (exact) linQuantile(sort_array(collect_list(col(src).cast("double"))), p / 100.0)
+          else expr(s"approx_percentile(CAST($src AS DOUBLE), ${p / 100.0}, 10000)")
+        r(q, 6).as(s"$nm$p")
+      }
+    val allB = bounds("r", "recency") ++ bounds("f", "frequency") ++
+      bounds("m", "monetary")
+    val qs = cust.agg(allB.head, allB.tail: _*)
+    def gt(c: Column, b: String): Column = when(c > col(b), 1).otherwise(0)
+    cust.crossJoin(broadcast(qs))
+      .withColumn("r_score",
+        (lit(4) - gt(col("recency"), "r25") - gt(col("recency"), "r50") -
+          gt(col("recency"), "r75")).cast("int"))
+      .withColumn("f_score",
+        (lit(1) + gt(col("frequency"), "f25") + gt(col("frequency"), "f50") +
+          gt(col("frequency"), "f75")).cast("int"))
+      .withColumn("m_score",
+        (lit(1) + gt(col("monetary"), "m25") + gt(col("monetary"), "m50") +
+          gt(col("monetary"), "m75")).cast("int"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_cust"), davg(col("monetary"), 2).as("avg_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val eventsRfmSql: String = {
+    def b(x: String, nm: String): String =
+      Seq(25, 50, 75).map(p => s"${sqlR(sqlQuantile(x, p / 100.0), 6)} AS $nm$p")
+        .mkString(", ")
+    s"""WITH horizon AS (SELECT max(o_orderdate) AS d_max FROM orders),
+       |cust AS (
+       |  SELECT o_custkey,
+       |         CAST(datediff('day', max(o_orderdate), (SELECT d_max FROM horizon)) AS BIGINT) AS recency,
+       |         count(*) AS frequency,
+       |         ${dsumSql("o_totalprice", 2)} AS monetary
+       |  FROM orders GROUP BY 1),
+       |qs AS (
+       |  SELECT ${b("CAST(recency AS DOUBLE)", "r")},
+       |         ${b("CAST(frequency AS DOUBLE)", "f")},
+       |         ${b("monetary", "m")}
+       |  FROM cust),
+       |scored AS (
+       |  SELECT c.*,
+       |    CAST(4 - (CASE WHEN recency > r25 THEN 1 ELSE 0 END)
+       |           - (CASE WHEN recency > r50 THEN 1 ELSE 0 END)
+       |           - (CASE WHEN recency > r75 THEN 1 ELSE 0 END) AS INT) AS r_score,
+       |    CAST(1 + (CASE WHEN frequency > f25 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN frequency > f50 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN frequency > f75 THEN 1 ELSE 0 END) AS INT) AS f_score,
+       |    CAST(1 + (CASE WHEN monetary > m25 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN monetary > m50 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN monetary > m75 THEN 1 ELSE 0 END) AS INT) AS m_score
+       |  FROM cust c CROSS JOIN qs)
+       |SELECT r_score, f_score, m_score, count(*) AS n_cust,
+       |       ${davgSql("monetary", 2)} AS avg_monetary
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  private def dsumSql(x: String, d: Int): String =
+    sqlR(s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)", d)
+  private def davgSql(x: String, d: Int): String =
+    sqlR(s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE) / count($x)", d)
+
+  // ---------------------------------------------- #93 lag feature builder
+
+  /** #93 events_lag_features: the standard ML feature-engineering pass —
+    * per-entity lagged values and a trailing-window mean as training
+    * features. All windows partition by `user_id` (per-key, shuffle
+    * scales with keys, no global ordering anywhere); the trailing mean
+    * accumulates in DECIMAL so partial order can't flip a rounded digit
+    * (Parity.dsum, but as a window aggregate). Deterministic order
+    * under ts ties via the event_id tiebreak. */
+  def eventsLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wr = w.rowsBetween(-3, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("lag1", lag(col("value"), 1).over(w))
+      .withColumn("lag2", lag(col("value"), 2).over(w))
+      .withColumn("roll3",
+        r(sum(col("value").cast(Dec)).over(wr).cast("double") /
+          count(col("value")).over(wr), 6))
+      .withColumn("delta", r(col("value") - col("lag1"), 6))
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("lag1"), col("lag2"), col("roll3"), col("delta"))
+  }
+
+  val eventsLagFeaturesSql: String =
+    s"""SELECT event_id, user_id, value,
+       |  lag(value, 1) OVER w AS lag1,
+       |  lag(value, 2) OVER w AS lag2,
+       |  ${sqlR("CAST(sum(CAST(value AS DECIMAL(38,10))) OVER wr AS DOUBLE) / count(value) OVER wr", 6)} AS roll3,
+       |  ${sqlR("value - lag(value, 1) OVER w", 6)} AS delta
+       |FROM events
+       |WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       |       wr AS (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""".stripMargin
+
+  // ------------------------------------------------------- #94 Zipf fit
+
+  /** #94 doc_zipf_fit: per-source Zipf diagnostic — log-log OLS of token
+    * frequency against frequency rank. Natural corpora follow slope
+    * ≈ −1; synthetic/templated text flattens toward 0, making the slope
+    * a cheap distribution-naturalness screen for corpus QA. The ranking
+    * window is over the per-source VOCABULARY (bounded by |vocab|, not
+    * corpus size — document counts never enter a window), and the OLS
+    * moments are decimal-exact sums with `ln` rounded to 6dp before
+    * aggregation (libm last-ulp divergence across engines, same
+    * convention as text_token_entropy). */
+  def docZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("tok"))
+    val xy = Tables.documents(s, dir)
+      .select(col("source"),
+              explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("source"),
+              r(log(col("rnk")), 6).as("x"),
+              r(log(col("n")), 6).as("y"))
+    val k = count(lit(1)).cast("double")
+    val sx = dsum(col("x")); val sy = dsum(col("y"))
+    val sxy = dsum(col("x") * col("y"))
+    val sxx = dsum(col("x") * col("x")); val syy = dsum(col("y") * col("y"))
+    xy.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"),
+           r((k * sxy - sx * sy) / (k * sxx - sx * sx), 6).as("slope"),
+           r((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+             .as("intercept"),
+           r((k * sxy - sx * sy) * (k * sxy - sx * sy) /
+             ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  val docZipfFitSql: String = {
+    val sum = (x: String) => s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+    val k = "CAST(count(*) AS DOUBLE)"
+    val sx = sum("x"); val sy = sum("y"); val sxy = sum("x * y")
+    val sxx = sum("x * x"); val syy = sum("y * y")
+    val slope = s"($k * $sxy - $sx * $sy) / ($k * $sxx - $sx * $sx)"
+    s"""WITH cnt AS (
+       |  SELECT source, tok, count(*) AS n FROM (
+       |    SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |xy AS (
+       |  SELECT source,
+       |         ${sqlR("ln(row_number() OVER (PARTITION BY source ORDER BY n DESC, tok))", 6)} AS x,
+       |         ${sqlR("ln(n)", 6)} AS y
+       |  FROM cnt)
+       |SELECT source, count(*) AS n_vocab,
+       |       ${sqlR(slope, 6)} AS slope,
+       |       ${sqlR(s"($sy - ($slope) * $sx) / $k", 6)} AS intercept,
+       |       ${sqlR(s"($k * $sxy - $sx * $sy) * ($k * $sxy - $sx * $sy) / (($k * $sxx - $sx * $sx) * ($k * $syy - $sy * $sy))", 6)} AS r2
+       |FROM xy GROUP BY 1 ORDER BY source""".stripMargin
+  }
+}

@@ -602,6 +602,27 @@ object Mhw {
            max(col("intensity_max")).as("max_imax"),
            dsum(col("intensity_cumul"), 6).as("total_cumul"))
 
+  /** #11l mhw_event_dist: corpus-wide distribution of event durations
+    * and peak intensities — the headline summary a basin-scale MHW
+    * census reports (how long, how hot, across how many series).
+    * Detection output is key-proportional-tiny relative to facts, so
+    * the single-row final aggregate is cheap; the duration percentiles
+    * use the same exact sorted-array interpolation as the threshold
+    * chain (the `approx_percentile` t-digest is the documented
+    * extreme-scale path, exactly as Mhw.pooledQuantile). */
+  def mhwEventDist(s: SparkSession, dir: String): DataFrame =
+    detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_series"),
+           davg(col("duration").cast("double"), 6).as("mean_duration"),
+           max(col("duration")).cast("int").as("max_duration"),
+           r(linQuantile(sort_array(collect_list(col("duration").cast("double"))), 0.5), 6)
+             .as("p50_duration"),
+           r(linQuantile(sort_array(collect_list(col("duration").cast("double"))), 0.9), 6)
+             .as("p90_duration"),
+           davg(col("intensity_max"), 6).as("mean_imax"),
+           max(col("intensity_max")).as("max_imax"))
+
   /** #11j `mhw_trend_annual`: the Oliver-2018 headline statistic —
     * the linear trend in annual MHW days per series, in days/decade.
     * Builds the complete per-key annual series (years with zero events

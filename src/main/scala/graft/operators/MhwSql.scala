@@ -330,6 +330,29 @@ object MhwSql {
        |       ${rr(dsum("intensity_cumul"), 6)} AS total_cumul
        |FROM evm GROUP BY 1, 2""".stripMargin
 
+  /** Corpus-wide event duration/intensity distribution — mirrors
+    * Mhw.mhwEventDist (same explicit interpolation quantile). */
+  val mhwEventDist: String = {
+    def q(x: String, p: Double): String = {
+      val l = s"CAST(floor((count($x) - 1) * $p) AS INT)"
+      val f = s"((count($x) - 1) * $p - floor((count($x) - 1) * $p))"
+      val vs = s"list_sort(list(CAST($x AS DOUBLE)))"
+      val vl = s"$vs[$l + 1]"
+      val vu = s"$vs[LEAST($l + 2, CAST(count($x) AS INT))]"
+      rr(s"$vl + ($vu - $vl) * $f", 6)
+    }
+    chain(0.6) +
+    s"""SELECT count(*) AS n_events,
+       |       count(DISTINCT user_id) AS n_series,
+       |       ${davg("CAST(duration AS DOUBLE)", 6)} AS mean_duration,
+       |       CAST(max(duration) AS INT) AS max_duration,
+       |       ${q("duration", 0.5)} AS p50_duration,
+       |       ${q("duration", 0.9)} AS p90_duration,
+       |       ${davg("intensity_max", 6)} AS mean_imax,
+       |       max(intensity_max) AS max_imax
+       |FROM evm""".stripMargin
+  }
+
   /** Trend in annual MHW days (days/decade) — mirrors
     * Mhw.mhwTrendAnnual: zero-filled annual series over each key's
     * daily-record year span, integer-exact moment sums, slope ×10. */

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Round-5 batch-3 similarity ops (SURVEY §2 #95-#96): binary Hamming
+  * sketch kNN and maximal-marginal-relevance diversity selection.
+  */
+object Similarity2 {
+
+  // ----------------------------------------------- #95 Hamming-sketch kNN
+
+  /** One 32-bit half of the sign sketch: bit i set iff component
+    * offset+i is positive. Packed by a bounded fold over the index
+    * sequence — exact integer arithmetic, identical in the oracle. */
+  private def packBits(offset: Int): Column = expr(
+    s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+       | (acc, i) -> acc + CASE
+       |   WHEN element_at(embedding, i + ${offset + 1}) > CAST(0 AS FLOAT)
+       |   THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
+      .stripMargin.replace('\n', ' '))
+
+  /** #95 emb_hamming_knn: approximate kNN over 1-bit sign sketches —
+    * each 64-float vector compresses to TWO longs (64 bits, a 128×
+    * memory cut vs float32), and candidate distance is a popcount over
+    * XOR-ed words. This is the sketch that makes a 100 TB vector corpus
+    * scannable: the packed table is ~16 B/vector, the scan is map-only
+    * against a broadcast query set, and per-query results come from
+    * bounded map-side top-k heaps (collect_top_k) — no ranking window,
+    * no shuffle of scored pairs. Sign-of-component is the classic SimHash
+    * family with identity hyperplanes (embeddings arrive ~zero-centered);
+    * ordering ties break on vec_id for determinism. */
+  def embHammingKnn(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val packed = Tables.embeddings(s, dir)
+      .select(col("vec_id"), packBits(0).as("lo"), packBits(32).as("hi"))
+    val qs = packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    packed.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)")).cast("int"))
+      .groupBy(col("q_id"))
+      .agg(call_function("collect_top_k",
+        struct((-col("hamming")).as("neg_h"), (-col("vec_id")).as("neg_id")),
+        lit(k), lit(false)).as("arr"))
+      .select(col("q_id"), posexplode(reverse(array_sort(col("arr")))))
+      .select(col("q_id"), (-col("col.neg_id")).as("vec_id"),
+              (-col("col.neg_h")).cast("int").as("hamming"),
+              (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  val embHammingKnnSql: String = {
+    def pack(off: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 32),
+         | i -> CASE WHEN embedding[i + ${off + 1}] > 0
+         |      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+         | AS BIGINT)""".stripMargin.replace('\n', ' ')
+    s"""WITH packed AS (
+       |  SELECT vec_id, ${pack(0)} AS lo, ${pack(32)} AS hi FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM packed
+       |      WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, p.vec_id,
+       |         CAST(bit_count(xor(p.lo, q.q_lo)) + bit_count(xor(p.hi, q.q_hi)) AS INT) AS hamming
+       |  FROM packed p JOIN q ON p.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, hamming, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  // ------------------------------------------------------------- #96 MMR
+
+  /** #96 emb_mmr: maximal-marginal-relevance selection (Carbonell &
+    * Goldstein 1998) — the diversity-aware shortlist builder of a
+    * curation/retrieval pipeline: greedily pick the candidate maximizing
+    * λ·sim(query, d) − (1−λ)·max_{s∈S} sim(d, s). Each of the k rounds
+    * is one distributed pass: candidates × the ≤k-row broadcast selected
+    * set → per-candidate max penalty → TakeOrdered(1); only the single
+    * winning row reaches the driver per round (same bounded-collect
+    * contract as dedup_clusters' convergence scalar). Query-relevance
+    * cosines are computed once up front and reused across rounds; all
+    * cosines are 6dp-rounded before comparison, vec_id breaks ties. */
+  def embMmr(s: SparkSession, dir: String, k: Int = 5, lam: Double = 0.7): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_n"))
+    val base = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+              r(dotDec(col("embedding"), col("q_emb")) / (col("nrm") * col("q_n")), 6)
+                .as("sq"))
+      .localCheckpoint()
+    var picked = Vector.empty[(Long, Double)]
+    while (picked.size < k) {
+      val ids = picked.map(_._1)
+      val next =
+        if (ids.isEmpty)
+          base.select(col("vec_id"), r(lit(lam) * col("sq"), 6).as("score"))
+        else {
+          val sel = base.filter(col("vec_id").isin(ids: _*))
+            .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"),
+                    col("nrm").as("s_n"))
+          base.filter(!col("vec_id").isin(ids: _*))
+            .crossJoin(broadcast(sel))
+            .groupBy(col("vec_id"), col("sq"))
+            .agg(max(r(dotDec(col("embedding"), col("s_emb")) /
+                       (col("nrm") * col("s_n")), 6)).as("pen"))
+            .select(col("vec_id"),
+                    r(lit(lam) * col("sq") - lit(1 - lam) * col("pen"), 6).as("score"))
+        }
+      val row = next.orderBy(col("score").desc, col("vec_id")).limit(1).collect()(0)
+      picked :+= ((row.getLong(0), row.getDouble(1)))
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      picked.zipWithIndex.map { case ((id, sc), i) =>
+        org.apache.spark.sql.Row(i + 1, id, sc)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType, false))))
+  }
+
+  /** Chained-CTE replay of the greedy loop (same technique as the
+    * pagerank / k-means oracles): round i's CTE picks argmax score over
+    * candidates not yet in sel(i-1), penalty from a correlated max over
+    * the ≤(i-1)-row selected set. */
+  def embMmrSql(k: Int = 5, lam: Double = 0.7): String = {
+    val r6 = (x: String) => sqlR(x, 6)
+    val sb = new StringBuilder
+    sb ++= s"""WITH emb0 AS (SELECT vec_id, embedding FROM embeddings),
+              |q AS (SELECT embedding AS q_emb FROM emb0 WHERE vec_id = 0),
+              |base AS (
+              |  SELECT e.vec_id, e.embedding,
+              |         ${r6(sqlCosine("e.embedding", "q.q_emb"))} AS sq
+              |  FROM emb0 e CROSS JOIN q WHERE e.vec_id <> 0),
+              |s1 AS (SELECT * FROM (
+              |  SELECT vec_id, 1 AS rnk, ${r6(s"$lam * sq")} AS score FROM base)
+              |  ORDER BY score DESC, vec_id LIMIT 1),
+              |sel1 AS (SELECT vec_id FROM s1)""".stripMargin
+    for (i <- 2 to k) {
+      val p = i - 1
+      sb ++= s""",
+                |c$i AS (
+                |  SELECT b.vec_id, b.sq,
+                |         (SELECT max(${r6(sqlCosine("b.embedding", "e.embedding"))})
+                |          FROM base e WHERE e.vec_id IN (SELECT vec_id FROM sel$p)) AS pen
+                |  FROM base b WHERE b.vec_id NOT IN (SELECT vec_id FROM sel$p)),
+                |s$i AS (SELECT * FROM (
+                |  SELECT vec_id, $i AS rnk, ${r6(s"$lam * sq - ${1 - lam} * pen")} AS score
+                |  FROM c$i)
+                |  ORDER BY score DESC, vec_id LIMIT 1),
+                |sel$i AS (SELECT vec_id FROM sel$p UNION ALL SELECT vec_id FROM s$i)"""
+        .stripMargin
+    }
+    sb ++= s"""
+              |SELECT CAST(rnk AS INT) AS rank, vec_id, score
+              |FROM (${(1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})
+              |ORDER BY rank""".stripMargin
+    sb.toString
+  }
+}

@@ -120,6 +120,54 @@ object Streaming {
        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) o
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------- #98 stream-static enrich
+
+  /** #98 stream_enrich_dim: the canonical streaming ENRICHMENT shape —
+    * a fact stream joined to a static dimension, then window-aggregated
+    * by a dimension attribute. Spark plans the static side as a
+    * broadcast re-read per micro-batch: the join is stateless (no join
+    * state store at all — only the downstream window agg keeps state),
+    * which is why stream-static is the preferred enrichment over
+    * stream-stream whenever the dim changes slower than the stream.
+    * The expression is batch/stream shared (same contract as #35):
+    * the batch run is the oracle-checked entry, StreamingSpec pins the
+    * real-stream run equal to it. */
+  def enrichDim(ev: DataFrame, dim: DataFrame): DataFrame =
+    ev.join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "6 hours"), col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** The static dimension: customer market segment keyed by user id. */
+  private[streaming] def customerDim(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+
+  def streamEnrichDim(s: SparkSession, dir: String): DataFrame =
+    enrichDim(Tables.events(s, dir), customerDim(s, dir))
+
+  /** Real-stream run of [[enrichDim]] (file source → stream-static
+    * broadcast join → windowed agg → memory sink). */
+  def runEnrichDimStream(s: SparkSession, dir: String): DataFrame = {
+    val name = s"enrich_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = enrichDim(eventsStream(s, dir), customerDim(s, dir)).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
+  val streamEnrichDimSql: String =
+    s"""SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) * 21600 * 1000000) AS window_start,
+       |       c.c_mktsegment AS segment, e.event_type, count(*) AS n,
+       |       ${sqlSum("value", 4)} AS sum_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** Streaming events source. File-stream sources require an explicit
     * schema; hardcoding one silently desynced from the batch reader when
     * the testdata regenerated with a new `ts` encoding (µs NTZ vs int64

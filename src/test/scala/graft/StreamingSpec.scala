@@ -35,6 +35,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream_enrich_dim: stream-static broadcast join equals batch run") {
+    val batch = Streaming.streamEnrichDim(spark, sf)
+      .orderBy("window_start", "segment", "event_type").collect().toSeq
+    val stream = Streaming.runEnrichDimStream(spark, sf)
+      .orderBy("window_start", "segment", "event_type").collect().toSeq
+    assert(stream == batch)
+  }
+
   test("stream_hll: register maxes merge across micro-batches; estimate equals batch sketch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.operators.Analytics2
