@@ -453,7 +453,7 @@ object Sketches {
   /** KMV geometry: k minimum hash values per set; hashes uniform on
     * [0, 16^15) = [0, 2^60) — 15 md5 hex digits, the same portable
     * construction as the CMS positions. */
-  private val KmvK = 256
+  private[graft] val KmvK = 256
   private val KmvM = 1152921504606846976L // 16^15 = 2^60, exact in double
 
   /** #89 events_kmv_overlap: audience-overlap estimation between event

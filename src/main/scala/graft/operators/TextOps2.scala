@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-5 batch-4 text operators (SURVEY §2 #101+). */
+object TextOps2 {
+
+  /** Candidate blocks with document frequency above this are dropped
+    * (stop-block rule, same scale guarantee as [[TextOps.NgramMaxDf]]):
+    * one corpus-common prefix (template boilerplate) must not generate
+    * df² candidate pairs. */
+  val FuzzyMaxBlock = 64
+
+  /** #101 doc_fuzzy_match: edit-distance near-match pairs — the fuzzy
+    * complement of the token-set dedups (catches character-level edits:
+    * typos, OCR noise, small insertions that shift every token n-gram).
+    * Blocking, not all-pairs: a pair is a candidate iff the documents
+    * share a (lang, 16-char normalized prefix) OR (lang, 16-char
+    * suffix) key — an edit anywhere in the middle leaves both keys
+    * intact, an edit at one end leaves the other — then the bounded
+    * candidate set pays `levenshtein` on 96-char windows. Pair space is
+    * Σ block² over capped blocks ([[FuzzyMaxBlock]]), linear in corpus
+    * size; the quadratic-cost distance runs on candidates only, never
+    * the corpus. Bare-id pairs dedup BEFORE texts join back (the
+    * emb_dedup_cosine shape), so the distinct shuffles ids, not text.
+    * At 100 TB the blocked join shuffles on (lang, blk) — the same key
+    * the DF cap windows on, one exchange reused. */
+  def docFuzzyMatch(s: SparkSession, dir: String, maxDist: Int = 12): DataFrame =
+    docFuzzyMatchDf(Tables.documents(s, dir), maxDist)
+
+  /** DataFrame-generic core: expects (doc_id, lang, text). */
+  def docFuzzyMatchDf(input: DataFrame, maxDist: Int = 12,
+                      maxBlock: Int = FuzzyMaxBlock): DataFrame = {
+    val d = input.select(col("doc_id"), col("lang"),
+                         lower(trim(col("text"))).as("t"))
+    val keyed = d.select(col("doc_id"), col("lang"), expr("substr(t, 1, 16)").as("blk"))
+      .unionByName(d.select(col("doc_id"), col("lang"),
+        expr("substr(t, greatest(1, length(t) - 15), 16)").as("blk")))
+    val wBlk = Window.partitionBy(col("lang"), col("blk"))
+    val capped = keyed.withColumn("df", count(lit(1)).over(wBlk))
+      .filter(col("df") <= maxBlock).drop("df")
+    val ids = capped.as("a").join(capped.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    ids.join(d.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+      .withColumn("dist",
+        levenshtein(expr("substr(ta, 1, 96)"), expr("substr(tb, 1, 96)")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracle: identical block keys, cap, window and distance. */
+  def docFuzzyMatchSql(maxDist: Int = 12, maxBlock: Int = FuzzyMaxBlock): String =
+    s"""WITH d AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+       |k AS (
+       |  SELECT doc_id, lang, substr(t, 1, 16) AS blk FROM d
+       |  UNION ALL
+       |  SELECT doc_id, lang, substr(t, greatest(1, length(t) - 15), 16) AS blk FROM d),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, lang, blk,
+       |           count(*) OVER (PARTITION BY lang, blk) AS df
+       |    FROM k)
+       |  WHERE df <= $maxBlock),
+       |ids AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM (
+       |  SELECT ids.id_a, ids.id_b,
+       |         levenshtein(substr(da.t, 1, 96), substr(db.t, 1, 96)) AS dist
+       |  FROM ids JOIN d da ON ids.id_a = da.doc_id
+       |           JOIN d db ON ids.id_b = db.doc_id)
+       |WHERE dist <= $maxDist ORDER BY id_a, id_b""".stripMargin
+}

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -18,6 +18,15 @@ case class OpenSession(start_us: Long, end_us: Long, n: Long)
 /** A closed (emitted) session. */
 case class ClosedSession(user_id: Long, session_start_us: Long,
                          session_end_us: Long, n_events: Long)
+
+/** Input row for the KMV fold (portable 60-bit user hash, pre-computed
+  * so the state function never touches raw identifiers). */
+case class KmvIn(event_type: String, h: Long)
+
+/** Per-type KMV state AND emission: the cumulative k smallest distinct
+  * hashes after `upd` updates. The state IS the sketch — nothing else
+  * is carried. */
+case class KmvSketchRow(event_type: String, upd: Int, ks: Seq[Long])
 
 /** Structured Streaming operators (SURVEY §2 G35-G36).
   *
@@ -325,46 +334,82 @@ object Streaming {
       graft.operators.Sketches.qsFinalize(s.table(name), ranges))
   }
 
+  /** Per-type KMV state transition: fold this batch's hashes into the
+    * carried k-min set. Working memory is O(k) even WITHIN a batch — a
+    * capped TreeSet absorbs the row iterator one hash at a time (insert
+    * iff it beats the current k-th smallest; TreeSet ignores repeats),
+    * so neither the batch's per-key rows nor raw identifiers are ever
+    * materialized. Emits the cumulative sketch after each update; the
+    * k-min merge law (k-min of k-mins ≡ k-min of the union, pinned in
+    * SketchesSpec) makes the final emission bit-identical to the batch
+    * sketch regardless of how rows were chunked into micro-batches. */
+  private[graft] def foldKmv(k: Int)(
+      typ: String, rows: Iterator[KmvIn],
+      state: GroupState[KmvSketchRow]): Iterator[KmvSketchRow] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    state.getOption.foreach(_.ks.foreach(h => set.add(h)))
+    rows.foreach { r =>
+      if (set.size < k) set.add(r.h)
+      else if (r.h < set.last) { set.add(r.h); if (set.size > k) set.pollLast() }
+    }
+    import scala.jdk.CollectionConverters._
+    val next = KmvSketchRow(typ, state.getOption.map(_.upd).getOrElse(0) + 1,
+      set.iterator.asScala.map(Long.unbox).toVector)
+    state.update(next)
+    Iterator(next)
+  }
+
+  /** The fold pipeline over any (event_type, user_id) frame (streaming
+    * or batch) — shared by [[streamKmv]] and the chunking-invariance
+    * spec. */
+  private[graft] def kmvFoldSketches(ev: DataFrame): Dataset[KmvSketchRow] = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.select(col("event_type"), graft.operators.Sketches.kmvHash.as("h"))
+      .as[KmvIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        foldKmv(graft.operators.Sketches.KmvK))
+  }
+
   /** #89b stream_kmv: the KMV overlap sketch maintained incrementally —
-    * per-type k-min hash lists ARE the streaming state (k-min is the
-    * merge operator: k-min of k-mins ≡ k-min of the union, the law
-    * SketchesSpec pins), so the drained sketches are bit-identical to
-    * the batch build and the batch oracle checks the pair estimates
-    * exactly. Duplicate hashes across micro-batches cost nothing at the
-    * sketch level (min ignores repeats), but CollectTopK keeps value
-    * MULTIPLICITY — so the stream first deduplicates (type, hash) with
-    * keyed state (dropDuplicates), then folds the k-min aggregate:
-    * two chained stateful operators, the supported dedup→agg shape.
-    * Pair estimation + exact comparison run batch-side over the
-    * 5-row sketch sink.
-    *
-    * State-size caveat (deliberate): the AGGREGATE state is O(k) per
-    * type, but the dedup stage keys on (type, hash) — O(distinct keys),
-    * unbounded in a continuous deployment (fine under AvailableNow
-    * drains like this query). A continuous deployment should either
-    * (a) add `withWatermark` + `dropDuplicatesWithinWatermark` and
-    * accept that a hash re-seen past the horizon re-enters CollectTopK
-    * (harmless unless its multiplicity displaces a distinct value from
-    * the k-list exactly at the boundary), or (b) replace dedup+agg with
-    * a `flatMapGroupsWithState` fold carrying the ≤k distinct smallest
-    * hashes per type — truly O(k) total state. The batch sketch
-    * (kmvSketches over a static frame) is unaffected. */
+    * per-type k-min hash lists ARE the streaming state, carried by a
+    * single `flatMapGroupsWithState` fold whose TOTAL state is O(k)
+    * longs per event type ([[foldKmv]]): bounded in a continuous
+    * deployment, no watermark needed, no auxiliary dedup state (an
+    * earlier design chained keyed `dropDuplicates` before a CollectTopK
+    * aggregate, whose dedup stage grew with distinct (type, hash) —
+    * the fold subsumes it because a TreeSet insert is idempotent).
+    * The final emission per type is bit-identical to the batch
+    * `kmvSketches` build — k smallest DISTINCT hashes, ascending — so
+    * the drained sink feeds the same `kmvFinalize` pair-estimation and
+    * the batch oracle checks estimates exactly. Each update emits the
+    * cumulative sketch (Update mode); the last emission per type wins,
+    * selected batch-side over the ≤ types × batches row sink. */
   def streamKmv(s: SparkSession, dir: String): DataFrame = {
     val name = s"kmv_${System.nanoTime()}"
     graft.functions.GraftFunctions.ensure(s)
     withStreamPartitions(s) {
-      val q = graft.operators.Sketches.kmvSketches(
-          eventsStream(s, dir).select(col("event_type"), col("user_id"))
-            .withColumn("h", graft.operators.Sketches.kmvHash)
-            .dropDuplicates("event_type", "h"))
+      val q = kmvFoldSketches(eventsStream(s, dir)
+          .select(col("event_type"), col("user_id")))
         .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
+        .outputMode(OutputMode.Update)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
     sealResult(s, name, graft.operators.Sketches.kmvFinalize(s,
-      s.table(name), Tables.events(s, dir)))
+      lastEmission(s.table(name)), Tables.events(s, dir)))
   }
+
+  /** Last Update-mode emission per type from a drained sink (≤ types ×
+    * batches rows — the window is over the tiny sink, not data). A
+    * window rather than a sink self-join: memory-sink views reuse
+    * attribute ids across references, which breaks join resolution. */
+  private[graft] def lastEmission(sink: DataFrame): DataFrame =
+    sink.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("upd").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("ks"))
 
   // ------------------------------------------------------ #36 sessionize
 

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+
+/** Streaming upsert sink via `foreachBatch` + dynamic partition
+  * overwrite (SURVEY §2 #100): the canonical "stream maintains a keyed
+  * snapshot table" pattern when no transactional table format (Delta/
+  * Iceberg) is available. Each micro-batch:
+  *
+  *  1. reduces the batch to one latest-wins row per key (plus a count
+  *     partial) — a batch-local aggregate, tiny vs the batch;
+  *  2. determines the AFFECTED hash buckets (the snapshot is
+  *     partitioned by `bucket = pmod(hash-key, nBuckets)`);
+  *  3. reads ONLY those bucket directories back (partition pruning),
+  *     merges latest-wins + count-sum, and rewrites ONLY those buckets
+  *     (`partitionOverwriteMode=dynamic`).
+  *
+  * Cost per batch is proportional to the touched buckets, not the
+  * snapshot: at 100 TB the snapshot table rewrites |affected buckets| /
+  * nBuckets of itself per trigger, and a key-skewed trigger touches few
+  * buckets. foreachBatch gives at-least-once batch delivery; the merge
+  * is IDEMPOTENT (latest-wins by (ts, event_id) is unchanged by replay;
+  * the count partial is made replay-safe by keying it on the batch id —
+  * re-merging batch b replaces, not double-counts, its contribution).
+  * That idempotence is exactly what exactly-once sinks are built from
+  * on non-transactional storage.
+  */
+object StreamingUpsert {
+
+  private val NBuckets = 16
+
+  /** Latest-wins reduction of any (event) frame: one row per user with
+    * the most recent (ts, event_id) event's fields + an event count. */
+  private[graft] def latestPerUser(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    df.select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Merge a reduced micro-batch into the snapshot at `path`,
+    * rewriting only the affected buckets. `batchId` keys the count
+    * partial for replay-safety. */
+  private[graft] def mergeBatch(s: SparkSession, path: String,
+                                reduced: DataFrame, batchId: Long): Unit = {
+    val incoming = reduced
+      .withColumn("bucket", pmod(col("user_id"), lit(NBuckets)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+    val buckets = incoming.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ NBuckets scalars
+    val exists = new java.io.File(s"$path/_SUCCESS").exists()
+    val merged = if (!exists) incoming else {
+      val cur = s.read.parquet(path).filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      // latest-wins on event fields; counts re-sum per (user, batch) so
+      // a replayed batch REPLACES its own partial instead of adding it
+      val all = cur.unionByName(incoming)
+        .groupBy(col("user_id"), col("bucket"), col("batch_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+               .as("latest"),
+             max(col("n_events")).as("n_events"))
+      all.groupBy(col("user_id"), col("bucket"))
+        .agg(max(col("latest")).as("latest"), sum(col("n_events")).as("n_events"),
+             max(col("batch_id")).as("batch_id"))
+        .select(col("user_id"),
+                col("latest.ts").as("ts"), col("latest.event_id").as("event_id"),
+                col("latest.event_type").as("event_type"),
+                col("latest.value").as("value"),
+                col("n_events"), col("bucket"), col("batch_id"))
+    }
+    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged.write.partitionBy("bucket")
+        .mode(if (exists) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+        .parquet(path)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
+  /** Drive the upsert stream over the events source into a fresh
+    * snapshot dir; returns the snapshot path. Exposed for the spec
+    * (which stages its own multi-batch source). */
+  private[graft] def runUpsertStream(s: SparkSession, source: DataFrame,
+                                     path: String): Unit =
+    Streaming.withStreamPartitions(s) {
+      val q = source.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          mergeBatch(s, path, latestPerUser(batch), id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+  /** #100 stream_upsert: run the upsert over the events stream, then
+    * report the final snapshot — per-user latest event + lifetime event
+    * count. The oracle recomputes the same snapshot relationally from
+    * the static table: the incremental path must land on the identical
+    * fixed point. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val name = s"upsert_${System.nanoTime()}"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+    runUpsertStream(s, Streaming.eventsStream(s, dir), path)
+    Streaming.sealResult(s, name,
+      s.read.parquet(path)
+        .select(col("user_id"), col("ts").as("last_ts"),
+                col("event_type").as("last_type"),
+                col("value").as("last_value"), col("n_events"))
+        .orderBy(col("user_id")),
+      scratchDir = Some(path))
+  }
+
+  val streamUpsertSql: String =
+    """SELECT user_id, ts AS last_ts, event_type AS last_type,
+      |       value AS last_value, n_events
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn,
+      |             count(*) OVER (PARTITION BY user_id) AS n_events
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+}

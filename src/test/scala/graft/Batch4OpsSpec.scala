@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps2
+import graft.sources.{Partitioned, Tables}
+
+/** Invariants + plan pins for the round-5 batch-4 operators (#99-#101):
+  * partition-pruned scans, the foreachBatch upsert sink (streaming side
+  * in StreamingSpec), and edit-distance fuzzy matching. */
+class Batch4OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  // ------------------------------------------- events_partitioned_prune
+
+  test("partitioned prune: answer matches the un-partitioned scan") {
+    val pruned = Partitioned.eventsPartitionedPrune(spark, sf).collect().toSeq
+    val direct = Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(pruned == direct)
+    assert(pruned.nonEmpty)
+  }
+
+  test("partitioned prune: date predicate is a PartitionFilter; 7 of ~30 day dirs survive") {
+    val scan = Partitioned.prunedScan(spark, sf, "2024-01-08", "2024-01-14")
+    val p = plan(scan)
+    assert(p.contains("PartitionFilters: ["), s"no partition filters:\n$p")
+    assert(p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1")
+      .contains("p_date"), s"p_date predicate not pushed to partition pruning:\n$p")
+    // pruning is real: the filtered scan reads only the 7 matching
+    // day directories, the full scan reads ~30
+    val selected = scan.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(selected.forall { f =>
+      val d = f.replaceAll(".*p_date=", "").replaceAll("/.*", "")
+      d >= "2024-01-08" && d <= "2024-01-14"
+    }, s"file outside pruned range read: $selected")
+    val allDays = spark.read.parquet(Partitioned.eventsPartitioned(spark, sf))
+      .select("p_date").distinct().count()
+    assert(allDays > 7 && selected.map(_.replaceAll(".*p_date=", "")
+      .replaceAll("/.*", "")).size == 7)
+  }
+
+  // ------------------------------------------------------ doc_fuzzy_match
+
+  test("fuzzy match: distances equal a driver-side Levenshtein; pairs ordered and bounded") {
+    val out = TextOps2.docFuzzyMatch(spark, sf).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    out.foreach { r =>
+      val (a, b, dist) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(a < b)
+      assert(dist <= 12)
+      assert(dist == lev(texts(a).take(96), texts(b).take(96)),
+        s"distance mismatch for ($a,$b)")
+    }
+  }
+
+  test("fuzzy match: hot-block cap drops a saturated block instead of exploding it") {
+    import spark.implicits._
+    // 100 docs sharing prefix AND suffix (one hot block) + 2 true near-dups
+    val hot = (1L to 100L).map(i => (i, "en", "common prefix here " + i + " tail common suffix"))
+    val dup = Seq((200L, "en", "a genuinely unique document body with a typo"),
+                  (201L, "en", "a genuinely unique document body with a typa"))
+    val df = (hot ++ dup).toDF("doc_id", "lang", "text")
+    val out = TextOps2.docFuzzyMatchDf(df, maxDist = 12, maxBlock = 64).collect()
+    // the saturated block contributes nothing; the true pair survives
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((200L, 201L)))
+  }
+}

@@ -43,6 +43,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream_upsert: multi-batch incremental snapshot equals the batch snapshot; replay is idempotent") {
+    import graft.streaming.StreamingUpsert
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups").toString
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> ev.filter(unix_micros(col("ts")) <= cut),
+      "b=1" -> ev.filter(unix_micros(col("ts")) > cut)))
+    val path = s"$dir/state"
+    StreamingUpsert.runUpsertStream(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"), path)
+    val state = spark.read.parquet(path)
+    assert(state.agg(max(col("batch_id"))).collect()(0).getLong(0) >= 1,
+      "expected the snapshot to have been built across >= 2 micro-batches")
+    def snap() = spark.read.parquet(path)
+      .select("user_id", "ts", "event_type", "value", "n_events")
+      .orderBy("user_id").collect().toSeq
+    val incremental = snap()
+    val batch = StreamingUpsert.latestPerUser(ev)
+      .select("user_id", "ts", "event_type", "value", "n_events")
+      .orderBy("user_id").collect().toSeq
+    assert(incremental == batch)
+    // at-least-once replay of the LAST batch must be a no-op
+    val lastBatch = ev.filter(unix_micros(col("ts")) > cut)
+    StreamingUpsert.mergeBatch(spark, path,
+      StreamingUpsert.latestPerUser(lastBatch), 1L)
+    assert(snap() == incremental, "replaying the last batch changed the snapshot")
+  }
+
   test("stream_hll: register maxes merge across micro-batches; estimate equals batch sketch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.operators.Analytics2
@@ -93,7 +123,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
-  test("stream_kmv: k-min sketches merge across micro-batches; estimates equal batch") {
+  test("stream_kmv: O(k) fold state merges across micro-batches; sketches bit-identical to batch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.operators.Sketches
     graft.functions.GraftFunctions.ensure(spark)
@@ -103,17 +133,23 @@ class StreamingSpec extends AnyFunSuite {
     val schema = stageSplit(dir, Seq(
       "b=0" -> ev.filter(unix_micros(col("ts")) <= cut),
       "b=1" -> ev.filter(unix_micros(col("ts")) > cut)))
-    val q = Sketches.kmvSketches(
+    val q = Streaming.kmvFoldSketches(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
-          .select(col("event_type"), col("user_id"))
-          .withColumn("h", Sketches.kmvHash)
-          .dropDuplicates("event_type", "h"))
+          .select(col("event_type"), col("user_id")))
       .writeStream.format("memory").queryName("kmv_batches")
-      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(q.recentProgress.map(_.batchId).distinct.length >= 2)
-    val streamed = Sketches.kmvFinalize(spark, spark.table("kmv_batches"), ev)
+    val sk = Streaming.lastEmission(spark.table("kmv_batches"))
+    // the folded sketch arrays are BIT-IDENTICAL to the batch build:
+    // k smallest distinct hashes, ascending, regardless of chunking
+    val batchSk = Sketches.kmvSketches(
+        ev.select(col("event_type"), Sketches.kmvHash.as("h")).distinct())
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val foldSk = sk.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(foldSk == batchSk)
+    val streamed = Sketches.kmvFinalize(spark, sk, ev)
       .collect().map(_.toSeq).toSet
     val batch = Sketches.eventsKmvOverlapDf(ev).collect().map(_.toSeq).toSet
     assert(streamed == batch)
