@@ -37,9 +37,11 @@ object TextOps2 {
                       maxBlock: Int = FuzzyMaxBlock): DataFrame = {
     val d = input.select(col("doc_id"), col("lang"),
                          lower(trim(col("text"))).as("t"))
-    val keyed = d.select(col("doc_id"), col("lang"), expr("substr(t, 1, 16)").as("blk"))
-      .unionByName(d.select(col("doc_id"), col("lang"),
-        expr("substr(t, greatest(1, length(t) - 15), 16)").as("blk")))
+    // both block keys from ONE scan (explode, not a self-union): the
+    // row multiplicity is identical to the oracle's UNION ALL
+    val keyed = d.select(col("doc_id"), col("lang"),
+      explode(array(expr("substr(t, 1, 16)"),
+                    expr("substr(t, greatest(1, length(t) - 15), 16)"))).as("blk"))
     val wBlk = Window.partitionBy(col("lang"), col("blk"))
     val capped = keyed.withColumn("df", count(lit(1)).over(wBlk))
       .filter(col("df") <= maxBlock).drop("df")

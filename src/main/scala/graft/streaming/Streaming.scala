@@ -500,6 +500,47 @@ object Streaming {
   val streamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** #36e stream_dedup_watermark: the BOUNDED-STATE production dedup —
+    * `withWatermark` + `dropDuplicatesWithinWatermark` holds each key
+    * only until the watermark passes its event time + horizon, so state
+    * is O(keys active within the horizon), not O(all keys ever) as in
+    * the plain #36b form. The semantic trade is explicit: duplicates
+    * within the horizon are GUARANTEED dropped (even across batches);
+    * beyond it, re-emission is unspecified — downstream consumers must
+    * treat the stream as at-least-once-per-horizon. StreamingSpec pins
+    * both guarantees (cross-batch within-horizon dedup; state eviction
+    * by the post-batch watermark). Draining a single batch (the Verify
+    * shape: watermark still at origin, nothing expires mid-drain)
+    * yields exactly the distinct key set, which the batch oracle
+    * checks; the multi-batch expiry behavior is pinned in
+    * StreamingSpec against a staged source whose second batch lies
+    * beyond the horizon. */
+  def runDedupWatermarkStream(s: SparkSession, source: DataFrame,
+                              name: String,
+                              horizon: String = "1 hour"): DataFrame = {
+    withStreamPartitions(s) {
+      val q = source
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
+  /** Driver-contract entry for #36e (batch-exact oracle under a
+    * single-batch drain). */
+  def streamDedupWatermark(s: SparkSession, dir: String): DataFrame = {
+    val name = s"dedup_wm_${System.nanoTime()}"
+    sealResult(s, name, runDedupWatermarkStream(s, eventsStream(s, dir), name))
+  }
+
+  val streamDedupWatermarkSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   // --------------------------------------- #38 stream-stream interval join
 
   /** Stream-stream interval join: each purchase matched to every click

@@ -43,6 +43,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream_dedup_watermark: single drain equals distinct; within-horizon dedup crosses batches; state evicts") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    // single-batch drain == plain distinct (the oracle shape)
+    val single = Streaming.streamDedupWatermark(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val distinct = ev.select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(single == distinct)
+    // the API contract: duplicates WITHIN the horizon are dropped even
+    // across batches, and state is EVICTED once the watermark passes a
+    // key's expiry (re-emission timing beyond the horizon is expressly
+    // unspecified — not pinned). b0 seeds A,B; b1 (10 days on) advances
+    // the watermark far past their expiry; b2 repeats C within the
+    // horizon (must dedup) and adds a new key D.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("user_id", "event_type", "t")
+        .select(col("user_id"), col("event_type"), to_timestamp(col("t")).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dwm").toString
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> mk(Seq((1L, "click", "2024-01-01 00:00:00"), (2L, "view", "2024-01-01 00:05:00"))),
+      "b=1" -> mk(Seq((3L, "click", "2024-01-11 00:00:00"))),
+      "b=2" -> mk(Seq((3L, "click", "2024-01-11 00:30:00"), (4L, "view", "2024-01-21 00:00:00")))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName("dwm_batches")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 3)
+    val emitted = spark.table("dwm_batches").groupBy("user_id", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(emitted((3L, "click")) == 1,
+      s"within-horizon duplicate crossed batches and re-emitted: $emitted")
+    assert(emitted((4L, "view")) == 1 && emitted.size == 4)
+    // bounded state: eviction applies the POST-batch watermark — after
+    // b2 it stands at Jan 20 23:00, so A,B (expiry ~Jan 1 01:05) AND C
+    // (expiry Jan 11 01:00) are gone; only D survives. The state size
+    // tracks the horizon, not the key universe.
+    val finalState = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatten.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(finalState == 1, s"expected only D in state after eviction, got $finalState")
+  }
+
   test("stream_upsert: multi-batch incremental snapshot equals the batch snapshot; replay is idempotent") {
     import graft.streaming.StreamingUpsert
     val ev = graft.sources.Tables.events(spark, sf)
