@@ -70,4 +70,84 @@ object Partitioned {
        |FROM events
        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------- #102 aggregate pushdown
+
+  /** #102 events_minmax_pushdown: MIN/MAX/COUNT answered from parquet
+    * FOOTER STATISTICS — the scan never decodes a data page
+    * (`PushedAggregation` in the v2 scan node). At 100 TB this is the
+    * difference between a full-corpus read and a metadata-only pass for
+    * the daily "data freshness / row count" monitoring queries every
+    * pipeline runs. Requires the v2 parquet source + aggregate
+    * pushdown, both scoped to THIS query's planning (v1 is the session
+    * default; flipping it globally would re-shape every other query's
+    * scans): the physical plan is forced while the confs are set, then
+    * they are restored. Values are identical either way — footer stats
+    * for min/max/count are exact, not estimates. */
+  def eventsMinmaxPushdown(s: SparkSession, dir: String): DataFrame = {
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val pdKey = "spark.sql.parquet.aggregatePushdown"
+    val (v1Prev, pdPrev) = (s.conf.get(v1Key), s.conf.get(pdKey, "false"))
+    try {
+      s.conf.set(v1Key, v1Prev.split(",").filterNot(_.trim == "parquet").mkString(","))
+      s.conf.set(pdKey, "true")
+      val df = s.read.parquet(s"$dir/events.parquet")
+        .agg(min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+             count(lit(1)).as("n"))
+      df.queryExecution.executedPlan // force planning under the scoped confs
+      df
+    } finally { s.conf.set(v1Key, v1Prev); s.conf.set(pdKey, pdPrev) }
+  }
+
+  val eventsMinmaxPushdownSql: String =
+    """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
+      |       count(*) AS n FROM events""".stripMargin
+
+  // ------------------------------------------------ #103 batch backfill
+
+  /** #103 events_backfill_overwrite: the production BACKFILL move on a
+    * partitioned lake table — recompute a slice of days from the source
+    * of truth and `INSERT OVERWRITE` only those partitions
+    * (`partitionOverwriteMode=dynamic`); every other day's files are
+    * physically untouched (spec pins their mtimes). The recomputation
+    * always derives from the ORIGINAL events table, never from the
+    * current state of the copy, so re-running the backfill is
+    * idempotent — the property that makes backfills safe to retry. The
+    * fixture "correction" re-prices click events by ×1.1 over
+    * Jan 10-12; the report aggregates a window spanning corrected and
+    * untouched days, and the oracle applies the same CASE to the
+    * original table — the copy must land on that exact fixed point. */
+  def eventsBackfillOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_backfill$tag/events"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Tables.events(s, dir)
+        .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+    }
+    val corrected = Tables.events(s, dir)
+      .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("p_date").between("2024-01-10", "2024-01-12"))
+      .withColumn("value",
+        when(col("event_type") === "click", col("value") * 1.1)
+          .otherwise(col("value")))
+    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      corrected.write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    s.read.parquet(path)
+      .filter(col("p_date").between("2024-01-09", "2024-01-13"))
+      .groupBy(col("p_date").cast("string").as("p_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("p_date"), col("event_type"))
+  }
+
+  val eventsBackfillOverwriteSql: String =
+    s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS p_date, event_type,
+       |       count(*) AS n,
+       |       ${sqlR(sqlSum("CASE WHEN event_type = 'click' AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12' THEN value * 1.1 ELSE value END"), 4)} AS sum_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-13'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -53,6 +53,46 @@ class Batch4OpsSpec extends AnyFunSuite {
       .replaceAll("/.*", "")).size == 7)
   }
 
+  // ------------------------------------------- events_minmax_pushdown
+
+  test("minmax pushdown: aggregates answered from parquet footers, not data pages") {
+    val df = Partitioned.eventsMinmaxPushdown(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [MIN(event_id), MAX(event_id), COUNT(*)]"),
+      s"aggregate not pushed to the scan:\n$p")
+    val r = df.collect()(0)
+    val exact = Tables.events(spark, sf)
+      .agg(min(col("event_id")), max(col("event_id")), count(lit(1))).collect()(0)
+    assert(r == exact, "footer-stat aggregates must be exact")
+    // the scoped confs leaked nothing: the session is back on v1 parquet
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"))
+  }
+
+  // ---------------------------------------- events_backfill_overwrite
+
+  test("backfill: only the corrected day partitions rewrite; re-running is idempotent") {
+    val first = Partitioned.eventsBackfillOverwrite(spark, sf).collect().toSeq
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_backfill$tag/events")
+    def mtimes() = base.listFiles().filter(_.getName.startsWith("p_date="))
+      .map(d => d.getName -> d.listFiles().map(f => f.getName -> f.lastModified()).toMap)
+      .toMap
+    val before = mtimes()
+    val second = Partitioned.eventsBackfillOverwrite(spark, sf).collect().toSeq
+    assert(second == first, "backfill must be idempotent (derives from the source of truth)")
+    val after = mtimes()
+    val untouched = before.keys.filterNot(d =>
+      d >= "p_date=2024-01-10" && d <= "p_date=2024-01-12")
+    untouched.foreach { d =>
+      assert(before(d) == after(d), s"untouched partition $d was rewritten")
+    }
+    Seq("2024-01-10", "2024-01-11", "2024-01-12").foreach { d =>
+      assert(before(s"p_date=$d") != after(s"p_date=$d"),
+        s"backfilled partition $d was not rewritten")
+    }
+  }
+
   // ------------------------------------------------------ doc_fuzzy_match
 
   test("fuzzy match: distances equal a driver-side Levenshtein; pairs ordered and bounded") {
