@@ -201,6 +201,126 @@ object Analytics3 {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------ #104 Welch t-test
+
+  /** #104 events_welch_t: pairwise Welch two-sample t-statistics
+    * between event types on `value` — the A/B-test primitive. One
+    * decimal-exact moment pass (n, Σx, Σx²) reduces the corpus to a
+    * |types|-row table; the |types|² pair grid is a broadcast
+    * cross-join of that aggregate, so the fact table is scanned ONCE
+    * and nothing key-proportional ever joins. Sample variance and the
+    * Welch–Satterthwaite df use the textbook closed forms over the
+    * exact moments; t and df round at 6dp (the cross-engine boundary
+    * convention). p-values are deliberately out of scope: erf/Student
+    * CDFs differ in the last ulp across libms — consumers threshold on
+    * |t| with df in hand. */
+  def eventsWelchT(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           dsum(col("value")).as("sx"),
+           dsum(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"), col("n"),
+              (col("sx") / col("n")).as("mean"),
+              ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+                .as("variance"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+                     col("mean").as("ma"), col("variance").as("va"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+                     col("mean").as("mb"), col("variance").as("vb"))
+    val sea = col("va") / col("na"); val seb = col("vb") / col("nb")
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+              col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+              r((col("ma") - col("mb")) / sqrt(sea + seb), 6).as("t_stat"),
+              r((sea + seb) * (sea + seb) /
+                (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)), 6)
+                .as("df_welch"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val eventsWelchTSql: String = {
+    val sum = (x: String) => s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""WITH m AS (
+       |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+       |         ${sum("value")} / count(*) AS mean,
+       |         (${sum("value * value")} - ${sum("value")} * ${sum("value")} / count(*))
+       |           / (count(*) - 1) AS variance
+       |  FROM events GROUP BY 1)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       |       ${sqlR("(a.mean - b.mean) / sqrt(a.variance / a.n + b.variance / b.n)", 6)} AS t_stat,
+       |       ${sqlR("pow(a.variance / a.n + b.variance / b.n, 2) / (pow(a.variance / a.n, 2) / (a.n - 1) + pow(b.variance / b.n, 2) / (b.n - 1))", 6)} AS df_welch
+       |FROM m a JOIN m b ON a.event_type < b.event_type
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------- #105 revenue concentration
+
+  /** #105 customer_pareto: revenue-concentration (Pareto) profile —
+    * which slice of the customer base carries which share of revenue.
+    * Like #92, the decile ASSIGNMENT comes from broadcast quantile
+    * boundaries computed by aggregation, never an ntile window over all
+    * customers: per-customer revenue (one groupBy) → 9 boundary scalars
+    * (broadcast) → map-only decile tag → ≤10-row rollup. The cumulative
+    * share window runs over those ≤10 rows. `exact=true` is the
+    * bit-reproducible oracle path; extreme scale swaps in
+    * approx_percentile boundaries (same contract as #92). */
+  def customerPareto(s: SparkSession, dir: String, exact: Boolean = true): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice"), 2).as("revenue"))
+    val bounds = (1 to 9).map { d =>
+      val q =
+        if (exact) linQuantile(sort_array(collect_list(col("revenue"))), d / 10.0)
+        else expr(s"approx_percentile(revenue, ${d / 10.0}, 10000)")
+      r(q, 6).as(s"b$d")
+    }
+    val qs = cust.agg(bounds.head, bounds.tail: _*)
+    val decile = (1 to 9).map(d => when(col("revenue") > col(s"b$d"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    val byDecile = cust.crossJoin(broadcast(qs))
+      .withColumn("decile", decile.cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("revenue"), 2).as("revenue"))
+    val w = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("rev_share",
+        r(col("revenue") /
+          sum(col("revenue").cast(Dec)).over(Window.partitionBy()).cast("double"), 6))
+      .withColumn("cum_share_top",
+        r(sum(col("rev_share").cast(Dec)).over(w).cast("double"), 6))
+      .select(col("decile"), col("n_cust"), col("revenue"),
+              col("rev_share"), col("cum_share_top"))
+      .orderBy(col("decile").desc)
+  }
+
+  val customerParetoSql: String = {
+    val b = (1 to 9).map(d =>
+      s"${sqlR(sqlQuantile("revenue", d / 10.0), 6)} AS b$d").mkString(", ")
+    val dec = (1 to 9).map(d => s"(CASE WHEN revenue > b$d THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH cust AS (
+       |  SELECT o_custkey, ${dsumSql("o_totalprice", 2)} AS revenue
+       |  FROM orders GROUP BY 1),
+       |qs AS (SELECT $b FROM cust),
+       |tagged AS (
+       |  SELECT c.revenue, CAST(1 + $dec AS INT) AS decile
+       |  FROM cust c CROSS JOIN qs),
+       |byd AS (
+       |  SELECT decile, count(*) AS n_cust,
+       |         ${dsumSql("revenue", 2)} AS revenue
+       |  FROM tagged GROUP BY 1),
+       |shares AS (
+       |  SELECT decile, n_cust, revenue,
+       |         ${sqlR("revenue / CAST(sum(CAST(revenue AS DECIMAL(38,10))) OVER () AS DOUBLE)", 6)} AS rev_share
+       |  FROM byd)
+       |SELECT decile, n_cust, revenue, rev_share,
+       |       ${sqlR("CAST(sum(CAST(rev_share AS DECIMAL(38,10))) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)", 6)} AS cum_share_top
+       |FROM shares ORDER BY decile DESC""".stripMargin
+  }
+
   val docZipfFitSql: String = {
     val sum = (x: String) => s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
     val k = "CAST(count(*) AS DOUBLE)"

@@ -196,6 +196,47 @@ object Curation {
       |       ver = max(ver) OVER (PARTITION BY user_id) AS is_current
       |FROM seg ORDER BY user_id, ver""".stripMargin
 
+  /** #106 scd2_as_of: the point-in-time lookup the SCD2 history exists
+    * for — "what was every user's attribute AS OF date D?". Filters the
+    * #79 segment table to versions opened on or before D and keeps each
+    * user's latest (max-ver window over the per-user SEGMENTS, bounded
+    * by version count, never events). On a warehouse the segment table
+    * is the stored artifact, so this runs without touching the fact
+    * stream; here it composes the #79 operator directly, and the oracle
+    * replays the same chain + qualify. */
+  def scd2AsOf(s: SparkSession, dir: String,
+               asOf: String = "2024-01-15 00:00:00"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ver").desc)
+    eventsScd2(s, dir)
+      .filter(col("valid_from") <= lit(asOf).cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ver"), col("event_type"),
+              col("valid_from"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  def scd2AsOfSql(asOf: String = "2024-01-15 00:00:00"): String =
+    s"""WITH chg AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN lag(event_type, 1) OVER w IS NULL
+       |                OR lag(event_type, 1) OVER w <> event_type
+       |              THEN 1 ELSE 0 END AS chg
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |ver AS (
+       |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+       |  FROM chg),
+       |seg AS (
+       |  SELECT user_id, ver, min(event_type) AS event_type,
+       |         min(ts) AS valid_from, count(*) AS n_events
+       |  FROM ver GROUP BY 1, 2)
+       |SELECT user_id, ver, event_type, valid_from, n_events FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn
+       |  FROM seg WHERE valid_from <= TIMESTAMP '$asOf')
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------- dup inflation
 
   /** #90 `doc_dup_inflation`: per-source duplication telemetry — how

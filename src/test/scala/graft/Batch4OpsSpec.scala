@@ -93,6 +93,72 @@ class Batch4OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------- events_welch_t
+
+  test("welch t: statistics match a driver-side recomputation per pair") {
+    import graft.operators.Analytics3
+    val out = Analytics3.eventsWelchT(spark, sf).collect()
+    assert(out.nonEmpty)
+    val groups = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getDouble(1)) }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    out.foreach { row =>
+      val (a, b) = (row.getString(0), row.getString(1))
+      val (xa, xb) = (groups(a), groups(b))
+      def mv(x: Array[Double]) = {
+        val m = x.sum / x.length
+        (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+      }
+      val ((ma, va), (mb, vb)) = (mv(xa), mv(xb))
+      val (sea, seb) = (va / xa.length, vb / xb.length)
+      val t = (ma - mb) / math.sqrt(sea + seb)
+      assert(math.abs(row.getDouble(4) - r6(t)) < 1e-4, s"t mismatch for ($a,$b)")
+      val df = (sea + seb) * (sea + seb) /
+        (sea * sea / (xa.length - 1) + seb * seb / (xb.length - 1))
+      assert(math.abs(row.getDouble(5) - r6(df)) < 1e-2, s"df mismatch for ($a,$b)")
+      assert(df >= math.min(xa.length, xb.length) - 1 - 1e-6 &&
+             df <= xa.length + xb.length - 2 + 1e-6)
+    }
+  }
+
+  // --------------------------------------------------- customer_pareto
+
+  test("pareto: deciles partition all customers; concentration accumulates to 1; no ntile window") {
+    import graft.operators.Analytics3
+    val out = Analytics3.customerPareto(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(1)).sum == nCust)
+    assert(out.map(_.getInt(0)).toSet.subsetOf((1 to 10).toSet))
+    // ordered decile-10 first; cumulative share is monotone to ~1
+    val cums = out.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (x, y) => x <= y + 1e-9 })
+    assert(math.abs(cums.last - 1.0) < 1e-3)
+    // top decile concentrates more than its population share
+    assert(out.head.getDouble(3) > out.head.getLong(1).toDouble / nCust)
+    assert(!plan(Analytics3.customerPareto(spark, sf))
+      .replaceAll("(?s)\\(\\d+\\) Window.*?rowsBetween.*?decile.*", "")
+      .contains("ntile"))
+  }
+
+  // ------------------------------------------------------- scd2_as_of
+
+  test("scd2 as-of: returns each user's attribute at the cutoff, independently recomputed") {
+    import graft.operators.Curation
+    val asOf = "2024-01-15 00:00:00"
+    val out = Curation.scd2AsOf(spark, sf, asOf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val direct = Tables.events(spark, sf)
+      .filter(col("ts") <= lit(asOf).cast("timestamp"))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == direct,
+      "as-of lookup must equal the last event at/before the cutoff per user")
+  }
+
   // ------------------------------------------------------ doc_fuzzy_match
 
   test("fuzzy match: distances equal a driver-side Levenshtein; pairs ordered and bounded") {
