@@ -145,4 +145,51 @@ object Multimodal {
       |       count(*) AS n_dups,
       |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY 1""".stripMargin
+
+  /** #107 mm_phash_near_dup: the perceptual-hash NEAR-dup pass that
+    * follows #34d's exact pass — quantize each payload's feature vector
+    * (the #34b stub featurizer; a real pHash DCT slots into the same
+    * seam) to a sign-bit code, bucket-join on the code, verify
+    * candidates with an L1 feature distance. This is the standard
+    * image-dedup shape at scale: the join key is the 8-bit code (pair
+    * space Σ bucket², never all-pairs), the verify distance runs on
+    * candidates only, and the whole feature table is one map-only scan.
+    * The report keeps every CANDIDATE pair with its verification
+    * distance and decision (`is_dup = l1 ≤ τ`) — the shape a dedup
+    * triage actually consumes: bucket recall and verify precision are
+    * both visible, and a corpus with no true dups still documents its
+    * candidate load. The stub featurizer is hash-derived, so distinct
+    * payloads decorrelate (is_dup fires only for identical payloads —
+    * the spec cross-checks against #34d); with a real featurizer the
+    * SAME plan finds perceptual neighbors. */
+  def mmPhashNearDup(s: SparkSession, dir: String, tau: Double = 0.05): DataFrame = {
+    val f = mmFeatures(s, dir)
+    val code = (0 until 8).map(j => when(col(s"f$j") >= 0.5, 1 << j).otherwise(0))
+      .reduce(_ + _)
+    val coded = f.withColumn("code", code.cast("int"))
+    val l1 = (0 until 8).map(j => abs(col(s"a.f$j") - col(s"b.f$j"))).reduce(_ + _)
+    coded.as("a").join(coded.as("b"),
+        col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("l1_dist", graft.Parity.r(l1, 6))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+              col("a.code").as("code"), col("l1_dist"),
+              (col("l1_dist") <= tau).as("is_dup"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def mmPhashNearDupSql(tau: Double = 0.05): String = {
+    val feats = (0 until 8).map { j =>
+      s"floor((CAST(('0x' || substr(md5(md5(text) || ':$j'), 1, 8)) AS BIGINT) / 4294967296.0) * 1e6 + 0.5) / 1e6 AS f$j"
+    }.mkString(", ")
+    val code = (0 until 8).map(j => s"(CASE WHEN f$j >= 0.5 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val l1 = (0 until 8).map(j => s"abs(a.f$j - b.f$j)").mkString(" + ")
+    s"""WITH f AS (SELECT doc_id, $feats FROM documents),
+       |coded AS (SELECT *, CAST($code AS INT) AS code FROM f)
+       |SELECT id_a, id_b, code, l1_dist, l1_dist <= $tau AS is_dup FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.code,
+       |         floor(($l1) * 1e6 + 0.5) / 1e6 AS l1_dist
+       |  FROM coded a JOIN coded b ON a.code = b.code AND a.doc_id < b.doc_id)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

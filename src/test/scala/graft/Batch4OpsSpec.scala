@@ -184,6 +184,39 @@ class Batch4OpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------- mm_phash_near_dup
+
+  test("phash near-dup: is_dup pairs are exactly the identical-payload groups") {
+    import graft.multimodal.Multimodal
+    val out = Multimodal.mmPhashNearDup(spark, sf).collect()
+    assert(out.nonEmpty, "candidate report should not be empty")
+    // verification distance separates: dup pairs have distance 0 (hash
+    // features of identical payloads), others decorrelate far above τ
+    val dupPairs = out.filter(_.getBoolean(4)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedPairs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h")).collect()
+      .groupBy(_.getString(1)).values
+      .flatMap { g =>
+        val ids = g.map(_.getLong(0)).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    assert(dupPairs == expectedPairs,
+      "is_dup must fire exactly on identical-payload pairs (no bucket-collision false positives)")
+    out.filterNot(_.getBoolean(4)).foreach(r => assert(r.getDouble(3) > 0.05))
+  }
+
+  // ---------------------------------------------- events_format_roundtrip
+
+  test("format roundtrip: ORC and JSON agree row-for-row on the rollup") {
+    import graft.sources.Formats
+    val out = Formats.eventsFormatRoundtrip(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byFmt = out.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.toSeq.drop(1)).toSet }
+    assert(byFmt("orc") == byFmt("json"),
+      "the storage format must be transparent to the answer")
+  }
+
   test("fuzzy match: hot-block cap drops a saturated block instead of exploding it") {
     import spark.implicits._
     // 100 docs sharing prefix AND suffix (one hot block) + 2 true near-dups
