@@ -201,6 +201,46 @@ object Analytics3 {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------- #109 cohort LTV
+
+  /** #109 orders_cohort_ltv: the acquisition-cohort revenue triangle —
+    * customers grouped by first-order month, revenue and active-buyer
+    * counts tracked by months-since-acquisition. The canonical
+    * lifetime-value report. Shape: one aggregate derives each
+    * customer's cohort month (key-proportional, stays distributed), a
+    * co-partitioned join tags every order with its customer's cohort
+    * (both sides shuffle on o_custkey — no key-proportional broadcast),
+    * and the triangle itself is a ≤ months² rollup. No windows over
+    * customers or orders anywhere. */
+  def ordersCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cohort = o.groupBy(col("o_custkey"))
+      .agg(min(trunc(col("o_orderdate"), "month")).as("cohort_month"))
+    o.join(cohort, "o_custkey")
+      .withColumn("month_diff",
+        (months_between(trunc(col("o_orderdate"), "month"), col("cohort_month")))
+          .cast("int"))
+      .groupBy(col("cohort_month").cast("string").as("cohort_month"),
+               col("month_diff"))
+      .agg(countDistinct(col("o_custkey")).as("active_cust"),
+           count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("cohort_month"), col("month_diff"))
+  }
+
+  val ordersCohortLtvSql: String =
+    s"""WITH cohort AS (
+       |  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+       |  FROM orders GROUP BY 1)
+       |SELECT strftime(c.cohort_month, '%Y-%m-%d') AS cohort_month,
+       |       CAST(datediff('month', c.cohort_month,
+       |                     date_trunc('month', o.o_orderdate)) AS INT) AS month_diff,
+       |       count(DISTINCT o.o_custkey) AS active_cust,
+       |       count(*) AS n_orders,
+       |       ${dsumSql("o_totalprice", 2)} AS revenue
+       |FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------ #104 Welch t-test
 
   /** #104 events_welch_t: pairwise Welch two-sample t-statistics

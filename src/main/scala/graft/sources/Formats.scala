@@ -13,7 +13,10 @@ import graft.Parity._
   * format — and the invariant that matters is that the FORMAT is
   * transparent: same rows in, same answer out.
   *
-  * Two deliberate schema choices document the formats' sharp edges:
+  * CSV completes the matrix as the headered text staple (explicit
+  * schema + header; doubles survive by shortest-representation
+  * printing). Two deliberate schema choices document the formats'
+  * sharp edges:
   * the round-trip projects (event_id, event_type, value) — no
   * timestamp, because Spark's default JSON timestamp serialization is
   * millisecond-granular (a µs-precision ts would round-trip LOSSY
@@ -33,6 +36,9 @@ object Formats {
       slice.write.mode(SaveMode.Overwrite).orc(s"$base/orc")
     if (!new java.io.File(s"$base/json/_SUCCESS").exists())
       slice.write.mode(SaveMode.Overwrite).json(s"$base/json")
+    if (!new java.io.File(s"$base/csv/_SUCCESS").exists())
+      slice.write.mode(SaveMode.Overwrite).option("header", "true")
+        .csv(s"$base/csv")
     base
   }
 
@@ -50,6 +56,8 @@ object Formats {
         .withColumn("fmt", lit(fmt))
     rollup(s.read.orc(s"$base/orc"), "orc")
       .unionByName(rollup(s.read.schema(schema).json(s"$base/json"), "json"))
+      .unionByName(rollup(
+        s.read.schema(schema).option("header", "true").csv(s"$base/csv"), "csv"))
       .select(col("fmt"), col("event_type"), col("n"), col("sum_value"),
               col("min_id"), col("max_id"))
       .orderBy(col("fmt"), col("event_type"))
@@ -65,7 +73,9 @@ object Formats {
     s"""SELECT fmt, event_type, n, sum_value, min_id, max_id FROM (
        |  SELECT 'orc' AS fmt, * FROM ($core)
        |  UNION ALL
-       |  SELECT 'json' AS fmt, * FROM ($core))
+       |  SELECT 'json' AS fmt, * FROM ($core)
+       |  UNION ALL
+       |  SELECT 'csv' AS fmt, * FROM ($core))
        |ORDER BY fmt, event_type""".stripMargin
   }
 }

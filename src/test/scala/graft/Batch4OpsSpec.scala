@@ -184,6 +184,25 @@ class Batch4OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------- orders_cohort_ltv
+
+  test("cohort ltv: triangle accounts for every order; month zero holds the whole cohort") {
+    import graft.operators.Analytics3
+    val out = Analytics3.ordersCohortLtv(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getInt(1) >= 0), "months-since-acquisition cannot be negative")
+    val o = Tables.orders(spark, sf)
+    assert(out.map(_.getLong(3)).sum == o.count(), "every order lands in one cell")
+    // month_diff = 0 active count per cohort == customers acquired that month
+    val m0 = out.filter(_.getInt(1) == 0)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val acquired = o.groupBy(col("o_custkey"))
+      .agg(min(trunc(col("o_orderdate"), "month")).cast("string").as("m"))
+      .groupBy("m").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m0 == acquired, "month-0 actives must equal the acquisition counts")
+  }
+
   // --------------------------------------------------- mm_phash_near_dup
 
   test("phash near-dup: is_dup pairs are exactly the identical-payload groups") {
@@ -207,13 +226,14 @@ class Batch4OpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------- events_format_roundtrip
 
-  test("format roundtrip: ORC and JSON agree row-for-row on the rollup") {
+  test("format roundtrip: ORC, JSON and CSV agree row-for-row on the rollup") {
     import graft.sources.Formats
     val out = Formats.eventsFormatRoundtrip(spark, sf).collect()
     assert(out.nonEmpty)
     val byFmt = out.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.toSeq.drop(1)).toSet }
-    assert(byFmt("orc") == byFmt("json"),
+    assert(byFmt.keySet == Set("orc", "json", "csv"))
+    assert(byFmt("orc") == byFmt("json") && byFmt("orc") == byFmt("csv"),
       "the storage format must be transparent to the answer")
   }
 
