@@ -41,6 +41,20 @@ object Bucketed {
     }
   }
 
+  /** The bucketed (lineitem, orders) pair for `dir`, written on first
+    * touch this session — shared by every query that joins the two
+    * facts on the order key (the layout pays for itself across the
+    * whole workload, not one query). */
+  private[graft] def factTables(s: SparkSession, dir: String,
+                                buckets: Int = 8): (DataFrame, DataFrame) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val (lt, ot) = (s"graft_li_bkt$tag", s"graft_ord_bkt$tag")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$tag"
+    writeBucketed(Tables.lineitem(s, dir), lt, s"$base/lineitem", buckets, "l_orderkey")
+    writeBucketed(Tables.orders(s, dir), ot, s"$base/orders", buckets, "o_orderkey")
+    (s.table(lt), s.table(ot))
+  }
+
   /** Bucketed lineitem ⋈ orders on the order key (tables written on
     * first touch per sf dir), revenue rollup by priority. The join
     * carries NO Exchange on either side: both scans emit
@@ -49,17 +63,44 @@ object Bucketed {
     * the bucket key) so it re-shuffles its ≤5-row partials — the cheap
     * exchange survives, the expensive two never happen. */
   def lineitemBucketedJoin(s: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-    val (lt, ot) = (s"graft_li_bkt$tag", s"graft_ord_bkt$tag")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$tag"
-    writeBucketed(Tables.lineitem(s, dir), lt, s"$base/lineitem", buckets, "l_orderkey")
-    writeBucketed(Tables.orders(s, dir), ot, s"$base/orders", buckets, "o_orderkey")
-    s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+    val (li, o) = factTables(s, dir, buckets)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** #110 supplier_lead_time: order-to-ship latency per supplier — the
+    * procurement SLA report. Rides the SAME bucketed layout as #97
+    * (written once, reused by every order-key join this session): the
+    * lineitem⋈orders join is exchange-free, then the per-supplier
+    * rollup shuffles only its map-side partials on l_suppkey. The lead
+    * distribution is decimal-exact mean + min/max + late-share (ship
+    * > 60 days after order). */
+  def supplierLeadTime(s: SparkSession, dir: String): DataFrame = {
+    val (li, o) = factTables(s, dir)
+    val lead = datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), lead.as("lead_days"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+           davg(col("lead_days").cast("double"), 4).as("mean_lead"),
+           min(col("lead_days")).as("min_lead"),
+           max(col("lead_days")).as("max_lead"),
+           r(dsum(when(col("lead_days") > 60, 1.0).otherwise(0.0)) /
+             count(lit(1)), 6).as("late_share"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val supplierLeadTimeSql: String =
+    s"""SELECT l_suppkey, count(*) AS n_items,
+       |       ${sqlR("CAST(sum(CAST(CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) / count(*)", 4)} AS mean_lead,
+       |       CAST(min(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_lead,
+       |       CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_lead,
+       |       ${sqlR("CAST(sum(CAST(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60 THEN 1.0 ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) / count(*)", 6)} AS late_share
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val lineitemBucketedJoinSql: String =
     s"""SELECT o_orderpriority, count(*) AS n_items,

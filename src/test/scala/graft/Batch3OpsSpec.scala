@@ -156,6 +156,40 @@ class Batch3OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  // --------------------------------------------------- supplier_lead_time
+
+  test("supplier lead time: rides the bucketed layout; stats match a direct recomputation") {
+    val out = Bucketed.supplierLeadTime(spark, sf).collect()
+    assert(out.nonEmpty)
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+              datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("d"))
+      .collect().groupBy(_.getLong(0))
+    out.take(20).foreach { r =>
+      val ds = direct(r.getLong(0)).map(_.getLong(1))
+      assert(r.getLong(1) == ds.length)
+      assert(r.getLong(3) == ds.min && r.getLong(4) == ds.max)
+      val mean = math.floor(ds.map(BigDecimal(_)).sum.toDouble / ds.length * 1e4 + 0.5) / 1e4
+      assert(math.abs(r.getDouble(2) - mean) < 1e-9)
+    }
+    // the order-key join consumes the bucket layout: no re-shuffle on
+    // either join key even with broadcast disabled
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(Bucketed.supplierLeadTime(spark, sf))
+      assert(!p.contains("hashpartitioning(l_orderkey"))
+      assert(!p.contains("hashpartitioning(o_orderkey"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pareto: approx boundary path also partitions every customer") {
+    val seg = operators.Analytics3.customerPareto(spark, sf, exact = false).collect()
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(seg.map(_.getLong(1)).sum == nCust)
+  }
+
   // ------------------------------------------------------ mhw_event_dist
 
   test("event dist: consistent with the detected event table") {
