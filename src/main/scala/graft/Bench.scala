@@ -130,7 +130,16 @@ object Bench {
     // successfully timed subset; full per-query map lives in
     // `queries_full`.
     val budget = 1600
-    val errNames = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the head must be bounded too: an error-heavy run (shared fixture
+    // breaking ~60 queries) would otherwise push errNames alone past
+    // the tail window and slice the parse target mid-JSON — the exact
+    // failure this line exists to prevent. Cap at 12 names + a count.
+    val errNames = {
+      val names = errors.keys.toSeq.sorted
+      val kept = names.take(12).map("\"" + _ + "\"")
+      val more = if (names.size > 12) Seq("\"+" + (names.size - 12) + " more\"") else Nil
+      (kept ++ more).mkString("[", ",", "]")
+    }
     val head =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${queries.size},"n_timed":${timed.size},""" +

@@ -61,4 +61,32 @@ object Parity {
   def sqlSum(x: String, d: Int): String = sqlR(sqlSum(x), d)
   def sqlAvg(x: String, d: Int): String =
     sqlR(s"${sqlSum(x)} / count($x)", d)
+
+  /** Linear-interpolation quantile over a PRE-SORTED array column — the
+    * explicit numpy-"linear" formula v_l + (v_u − v_l)·f, spelled out
+    * (instead of Spark's `percentile`) so the oracle engine computes
+    * the bit-identical IEEE expression. The single definition every
+    * exact-quantile operator (threshold chain, RFM/Pareto boundaries,
+    * event-duration percentiles) shares. */
+  def linQuantile(vs: Column, p: Double): Column = {
+    val n = size(vs)
+    val h = (n - 1) * lit(p)
+    val l = floor(h).cast("int")
+    val f = h - l
+    val vl = element_at(vs, l + 1)
+    val vu = element_at(vs, least(l + 2, n))
+    vl + (vu - vl) * f
+  }
+
+  /** DuckDB mirror of [[linQuantile]] as an aggregate expression over
+    * `list_sort(list(x))` (unrounded — wrap with [[sqlR]] at the call
+    * site to match the Spark side's stage rounding). */
+  def sqlQuantileAgg(x: String, p: Double): String = {
+    val l = s"CAST(floor((count($x) - 1) * $p) AS INT)"
+    val f = s"((count($x) - 1) * $p - floor((count($x) - 1) * $p))"
+    val vs = s"list_sort(list($x))"
+    val vl = s"$vs[$l + 1]"
+    val vu = s"$vs[LEAST($l + 2, CAST(count($x) AS INT))]"
+    s"($vl + ($vu - $vl) * $f)"
+  }
 }

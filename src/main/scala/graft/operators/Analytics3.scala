@@ -15,28 +15,11 @@ object Analytics3 {
 
   private val Dec = DataTypes.createDecimalType(38, 10)
 
-  /** numpy-"linear" interpolation quantile over a pre-sorted array —
-    * the same explicit formula both engines evaluate bit-identically
-    * (see Mhw.linQuantile). */
-  private def linQuantile(vs: Column, p: Double): Column = {
-    val n = size(vs)
-    val h = (n - 1) * lit(p)
-    val l = floor(h).cast("int")
-    val f = h - l
-    val vl = element_at(vs, l + 1)
-    val vu = element_at(vs, least(l + 2, n))
-    vl + (vu - vl) * f
-  }
-
-  /** DuckDB mirror of [[linQuantile]] over `list_sort(list(x))`. */
-  private def sqlQuantile(x: String, p: Double): String = {
-    val l = s"CAST(floor((count($x) - 1) * $p) AS INT)"
-    val f = s"((count($x) - 1) * $p - floor((count($x) - 1) * $p))"
-    val vs = s"list_sort(list($x))"
-    val vl = s"$vs[$l + 1]"
-    val vu = s"$vs[LEAST($l + 2, CAST(count($x) AS INT))]"
-    s"($vl + ($vu - $vl) * $f)"
-  }
+  /** Shared exact-quantile pair (see [[graft.Parity.linQuantile]]). */
+  private def linQuantile(vs: Column, p: Double): Column =
+    graft.Parity.linQuantile(vs, p)
+  private def sqlQuantile(x: String, p: Double): String =
+    graft.Parity.sqlQuantileAgg(x, p)
 
   // ------------------------------------------------------------- #92 RFM
 
@@ -126,10 +109,8 @@ object Analytics3 {
        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
-  private def dsumSql(x: String, d: Int): String =
-    sqlR(s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)", d)
-  private def davgSql(x: String, d: Int): String =
-    sqlR(s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE) / count($x)", d)
+  private def dsumSql(x: String, d: Int): String = sqlSum(x, d)
+  private def davgSql(x: String, d: Int): String = sqlAvg(x, d)
 
   // ---------------------------------------------- #93 lag feature builder
 
@@ -192,12 +173,16 @@ object Analytics3 {
     val sxy = dsum(col("x") * col("y"))
     val sxx = dsum(col("x") * col("x")); val syy = dsum(col("y") * col("y"))
     xy.groupBy(col("source"))
+      // one-token vocabularies have zero rank variance (0/0 slope):
+      // exclude rather than diverge on NULL-vs-NaN across engines
       .agg(count(lit(1)).as("n_vocab"),
            r((k * sxy - sx * sy) / (k * sxx - sx * sx), 6).as("slope"),
            r((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
              .as("intercept"),
-           r((k * sxy - sx * sy) * (k * sxy - sx * sy) /
-             ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6).as("r2"))
+           when(k * syy - sy * sy === 0, lit(null))
+             .otherwise(r((k * sxy - sx * sy) * (k * sxy - sx * sy) /
+               ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)).as("r2"))
+      .filter(col("n_vocab") >= 2)
       .orderBy(col("source"))
   }
 
@@ -260,6 +245,9 @@ object Analytics3 {
       .agg(count(lit(1)).cast("double").as("n"),
            dsum(col("value")).as("sx"),
            dsum(col("value") * col("value")).as("sxx"))
+      // a single-sample group has no variance: exclude it rather than
+      // let the 0/(n-1) division diverge across engines (NULL vs NaN)
+      .filter(col("n") >= 2)
       .select(col("event_type"), col("n"),
               (col("sx") / col("n")).as("mean"),
               ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
@@ -280,13 +268,13 @@ object Analytics3 {
   }
 
   val eventsWelchTSql: String = {
-    val sum = (x: String) => s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+    val sum = (x: String) => sqlSum(x)
     s"""WITH m AS (
        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
        |         ${sum("value")} / count(*) AS mean,
        |         (${sum("value * value")} - ${sum("value")} * ${sum("value")} / count(*))
        |           / (count(*) - 1) AS variance
-       |  FROM events GROUP BY 1)
+       |  FROM events GROUP BY 1 HAVING count(*) >= 2)
        |SELECT a.event_type AS type_a, b.event_type AS type_b,
        |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
        |       ${sqlR("(a.mean - b.mean) / sqrt(a.variance / a.n + b.variance / b.n)", 6)} AS t_stat,
@@ -362,7 +350,7 @@ object Analytics3 {
   }
 
   val docZipfFitSql: String = {
-    val sum = (x: String) => s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+    val sum = (x: String) => sqlSum(x)
     val k = "CAST(count(*) AS DOUBLE)"
     val sx = sum("x"); val sy = sum("y"); val sxy = sum("x * y")
     val sxx = sum("x * x"); val syy = sum("y * y")
@@ -380,7 +368,8 @@ object Analytics3 {
        |SELECT source, count(*) AS n_vocab,
        |       ${sqlR(slope, 6)} AS slope,
        |       ${sqlR(s"($sy - ($slope) * $sx) / $k", 6)} AS intercept,
-       |       ${sqlR(s"($k * $sxy - $sx * $sy) * ($k * $sxy - $sx * $sy) / (($k * $sxx - $sx * $sx) * ($k * $syy - $sy * $sy))", 6)} AS r2
-       |FROM xy GROUP BY 1 ORDER BY source""".stripMargin
+       |       CASE WHEN $k * $syy - $sy * $sy = 0 THEN NULL
+       |            ELSE ${sqlR(s"($k * $sxy - $sx * $sy) * ($k * $sxy - $sx * $sy) / (($k * $sxx - $sx * $sx) * ($k * $syy - $sy * $sy))", 6)} END AS r2
+       |FROM xy GROUP BY 1 HAVING count(*) >= 2 ORDER BY source""".stripMargin
   }
 }

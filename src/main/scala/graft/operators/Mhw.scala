@@ -101,19 +101,10 @@ object Mhw {
       .select(col("user_id"), wrapDoy(col("c_raw")).as("doy"), col("sst"))
   }
 
-  /** Linear-interpolation quantile over a pre-sorted array column, the
-    * explicit numpy-"linear" formula v_l + (v_u − v_l)·f. Spelled out
-    * (instead of Spark's `percentile`) so the oracle engine computes the
-    * bit-identical IEEE expression. */
-  private def linQuantile(vs: Column, p: Double): Column = {
-    val n = size(vs)
-    val h = (n - 1) * lit(p)
-    val l = floor(h).cast("int")
-    val f = h - l
-    val vl = element_at(vs, l + 1)
-    val vu = element_at(vs, least(l + 2, n))
-    vl + (vu - vl) * f
-  }
+  /** Linear-interpolation quantile over a pre-sorted array column (the
+    * shared [[graft.Parity.linQuantile]] definition). */
+  private def linQuantile(vs: Column, p: Double): Column =
+    graft.Parity.linQuantile(vs, p)
 
   /** Pooled per-DOY quantile (best-practice threshold before smoothing).
     * Strict skipna: any NaN observation in a window nulls that center.

@@ -333,14 +333,8 @@ object MhwSql {
   /** Corpus-wide event duration/intensity distribution — mirrors
     * Mhw.mhwEventDist (same explicit interpolation quantile). */
   val mhwEventDist: String = {
-    def q(x: String, p: Double): String = {
-      val l = s"CAST(floor((count($x) - 1) * $p) AS INT)"
-      val f = s"((count($x) - 1) * $p - floor((count($x) - 1) * $p))"
-      val vs = s"list_sort(list(CAST($x AS DOUBLE)))"
-      val vl = s"$vs[$l + 1]"
-      val vu = s"$vs[LEAST($l + 2, CAST(count($x) AS INT))]"
-      rr(s"$vl + ($vu - $vl) * $f", 6)
-    }
+    def q(x: String, p: Double): String =
+      rr(graft.Parity.sqlQuantileAgg(s"CAST($x AS DOUBLE)", p), 6)
     chain(0.6) +
     s"""SELECT count(*) AS n_events,
        |       count(DISTINCT user_id) AS n_series,

@@ -882,11 +882,16 @@ object Similarity {
       .agg(davg(col("x"), 6).as("c"))
     // persist the per-vector distances: both the label stats and the
     // final flagging pass consume them — without this the exploded
-    // corpus scan + centroid join runs twice (4 scans at 100 TB)
-    val dist = ex.join(broadcast(cent), Seq("label", "pos"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(dsum((col("x") - col("c")) * (col("x") - col("c")), 6).as("dist2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus scan + centroid join runs twice (4 scans at 100 TB).
+    // Through the Caches registry (not a raw .persist), so the block is
+    // released by Caches.clear / LRU eviction / session stop instead of
+    // pinning one copy per corpus for the JVM lifetime.
+    val dist = graft.Caches.persisted(emb.sparkSession,
+        ("emb_outlier_dist", emb.semanticHash())) {
+      ex.join(broadcast(cent), Seq("label", "pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(dsum((col("x") - col("c")) * (col("x") - col("c")), 6).as("dist2"))
+    }
     val n = count(lit(1)).cast("double")
     val s1 = dsum(col("dist2"))
     val s2 = dsum(col("dist2") * col("dist2"))

@@ -96,7 +96,8 @@ object Similarity2 {
                 .as("sq"))
       .localCheckpoint()
     var picked = Vector.empty[(Long, Double)]
-    while (picked.size < k) {
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
       val ids = picked.map(_._1)
       val next =
         if (ids.isEmpty)
@@ -113,8 +114,11 @@ object Similarity2 {
             .select(col("vec_id"),
                     r(lit(lam) * col("sq") - lit(1 - lam) * col("pen"), 6).as("score"))
         }
-      val row = next.orderBy(col("score").desc, col("vec_id")).limit(1).collect()(0)
-      picked :+= ((row.getLong(0), row.getDouble(1)))
+      val rows = next.orderBy(col("score").desc, col("vec_id")).limit(1).collect()
+      // candidate pool exhausted (corpus smaller than k): return the
+      // shorter shortlist rather than failing the selection
+      if (rows.isEmpty) exhausted = true
+      else picked :+= ((rows(0).getLong(0), rows(0).getDouble(1)))
     }
     import scala.jdk.CollectionConverters._
     s.createDataFrame(

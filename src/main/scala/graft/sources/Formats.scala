@@ -29,16 +29,23 @@ object Formats {
   private[graft] def stage(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_fmt$tag"
-    val slice = Tables.events(s, dir)
+    val src = s"$dir/events.parquet"
+    lazy val slice = Tables.events(s, dir)
       .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
       .select(col("event_id"), col("event_type"), col("value"))
-    if (!new java.io.File(s"$base/orc/_SUCCESS").exists())
+    if (!Staging.isFresh(s"$base/orc", src)) {
       slice.write.mode(SaveMode.Overwrite).orc(s"$base/orc")
-    if (!new java.io.File(s"$base/json/_SUCCESS").exists())
+      Staging.markStaged(s"$base/orc", src)
+    }
+    if (!Staging.isFresh(s"$base/json", src)) {
       slice.write.mode(SaveMode.Overwrite).json(s"$base/json")
-    if (!new java.io.File(s"$base/csv/_SUCCESS").exists())
+      Staging.markStaged(s"$base/json", src)
+    }
+    if (!Staging.isFresh(s"$base/csv", src)) {
       slice.write.mode(SaveMode.Overwrite).option("header", "true")
         .csv(s"$base/csv")
+      Staging.markStaged(s"$base/csv", src)
+    }
     base
   }
 

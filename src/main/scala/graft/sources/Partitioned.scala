@@ -34,12 +34,13 @@ object Partitioned {
   private[graft] def eventsPartitioned(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_part$tag/events"
-    val done = new java.io.File(s"$path/_SUCCESS")
-    if (!done.exists()) {
+    val src = s"$dir/events.parquet"
+    if (!Staging.isFresh(path, src)) {
       Tables.events(s, dir)
         .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
         .write.partitionBy("p_date")
         .mode(SaveMode.Overwrite).parquet(path)
+      Staging.markStaged(path, src)
     }
     path
   }
@@ -120,10 +121,12 @@ object Partitioned {
   def eventsBackfillOverwrite(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_backfill$tag/events"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    val src = s"$dir/events.parquet"
+    if (!Staging.isFresh(path, src)) {
       Tables.events(s, dir)
         .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
         .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+      Staging.markStaged(path, src)
     }
     val corrected = Tables.events(s, dir)
       .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))

@@ -77,9 +77,14 @@ object StreamingUpsert {
     }
     val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try {
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // initial load: STATIC overwrite, so a crashed first attempt's
+      // partial part-files are wiped rather than wedging every retry
+      // (ErrorIfExists would throw on the half-written dir forever);
+      // incremental merges: DYNAMIC, replacing only the read buckets.
+      s.conf.set("spark.sql.sources.partitionOverwriteMode",
+                 if (exists) "dynamic" else "static")
       merged.write.partitionBy("bucket")
-        .mode(if (exists) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+        .mode(SaveMode.Overwrite)
         .parquet(path)
     } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
