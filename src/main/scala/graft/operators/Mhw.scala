@@ -222,6 +222,31 @@ object Mhw {
   def climatologyBpRaw(s: SparkSession, dir: String): DataFrame =
     climatologyBp(daily(s, dir))
 
+  /** #11m clim_incremental: the MERGEABLE-PARTIALS form of the
+    * best-practice climatology — the property that makes the
+    * reference's core maintainable at 100 TB: a new month of data
+    * appends its per-(key, DOY) partials (decimal sum + count) and the
+    * climatology is re-derived from merged partials WITHOUT rescanning
+    * history. Demonstrated by splitting the daily series into
+    * disjoint halves, aggregating each half independently, merging,
+    * and finalizing — because the accumulator is exact decimal, the
+    * result is BIT-IDENTICAL to the direct single-pass build
+    * (spec-pinned against [[climatologyBpRaw]]; the oracle is the
+    * direct chain's own SQL). */
+  def climIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"), col("doy"))
+        .agg(sum(col("sst").cast(Dec)).as("s"), count(col("sst")).as("n"))
+    val half = pmod(dayofmonth(col("d")), lit(2))
+    partial(d.filter(half === 0)).unionByName(partial(d.filter(half === 1)))
+      .groupBy(col("user_id"), col("doy"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .select(col("user_id"), col("doy"),
+              r(col("s").cast("double") / col("n"), 6).as("seas"))
+  }
+
   /** best_practice.compute_climatology, smoothPercentile=true. Keyed
     * exchange first: the per-DOY mean then aggregates map-side and the
     * ×31 smoothing explode stays in-stage (one shuffle total), where

@@ -17,7 +17,7 @@ object Similarity2 {
   /** One 32-bit half of the sign sketch: bit i set iff component
     * offset+i is positive. Packed by a bounded fold over the index
     * sequence — exact integer arithmetic, identical in the oracle. */
-  private def packBits(offset: Int): Column = expr(
+  private[graft] def packBits(offset: Int): Column = expr(
     s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
        | (acc, i) -> acc + CASE
        |   WHEN element_at(embedding, i + ${offset + 1}) > CAST(0 AS FLOAT)

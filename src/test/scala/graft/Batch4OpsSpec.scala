@@ -184,6 +184,18 @@ class Batch4OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ clim_incremental
+
+  test("incremental climatology: merged partials are bit-identical to the direct build") {
+    import graft.operators.Mhw
+    val direct = Mhw.climatologyBpRaw(spark, sf)
+      .orderBy("user_id", "doy").collect().toSeq
+    val inc = Mhw.climIncremental(spark, sf)
+      .orderBy("user_id", "doy").collect().toSeq
+    assert(inc == direct, "decimal partial merge must reproduce the single-pass climatology exactly")
+    assert(inc.nonEmpty)
+  }
+
   // ----------------------------------------------------- orders_cohort_ltv
 
   test("cohort ltv: triangle accounts for every order; month zero holds the whole cohort") {

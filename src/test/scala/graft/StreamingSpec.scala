@@ -204,6 +204,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_knn: per-query top-k state folds across micro-batches; bit-identical to batch") {
+    import graft.streaming.StreamingKnn
+    import graft.operators.Similarity2
+    graft.functions.GraftFunctions.ensure(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cut = emb.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_sknn").toString
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> emb.filter(col("vec_id") <= cut),
+      "b=1" -> emb.filter(col("vec_id") > cut)))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+              Similarity2.packBits(0).as("q_lo"), Similarity2.packBits(32).as("q_hi"))
+    val sink = StreamingKnn.runKnnStream(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+      queries, "sknn_batches", 5)
+    assert(sink.select("upd").agg(max(col("upd"))).collect()(0).getInt(0) >= 2,
+      "expected the fold to run across >= 2 micro-batches")
+    val streamed = StreamingKnn.finalShortlists(sink)
+      .orderBy("q_id", "rank").collect().toSeq
+    val batch = Similarity2.embHammingKnn(spark, sf)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_sessionize: state carries across micro-batches") {
     import org.apache.spark.sql.functions._
     // split events at the median ts into two files; maxFilesPerTrigger=1
