@@ -59,6 +59,49 @@ object TextOps2 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---------------------------------------------- #112 BPE pair counts
+
+  /** #112 bpe_pair_counts: the inner statistic of byte-pair-encoding
+    * tokenizer training — corpus-weighted adjacent-symbol pair counts
+    * (the quantity each BPE merge round maximizes; Sennrich et al.
+    * 2016). The scale shape is what makes BPE trainable on a 100 TB
+    * corpus: the corpus collapses to the WORD VOCABULARY first (one
+    * hash aggregate; heavy-tailed dedup — "the" counts once with
+    * weight n), and the character-pair explode runs over vocabulary ×
+    * word-length, not corpus tokens. Top pairs come from sort+limit
+    * (TakeOrdered, O(k) per partition), never a ranking window. */
+  def bpePairCounts(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("w"), col("freq"),
+              explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(1)).as("sym_a"),
+              col("w").substr(col("i") + 1, lit(1)).as("sym_b"),
+              col("freq"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("sym_a"), col("sym_b"))
+      .limit(topK)
+  }
+
+  def bpePairCountsSql(topK: Int = 20): String =
+    s"""WITH vocab AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |pairs AS (
+       |  SELECT substr(w, CAST(i.i AS INT), 1) AS sym_a,
+       |         substr(w, CAST(i.i AS INT) + 1, 1) AS sym_b, freq
+       |  FROM vocab CROSS JOIN LATERAL
+       |    (SELECT unnest(range(1, length(w))) AS i) i)
+       |SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS n
+       |FROM pairs GROUP BY 1, 2
+       |ORDER BY n DESC, sym_a, sym_b LIMIT $topK""".stripMargin
+
   /** Oracle: identical block keys, cap, window and distance. */
   def docFuzzyMatchSql(maxDist: Int = 12, maxBlock: Int = FuzzyMaxBlock): String =
     s"""WITH d AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),

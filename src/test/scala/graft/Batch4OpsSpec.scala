@@ -184,6 +184,29 @@ class Batch4OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ bpe_pair_counts
+
+  test("bpe pair counts: match a driver-side recount; descending with deterministic ties") {
+    import graft.operators.TextOps2
+    val out = TextOps2.bpePairCounts(spark, sf).collect()
+    assert(out.length > 0 && out.length <= 20)
+    val ns = out.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).trim.toLowerCase.split(" ").filter(_.length >= 2).foreach { w =>
+        w.sliding(2).foreach { p =>
+          counts((p.substring(0, 1), p.substring(1, 2))) =
+            counts.getOrElse((p.substring(0, 1), p.substring(1, 2)), 0L) + 1
+        }
+      }
+    }
+    out.foreach { r =>
+      assert(r.getLong(2) == counts((r.getString(0), r.getString(1))),
+        s"pair (${r.getString(0)},${r.getString(1)}) count mismatch")
+    }
+  }
+
   // ------------------------------------------------------ clim_incremental
 
   test("incremental climatology: merged partials are bit-identical to the direct build") {
