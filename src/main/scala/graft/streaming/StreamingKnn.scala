@@ -45,7 +45,11 @@ object StreamingKnn {
     rows.foreach { r =>
       val p = KnnPair(r.hamming, r.vec_id)
       if (set.size < k) set.add(p)
-      else if (ord.lt(p, set.last)) { set.add(p); set.remove(set.last) }
+      // size-guarded evict: a DUPLICATE pair re-arriving must not shrink
+      // the set (TreeSet.add is then a no-op and nothing may be removed)
+      else if (ord.lt(p, set.last)) {
+        set.add(p); if (set.size > k) set.remove(set.last)
+      }
     }
     val next = KnnTopRow(qId, state.getOption.map(_.upd).getOrElse(0) + 1,
       set.toSeq)
