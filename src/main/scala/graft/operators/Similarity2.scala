@@ -73,6 +73,55 @@ object Similarity2 {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // -------------------------------------------------- #113 centroid drift
+
+  /** #113 emb_centroid_drift: embedding DISTRIBUTION-SHIFT monitor —
+    * split the corpus into two cohorts (here: vec_id parity standing in
+    * for yesterday/today), compare per-label centroids, report the L2
+    * drift per label. The production early-warning for upstream
+    * encoder/data changes: centroids are label-count × dim aggregates
+    * (map-side combinable, nothing key-proportional crosses the wire),
+    * the drift compare is a |labels|-row join. Decimal-exact component
+    * means, 6dp-rounded before the distance so the oracle replays
+    * bit-identically. */
+  def embCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+              col("col").cast("double").as("x"))
+    def centroid(df: DataFrame): DataFrame =
+      df.groupBy(col("label"), col("pos"))
+        .agg(graft.Parity.davg(col("x"), 6).as("c"), count(lit(1)).as("n"))
+    val a = centroid(e.filter(pmod(col("vec_id"), lit(2)) === 0))
+      .select(col("label"), col("pos"), col("c").as("ca"), col("n").as("na"))
+    val b = centroid(e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      .select(col("label"), col("pos"), col("c").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+           r(sqrt(dsum((col("ca") - col("cb")) * (col("ca") - col("cb")))), 6)
+             .as("drift_l2"))
+      .orderBy(col("label"))
+  }
+
+  val embCentroidDriftSql: String = {
+    val davg6 = "floor((CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(x)) * 1e6 + 0.5) / 1e6"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, u.i AS pos, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN LATERAL
+       |    (SELECT unnest(range(0, len(embedding))) AS i) u),
+       |ca AS (SELECT label, pos, $davg6 AS c, count(*) AS n
+       |       FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+       |cb AS (SELECT label, pos, $davg6 AS c, count(*) AS n
+       |       FROM e WHERE vec_id % 2 = 1 GROUP BY 1, 2)
+       |SELECT ca.label,
+       |       CAST(min(ca.n) AS BIGINT) AS n_a,
+       |       CAST(min(cb.n) AS BIGINT) AS n_b,
+       |       ${sqlR("sqrt(CAST(sum(CAST((ca.c - cb.c) * (ca.c - cb.c) AS DECIMAL(38,10))) AS DOUBLE))", 6)} AS drift_l2
+       |FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------- #96 MMR
 
   /** #96 emb_mmr: maximal-marginal-relevance selection (Carbonell &

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Parity.{r, sqlR}
 import graft.sources.Tables
 
 /** Round-5 batch-4 text operators (SURVEY §2 #101+). */
@@ -58,6 +59,48 @@ object TextOps2 {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // -------------------------------------------------- #114 OOV rate
+
+  /** #114 doc_oov_rate: out-of-vocabulary token share per source
+    * against the corpus's own top-K vocabulary — the curation metric
+    * for "how much of this source a fixed tokenizer/vocab would shatter
+    * into unknowns". The vocabulary is a bounded sort+limit over the
+    * token-count aggregate (TakeOrdered — never a ranking window), then
+    * broadcasts (K rows) for a map-side membership tag; per-source
+    * rates are one partial-agg rollup. Deterministic vocab ties break
+    * on the token text. */
+  def docOovRate(s: SparkSession, dir: String, vocabK: Int = 1000): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+              explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabK)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+              r(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  def docOovRateSql(vocabK: Int = 1000): String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS n FROM toks GROUP BY 1
+       |    ORDER BY n DESC, tok LIMIT $vocabK)),
+       |tagged AS (
+       |  SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+       |SELECT source, count(*) AS n_tokens,
+       |       CAST(sum(oov) AS BIGINT) AS n_oov,
+       |       ${sqlR("CAST(sum(oov) AS DOUBLE) / count(*)", 6)} AS oov_rate
+       |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------- #112 BPE pair counts
 

