@@ -34,15 +34,27 @@ object Similarity2 {
     * no shuffle of scored pairs. Sign-of-component is the classic SimHash
     * family with identity hyperplanes (embeddings arrive ~zero-centered);
     * ordering ties break on vec_id for determinism. */
+  /** (vec_id, lo, hi) sign-sketch packing — the ONE definition of the
+    * 64-bit sketch, shared with the streaming kNN so the stream/batch
+    * bit-identity can't silently split. */
+  private[graft] def packCols(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), packBits(0).as("lo"), packBits(32).as("hi"))
+
+  /** The broadcastable query-side projection of a packed frame. */
+  private[graft] def packedQueries(packed: DataFrame, nQueries: Int): DataFrame =
+    packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+
+  /** XOR-popcount distance between a packed row and a packed query. */
+  private[graft] def hammingExpr: Column =
+    (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)")).cast("int")
+
   def embHammingKnn(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val packed = Tables.embeddings(s, dir)
-      .select(col("vec_id"), packBits(0).as("lo"), packBits(32).as("hi"))
-    val qs = packed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val packed = packCols(Tables.embeddings(s, dir))
+    val qs = packedQueries(packed, nQueries)
     packed.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-      .withColumn("hamming",
-        (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)")).cast("int"))
+      .withColumn("hamming", hammingExpr)
       .groupBy(col("q_id"))
       .agg(call_function("collect_top_k",
         struct((-col("hamming")).as("neg_h"), (-col("vec_id")).as("neg_id")),
@@ -84,21 +96,32 @@ object Similarity2 {
     * the drift compare is a |labels|-row join. Decimal-exact component
     * means, 6dp-rounded before the distance so the oracle replays
     * bit-identically. */
-  def embCentroidDrift(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("label"), col("pos"),
+  def embCentroidDrift(s: SparkSession, dir: String): DataFrame =
+    embCentroidDriftDf(Tables.embeddings(s, dir))
+
+  /** DataFrame-generic core (the spec drives a synthetic twin frame
+    * through THIS path). One conditional-aggregation pass computes both
+    * cohorts' centroids — the corpus explodes and shuffles once, no
+    * cohort join. `vec_id % 2` (signed, like the oracle's `%`), not
+    * pmod, so the cohort rule stays definitionally identical to the
+    * SQL for any id domain. Labels present in only one cohort are
+    * dropped (the oracle's inner-join semantics). */
+  def embCentroidDriftDf(emb: DataFrame): DataFrame = {
+    // both cohort predicates spelled like the oracle's (`% 2 = 0` /
+    // `% 2 = 1`, signed): a negative id lands in NEITHER cohort in both
+    // engines, rather than defaulting into B via negation
+    val e = emb.select(col("label"), (col("vec_id") % 2).as("par"),
+                       posexplode(col("embedding")))
+      .select(col("label"), col("par"), col("pos"),
               col("col").cast("double").as("x"))
-    def centroid(df: DataFrame): DataFrame =
-      df.groupBy(col("label"), col("pos"))
-        .agg(graft.Parity.davg(col("x"), 6).as("c"), count(lit(1)).as("n"))
-    val a = centroid(e.filter(pmod(col("vec_id"), lit(2)) === 0))
-      .select(col("label"), col("pos"), col("c").as("ca"), col("n").as("na"))
-    val b = centroid(e.filter(pmod(col("vec_id"), lit(2)) === 1))
-      .select(col("label"), col("pos"), col("c").as("cb"), col("n").as("nb"))
-    a.join(b, Seq("label", "pos"))
+    val xa = when(col("par") === 0, col("x"))
+    val xb = when(col("par") === 1, col("x"))
+    e.groupBy(col("label"), col("pos"))
+      .agg(graft.Parity.davg(xa, 6).as("ca"), count(xa).as("na"),
+           graft.Parity.davg(xb, 6).as("cb"), count(xb).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
       .groupBy(col("label"))
-      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
            r(sqrt(dsum((col("ca") - col("cb")) * (col("ca") - col("cb")))), 6)
              .as("drift_l2"))
       .orderBy(col("label"))

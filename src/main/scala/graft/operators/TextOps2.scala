@@ -71,16 +71,24 @@ object TextOps2 {
     * rates are one partial-agg rollup. Deterministic vocab ties break
     * on the token text. */
   def docOovRate(s: SparkSession, dir: String, vocabK: Int = 1000): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("source"),
-              explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // ONE tokenize+explode pass: the corpus reduces to (source, tok, n)
+    // counts first; the global vocabulary is a rollup of that frame and
+    // the OOV rates re-aggregate the same frame weighted by n — the
+    // expensive scan never runs twice
+    val counts = graft.Caches.persisted(s, ("oov_counts", dir, "v1")) {
+      Tables.documents(s, dir)
+        .select(col("source"),
+                explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    }
+    val vocab = counts.groupBy(col("tok")).agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(vocabK)
       .select(col("tok"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
+    counts.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"),
-           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+           sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).cast("long")
+             .as("n_oov"))
       .select(col("source"), col("n_tokens"), col("n_oov"),
               r(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
       .orderBy(col("source"))

@@ -58,25 +58,21 @@ object StreamingKnn {
   }
 
   /** The fold pipeline over any packed-embedding frame (streaming or
-    * batch): score vs the broadcast queries, fold per query. */
+    * batch): score vs the broadcast queries (the SAME packing and
+    * distance expressions as the batch operator — hoisted into
+    * Similarity2 so the pinned bit-identity can't drift), fold per
+    * query. */
   private[graft] def knnFold(packed: DataFrame, queries: DataFrame,
                              k: Int): Dataset[KnnTopRow] = {
     val s = packed.sparkSession
     import s.implicits._
     packed.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"),
-        (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)"))
-          .cast("int").as("hamming"),
-        col("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("hamming")).as[KnnIn]
+      .select(col("q_id"), col("vec_id"), Similarity2.hammingExpr.as("hamming"))
+      .as[KnnIn]
       .groupByKey(_.q_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         foldKnn(k))
   }
-
-  private def packCols(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), Similarity2.packBits(0).as("lo"),
-              Similarity2.packBits(32).as("hi"))
 
   /** Drive the kNN stream over `source` (raw embedding rows) and
     * return the drained sink name's final shortlists. */
@@ -84,7 +80,7 @@ object StreamingKnn {
                                   queries: DataFrame, name: String,
                                   k: Int): DataFrame = {
     Streaming.withStreamPartitions(s) {
-      val q = knnFold(packCols(source), queries, k)
+      val q = knnFold(Similarity2.packCols(source), queries, k)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update)
         .trigger(Trigger.AvailableNow()).start()
@@ -113,10 +109,8 @@ object StreamingKnn {
                 nQueries: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
     val name = s"knn_${System.nanoTime()}"
-    val queries = packCols(Tables.embeddings(s, dir))
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"),
-              col("hi").as("q_hi"))
+    val queries = Similarity2.packedQueries(
+      Similarity2.packCols(Tables.embeddings(s, dir)), nQueries)
     val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
     val source = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)

@@ -189,21 +189,21 @@ class Batch4OpsSpec extends AnyFunSuite {
   test("centroid drift: zero between identical cohorts; detects an injected shift") {
     import spark.implicits._
     import graft.operators.Similarity2
-    // identical halves → drift exactly 0 (vec 2i and 2i+1 share a vector)
+    // identical halves → drift exactly 0 (vec 2i and 2i+1 share a
+    // vector), driven through the REAL operator core
     val twin = (0L until 40L).map(i => (i, Seq.fill(8)((i / 2 % 7).toFloat - 3f), (i / 2 % 3).toInt))
       .toDF("vec_id", "embedding", "label")
-    // reuse the operator body via a local replica of its split on a custom frame:
-    val drift0 = {
-      val e = twin.select(col("vec_id"), col("label"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("label"), col("pos"), col("col").cast("double").as("x"))
-      def c(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("label"), col("pos"))
-        .agg(Parity.davg(col("x"), 6).as("c"))
-      val a = c(e.filter(pmod(col("vec_id"), lit(2)) === 0)).withColumnRenamed("c", "ca")
-      val b = c(e.filter(pmod(col("vec_id"), lit(2)) === 1)).withColumnRenamed("c", "cb")
-      a.join(b, Seq("label", "pos"))
-        .agg(max(abs(col("ca") - col("cb")))).collect()(0).getDouble(0)
-    }
-    assert(drift0 == 0.0, "identical cohorts must show zero centroid drift")
+    val drifts0 = Similarity2.embCentroidDriftDf(twin).collect()
+    assert(drifts0.nonEmpty)
+    drifts0.foreach(r => assert(r.getDouble(3) == 0.0,
+      s"identical cohorts must show zero centroid drift: $r"))
+    // an injected shift in one cohort is detected
+    val shifted = twin.withColumn("embedding",
+      when(col("vec_id") % 2 === 1 && col("label") === 0,
+           transform(col("embedding"), x => x + 2f)).otherwise(col("embedding")))
+    val driftMap = Similarity2.embCentroidDriftDf(shifted).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(driftMap(0) > 1.0 && driftMap(1) == 0.0 && driftMap(2) == 0.0)
     // the real operator output: sane shape, non-negative drift
     val out = Similarity2.embCentroidDrift(spark, sf).collect()
     assert(out.nonEmpty)

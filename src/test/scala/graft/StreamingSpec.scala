@@ -214,9 +214,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = stageSplit(dir, Seq(
       "b=0" -> emb.filter(col("vec_id") <= cut),
       "b=1" -> emb.filter(col("vec_id") > cut)))
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"),
-              Similarity2.packBits(0).as("q_lo"), Similarity2.packBits(32).as("q_hi"))
+    val queries = Similarity2.packedQueries(Similarity2.packCols(emb), 5)
     val sink = StreamingKnn.runKnnStream(spark,
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
