@@ -43,15 +43,11 @@ object BenchGrid {
     sys.env.get("SPARK_GRAFT_KEYDIM_BCAST")
       .foreach(v => spark.conf.set(Hints.BroadcastKeyDims, v))
     val keyDimBcast = spark.conf.get(Hints.BroadcastKeyDims, "true")
-    // On a real cluster shuffle.partitions scales with the data, not the
-    // local core count: at ×100 (348 M points) 32 partitions put ~120 M
-    // exploded pooling rows in each aggregation task → sort-spill, the
-    // measured superlinearity of the first ×100 run. The knob mirrors
-    // what any deployment does (set partitions ∝ input volume); oracle
-    // parity is untouched (partitioning never changes values here).
-    sys.env.get("SPARK_GRAFT_SHUFFLE")
-      .foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    // Shuffle partitions scale with data volume, not core count — the
+    // rule is automatic (GraftSession.autoScaleShuffle, applied after
+    // the input materializes below); SPARK_GRAFT_SHUFFLE remains as an
+    // explicit override for A/B runs.
+    val shuffleOverride = sys.env.get("SPARK_GRAFT_SHUFFLE")
     val nCells = 17 * 17 * scale
     val d0 = java.sql.Date.valueOf("1982-01-01")
     val nDays = java.time.temporal.ChronoUnit.DAYS.between(
@@ -77,6 +73,16 @@ object BenchGrid {
     // generation is not part of either side's measurement)
     val dl = grid().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPoints = dl.count()
+
+    // Volume rule: size shuffle partitions to the materialized input ×
+    // the pooling chain's in-stage fan-out (each daily row explodes to
+    // 2·hw+1 window centers whose collect_list partials are resident in
+    // the aggregation task). This is what turned the hand-set
+    // SPARK_GRAFT_SHUFFLE lesson of the ×30/×100 runs into a rule.
+    val shufflePartitions = shuffleOverride match {
+      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v); v.toInt
+      case None    => GraftSession.autoScaleShuffle(dl, amplification = 11.0)
+    }
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()

@@ -19,6 +19,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
 
+  /** When `true` on a session, [[persisted]]/[[getOrUpdate]] return the
+    * freshly-built frame with NO persist and NO memoization, so
+    * `explain` sees the full builder plan instead of an
+    * InMemoryRelation stub. Set by [[graft.PlanAudit]] (explain-only —
+    * nothing executes, so skipping the persist costs nothing); never
+    * set on an executing session, where it would rebuild the severity
+    * chain per consumer. */
+  val PlanAuditConf = "spark.graft.planAudit"
+
+  private[graft] def auditing(s: SparkSession): Boolean =
+    s.conf.get(PlanAuditConf, "false").toBoolean
+
   private final case class Entry(session: SparkSession, df: DataFrame)
 
   private val maxEntries = 64
@@ -53,7 +65,8 @@ object Caches {
   /** Memoize `build` (which should return an already-persisted frame)
     * under (session, key). LRU: re-access moves the entry to the back;
     * past [[maxEntries]] the oldest entry is unpersisted and dropped. */
-  def getOrUpdate(s: SparkSession, key: Any)(build: => DataFrame): DataFrame =
+  def getOrUpdate(s: SparkSession, key: Any)(build: => DataFrame): DataFrame = {
+    if (auditing(s)) return build
     synchronized {
       entries.filterInPlace { case (_, e) =>
         val dead = e.session.sparkContext.isStopped
@@ -79,10 +92,34 @@ object Caches {
           df
       }
     }
+  }
 
-  /** Convenience: memoize + persist MEMORY_AND_DISK in one call. */
+  /** Storage policy for the memoized chain tables. Default
+    * `MEMORY_AND_DISK` is single-host-lifetime storage — right for
+    * local/bench, but on a cluster an executor loss silently recomputes
+    * (persist) the whole upstream chain. A deployment sets:
+    *  - any [[StorageLevel]] name (e.g. `MEMORY_AND_DISK_2`): replicated
+    *    blocks survive one executor loss with no DFS round-trip;
+    *  - `RELIABLE`: fault-tolerant `checkpoint` to the session's
+    *    configured checkpoint directory (`sc.setCheckpointDir`) — blocks
+    *    land on the DFS and survive any number of executor losses (the
+    *    same posture [[Lineage.cut]] takes for iterative operators).
+    * Values are storage-only: spec-pinned to leave results unchanged. */
+  val ChainStorageConf = "spark.graft.chainStorage"
+
+  private def chainStore(s: SparkSession, df: DataFrame): DataFrame =
+    s.conf.get(ChainStorageConf, "MEMORY_AND_DISK").toUpperCase match {
+      case "RELIABLE" =>
+        require(s.sparkContext.getCheckpointDir.isDefined,
+          s"$ChainStorageConf=RELIABLE needs sc.setCheckpointDir(...)")
+        df.checkpoint(eager = false)
+      case lvl => df.persist(StorageLevel.fromString(lvl))
+    }
+
+  /** Convenience: memoize + store (per [[ChainStorageConf]]) in one call. */
   def persisted(s: SparkSession, key: Any)(build: => DataFrame): DataFrame =
-    getOrUpdate(s, key)(build.persist(StorageLevel.MEMORY_AND_DISK))
+    if (auditing(s)) build
+    else getOrUpdate(s, key)(chainStore(s, build))
 
   /** Unpersist and drop every entry owned by `s` (long-lived drivers call
     * this between corpora; Verify/Bench call it before stop). */

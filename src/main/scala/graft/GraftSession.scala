@@ -14,6 +14,56 @@ import org.apache.spark.sql.SparkSession
   *   default; on a real cluster this is set ∝ executors
   */
 object GraftSession {
+
+  /** Post-amplification bytes one shuffle/aggregation task should hold
+    * in memory. 256 MB leaves headroom under the default 60%-of-heap
+    * execution fraction with 32 concurrent tasks on a 128 GiB local JVM,
+    * and matches the per-task budget a 4–8 GiB-executor cluster plans
+    * for. */
+  val AutoShuffleTargetBytes: Long = 256L << 20
+
+  /** Volume rule for `spark.sql.shuffle.partitions`: enough partitions
+    * that one task's working set — input bytes × in-stage amplification
+    * (explodes, collect_list pooling) — fits [[AutoShuffleTargetBytes]],
+    * floored at the core count (never starve the machine) and capped
+    * (scheduling overhead bound). This is the rule the ×30/×100 grid
+    * runs proved by hand: at 104 M points the default core-count
+    * partitions put ~36 M exploded pooling rows in each aggregation
+    * task → sort-spill (warm 167 s); partitions ∝ volume recovers 88 s
+    * (BENCH_GRID_x30_r5.json). On a cluster the same rule applies with
+    * the cluster's total cores as the floor. */
+  def shufflePartitionsFor(
+      inputBytes: Long, cores: Int,
+      amplification: Double = 1.0, cap: Int = 4096): Int = {
+    val byVolume =
+      math.ceil(inputBytes.toDouble * amplification / AutoShuffleTargetBytes)
+    val n = if (byVolume.isNaN || byVolume > cap) cap else byVolume.toInt
+    // round UP to whole scheduling waves (a multiple of the core count):
+    // a ragged last wave leaves cores idle exactly on the heaviest stage
+    // (x30 A/B: 120 partitions = 3.75 waves measured materially slower
+    // than 128 = 4 waves on the same data)
+    val waves = math.max(1, math.ceil(math.max(cores, n).toDouble / cores).toInt)
+    math.min(cap, waves * cores)
+  }
+
+  /** Apply [[shufflePartitionsFor]] to a session using `df`'s Catalyst
+    * size estimate as the input volume (for a persisted + materialized
+    * frame the estimate is the actual cached size). Returns the chosen
+    * partition count. `amplification` is the caller's known in-stage
+    * fan-out downstream of the shuffle — e.g. the MHW pooling explode is
+    * ×(2·hw+1) — because the spill driver is the task's working set, not
+    * the exchange's wire bytes. */
+  def autoScaleShuffle(df: org.apache.spark.sql.DataFrame,
+                       amplification: Double = 1.0): Int = {
+    val s = df.sparkSession
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cores = s.sparkContext.defaultParallelism
+    val n = shufflePartitionsFor(
+      if (bytes.isValidLong) bytes.toLong else Long.MaxValue, cores, amplification)
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    n
+  }
+
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +87,9 @@ object GraftSession {
       // PlanAudit) override via env: the conf is static, so it must be
       // decided before the JVM's first session.
       .config("spark.sql.maxPlanStringLength",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "8192"))
+        sys.props.get("SPARK_GRAFT_MAX_PLAN_STR")
+          .orElse(sys.env.get("SPARK_GRAFT_MAX_PLAN_STR"))
+          .getOrElse("8192"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -24,4 +24,16 @@ object Lineage {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
+
+  /** Eagerly materialize a frame that several downstream stages consume
+    * (input pin). Under [[Caches.PlanAuditConf]] the frame is returned
+    * unchanged: PlanAudit only explains — never executes — and a
+    * checkpoint would both run a job and replace the real builder plan
+    * with an RDD-scan stub, the round-5 audit blind spot. */
+  def pin(df: DataFrame): DataFrame =
+    if (Caches.auditing(df.sparkSession)) df else df.localCheckpoint()
+
+  /** Non-eager variant of [[pin]] (materializes on first action). */
+  def pinLazy(df: DataFrame): DataFrame =
+    if (Caches.auditing(df.sparkSession)) df else df.localCheckpoint(false)
 }

@@ -9,7 +9,17 @@ package graft
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // explain strings must not truncate (regex-counted below) — the
+    // audit session uncaps maxPlanStringLength (static conf, so it is
+    // decided via system property before the JVM's first session)
+    if (!sys.props.contains("SPARK_GRAFT_MAX_PLAN_STR"))
+      sys.props("SPARK_GRAFT_MAX_PLAN_STR") = (64 << 20).toString
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // bypass memoization/persist/localCheckpoint pins: the audit only
+    // explains, and a pinned frame's InMemoryRelation / RDD-scan stub
+    // hides the real pooling/join chain (the round-5 MHW blind spot —
+    // all mhw_* rows read exchanges:0, scans:0)
+    spark.conf.set(Caches.PlanAuditConf, "true")
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // streaming entries execute eagerly on construction — skip them
       // here (their shapes are pinned in StreamingSpec)

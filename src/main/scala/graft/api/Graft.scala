@@ -47,6 +47,47 @@ object Graft {
   /** Leap-normalized DOY (Feb 29 = 60, Mar 1 = 61, every year). */
   def climDoy(c: Column): Column = DoyFunctions.climDoy(c)
 
+  /** The reference's temperature-variable preference order
+    * (`_pick_temp_var`, common/core.py:142-150). */
+  val TempVarPreference: Seq[String] =
+    Seq("sst", "temp", "thetao", "tas", "temperature", "T", "SST")
+
+  /** Multi-variable dataset entry mirroring the reference's `varname=`
+    * kwarg + `_pick_temp_var` fallback (common/core.py:142-150): given a
+    * long-format frame holding SEVERAL candidate value columns, resolve
+    * which one is the series variable and return the config to use.
+    *
+    *  - explicit `varname` wins (like `obj[varname]`), validated against
+    *    the schema;
+    *  - else the first name in [[TempVarPreference]] present as a
+    *    numeric non-key/non-time column (the reference requires the
+    *    candidate to carry the time dim; in long format every column
+    *    rides the time axis, so column existence is the analog);
+    *  - else the first numeric non-key/non-time column in schema order
+    *    (the reference's "first data var with time in dims");
+    *  - else IllegalArgumentException, matching the reference's
+    *    ValueError. */
+  def pickTempVar(df: DataFrame, cfg: SeriesConfig = SeriesConfig(),
+                  varname: Option[String] = None): SeriesConfig = {
+    val reserved = (cfg.keyCols :+ cfg.timeCol).toSet
+    varname match {
+      case Some(v) =>
+        require(df.columns.contains(v), s"varname '$v' not in schema ${df.columns.mkString(", ")}")
+        cfg.copy(valueCol = v)
+      case None =>
+        val numeric = df.schema.fields
+          .filter(f => !reserved(f.name) &&
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          .map(_.name)
+        val chosen = TempVarPreference.find(numeric.contains)
+          .orElse(numeric.headOption)
+          .getOrElse(throw new IllegalArgumentException(
+            "Could not find a temperature-like numeric variable " +
+            s"(non-key, non-time) in schema ${df.columns.mkString(", ")}"))
+        cfg.copy(valueCol = chosen)
+    }
+  }
+
   /** The canonical series key for a config: the bare column for a flat
     * key, a named struct of the key columns for a multi-dim grid. */
   private def keyExpr(cfg: SeriesConfig): Column = cfg.keyCols match {
@@ -163,8 +204,7 @@ object Graft {
     * chronological event ordinal — long format needs no padding rows. */
   def calculateMhwMetrics(severity: DataFrame, minDuration: Int = 5,
                           maxGap: Int = 2, maxEvents: Int = 200): DataFrame =
-    Mhw.detectEvents(severity, minDuration, maxGap)
-      .filter(col("evt") <= maxEvents)
+    Mhw.detectEvents(severity, minDuration, maxGap, maxEvents)
 
   /** common.calculate_mhw_metrics variant (b) (core.py:130-165): when
     * the caller holds climatology tables rather than a severity frame,

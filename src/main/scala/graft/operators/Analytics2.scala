@@ -238,7 +238,7 @@ object Analytics2 {
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
-      .localCheckpoint(false)
+      .transform(graft.Lineage.pinLazy)
     // total-orders is a lazy broadcast scalar, not a driver-side count —
     // constructing the plan must never run a job
     val tot = ob.agg(countDistinct(col("ok")).cast("double").as("n_total"))

@@ -278,7 +278,7 @@ object Analytics3 {
        |SELECT a.event_type AS type_a, b.event_type AS type_b,
        |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
        |       ${sqlR("(a.mean - b.mean) / sqrt(a.variance / a.n + b.variance / b.n)", 6)} AS t_stat,
-       |       ${sqlR("pow(a.variance / a.n + b.variance / b.n, 2) / (pow(a.variance / a.n, 2) / (a.n - 1) + pow(b.variance / b.n, 2) / (b.n - 1))", 6)} AS df_welch
+       |       ${sqlR("(a.variance / a.n + b.variance / b.n) * (a.variance / a.n + b.variance / b.n) / ((a.variance / a.n) * (a.variance / a.n) / (a.n - 1) + (b.variance / b.n) * (b.variance / b.n) / (b.n - 1))", 6)} AS df_welch
        |FROM m a JOIN m b ON a.event_type < b.event_type
        |ORDER BY 1, 2""".stripMargin
   }

@@ -231,8 +231,8 @@ object Mhw {
     * disjoint halves, aggregating each half independently, merging,
     * and finalizing — because the accumulator is exact decimal, the
     * result is BIT-IDENTICAL to the direct single-pass build
-    * (spec-pinned against [[climatologyBpRaw]]; the oracle is the
-    * direct chain's own SQL). */
+    * (spec-pinned against [[climatologyBpRaw]]; the oracle replays the
+    * partials→merge→finalize path as CTEs — MhwSql.climIncremental). */
   def climIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = daily(s, dir)
     val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
@@ -505,8 +505,18 @@ object Mhw {
     * (start − prev_end ≤ maxGap — chains merge transitively). Metrics
     * computed over the merged index span INCLUDING gap days; peak is the
     * first argmax of T_anom. One shuffle: all windows share
-    * partitionBy(user_id). */
-  def detectEvents(sev: DataFrame, minDuration: Int = 5, maxGap: Int = 2): DataFrame = {
+    * partitionBy(user_id).
+    *
+    * `maxEvents` is the reference's `maxEvt`/`l_return` slot cap
+    * (core.py:37,130: metrics arrays are pre-allocated at l_return=200
+    * per cell, so chronologically later events have nowhere to land):
+    * here a filter on the per-series chronological event ordinal,
+    * applied BEFORE the span-metrics join so capped-away events don't
+    * pay the join either. Long format needs no padding rows; the
+    * default keeps every event (the cap only binds on >200-event
+    * series — century-scale hourly records). */
+  def detectEvents(sev: DataFrame, minDuration: Int = 5, maxGap: Int = 2,
+                   maxEvents: Int = Int.MaxValue): DataFrame = {
     // persist FIRST: the severity table feeds the origin scalar, run
     // detection AND the span metrics join — otherwise the entire
     // upstream chain (pooled quantiles, smoothing, clim joins) is
@@ -518,7 +528,10 @@ object Mhw {
     val origin = sevP.agg(min(col("d")).as("d0"))
     val s = sevP.crossJoin(broadcast(origin))
       .withColumn("idx", datediff(col("d"), col("d0")))
-    val events = eventSpans(s, minDuration, maxGap)
+    val events0 = eventSpans(s, minDuration, maxGap)
+    val events =
+      if (maxEvents == Int.MaxValue) events0
+      else events0.filter(col("evt") <= maxEvents)
 
     // Span-join facts back (events are per-key → keyDim-gated
     // broadcast), window for the per-event max, then one grouped pass

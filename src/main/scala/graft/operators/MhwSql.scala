@@ -158,6 +158,26 @@ object MhwSql {
 
   val climatologyBp: String =
     chain(0.9) + "SELECT user_id, doy, seas FROM clim_raw"
+
+  /** #11m clim_incremental oracle: replays the MERGEABLE-PARTIALS path
+    * itself — disjoint day-of-month-parity halves aggregated to exact
+    * decimal (sum, count) partials, merged, then finalized — instead of
+    * aliasing the direct chain's SQL, so the DuckDB row exercises the
+    * merge contract (partials→union→merge→finalize ≡ direct build),
+    * not just the single-pass mean. */
+  val climIncremental: String =
+    chain(0.9) +
+    s""", part AS (
+       |  SELECT user_id, doy, day(d) % 2 AS half,
+       |         sum(CAST(sst AS DECIMAL(38,10))) AS s, count(sst) AS n
+       |  FROM daily GROUP BY 1, 2, 3
+       |),
+       |merged AS (
+       |  SELECT user_id, doy, sum(s) AS s, CAST(sum(n) AS BIGINT) AS n
+       |  FROM part GROUP BY 1, 2
+       |)
+       |SELECT user_id, doy, ${rr("CAST(s AS DOUBLE) / n", 6)} AS seas
+       |FROM merged""".stripMargin
   val climatologyBpSmooth: String =
     chain(0.9) + "SELECT user_id, doy, seas FROM clim_sm"
   val thresholdBp: String =

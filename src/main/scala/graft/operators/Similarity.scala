@@ -282,7 +282,7 @@ object Similarity {
     graft.functions.GraftFunctions.ensure(s)
     // the training loop scans the corpus iters+1 times — materialize
     // once (localCheckpoint: no dangling CacheManager entry per call)
-    val corpus = Tables.embeddings(s, dir).localCheckpoint()
+    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
     val centroids = trainCentroids(corpus, nCells, iters)
     val bucketed = assignNearest(corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
       .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
@@ -500,14 +500,14 @@ object Similarity {
   def embSemanticDedup(s: SparkSession, dir: String, tau: Double = 0.3,
                        nCells: Int = 16, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = Tables.embeddings(s, dir).localCheckpoint()
+    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
     val centroids = trainCentroids(corpus, nCells, iters)
     // truncate lineage: the bucketed table feeds both self-join sides
     // and the final output
     val bucketed = assignNearest(
         corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
       .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
-      .localCheckpoint()
+      .transform(graft.Lineage.pin)
     val b = bucketed.select(col("cluster"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("e_norm").as("n_b"))
     val dups = bucketed
@@ -586,14 +586,14 @@ object Similarity {
           lit(0.3) * least(lit(1.0), len / lit(500.0)), 6))
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
-    val corpus = embeddings.localCheckpoint()
+    val corpus = graft.Lineage.pin(embeddings)
     val centroids = trainCentroids(corpus, nCells, iters)
     val bucketed = assignNearest(
         corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
       .join(gated, col("vec_id") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("quality"),
               col("embedding"), col("e_norm"), col("cluster"))
-      .localCheckpoint()
+      .transform(graft.Lineage.pin)
     val b = bucketed.select(col("cluster"), col("doc_id").as("id_b"),
       col("embedding").as("emb_b"), col("e_norm").as("n_b"))
     val dups = bucketed

@@ -65,7 +65,10 @@ object Similarity2 {
               (col("pos") + 1).cast("int").as("rank"))
   }
 
-  val embHammingKnnSql: String = {
+  /** Oracle for [[embHammingKnn]], parameterized exactly like the
+    * operator (k, nQueries) so non-default calls can't silently diverge
+    * from the SQL (same interpolation pattern as [[embMmrSql]]). */
+  def embHammingKnnSql(k: Int = 5, nQueries: Int = 5): String = {
     def pack(off: Int): String =
       s"""CAST(list_sum(list_transform(range(0, 32),
          | i -> CASE WHEN embedding[i + ${off + 1}] > 0
@@ -74,7 +77,7 @@ object Similarity2 {
     s"""WITH packed AS (
        |  SELECT vec_id, ${pack(0)} AS lo, ${pack(32)} AS hi FROM embeddings),
        |q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM packed
-       |      WHERE vec_id < 5),
+       |      WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT q.q_id, p.vec_id,
        |         CAST(bit_count(xor(p.lo, q.q_lo)) + bit_count(xor(p.hi, q.q_hi)) AS INT) AS hamming
@@ -82,7 +85,7 @@ object Similarity2 {
        |SELECT q_id, vec_id, hamming, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
        |  FROM scored)
-       |WHERE rank <= 5""".stripMargin
+       |WHERE rank <= $k""".stripMargin
   }
 
   // -------------------------------------------------- #113 centroid drift
@@ -150,14 +153,117 @@ object Similarity2 {
   /** #96 emb_mmr: maximal-marginal-relevance selection (Carbonell &
     * Goldstein 1998) — the diversity-aware shortlist builder of a
     * curation/retrieval pipeline: greedily pick the candidate maximizing
-    * λ·sim(query, d) − (1−λ)·max_{s∈S} sim(d, s). Each of the k rounds
-    * is one distributed pass: candidates × the ≤k-row broadcast selected
-    * set → per-candidate max penalty → TakeOrdered(1); only the single
-    * winning row reaches the driver per round (same bounded-collect
-    * contract as dedup_clusters' convergence scalar). Query-relevance
-    * cosines are computed once up front and reused across rounds; all
-    * cosines are 6dp-rounded before comparison, vec_id breaks ties. */
-  def embMmr(s: SparkSession, dir: String, k: Int = 5, lam: Double = 0.7): DataFrame = {
+    * λ·sim(query, d) − (1−λ)·max_{s∈S} sim(d, s).
+    *
+    * Scale shape: ONE distributed pass computes every candidate's
+    * query-relevance cosine and keeps the top-`shortlist` rows
+    * (TakeOrdered — map-side partial top-N, no ranking window); the k
+    * inherently-sequential greedy rounds then run driver-local over the
+    * collected shortlist (≤ N·dim floats, ~1 MB at the 4096 default —
+    * model-sized, like the IVF centroid collects). The round-5 shape ran
+    * k full corpus scans + k driver round-trips; at 100× corpus scale
+    * those k passes dominate, while the shortlist pass is one scan
+    * regardless of k. Greedy MMR only ever selects high-relevance items
+    * (the penalty term is bounded by 1, so anything with
+    * λ·sq < λ·sq_N − (1−λ) can never win); with N ≫ k the shortlist
+    * selection equals the full-corpus selection — spec-pinned against
+    * [[embMmrFullScan]] on the test SF.
+    *
+    * Driver-side arithmetic replicates the distributed expressions
+    * bit-for-bit: products cast to DECIMAL(18,10) (Spark cast = shortest
+    * decimal repr, HALF_UP — `BigDecimal.valueOf`), exact decimal
+    * accumulation, IEEE `floor(x·1e6 + 0.5)/1e6` rounding — so the
+    * result still hash-matches the full-corpus CTE oracle. */
+  def embMmr(s: SparkSession, dir: String, k: Int = 5, lam: Double = 0.7,
+             shortlist: Int = 4096): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_n"))
+    val base = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+              r(dotDec(col("embedding"), col("q_emb")) / (col("nrm") * col("q_n")), 6)
+                .as("sq"))
+    val cands = base.orderBy(col("sq").desc, col("vec_id")).limit(shortlist)
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1).toArray,
+                   row.getDouble(2), row.getDouble(3)))
+    mmrResult(s, greedyLocal(cands, k, lam))
+  }
+
+  private def r6Local(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Driver-local replica of [[graft.functions.VectorFunctions.dotDec]]:
+    * per-term double product → DECIMAL(18,10) via the same
+    * shortest-decimal-representation HALF_UP cast Spark uses, exact
+    * decimal accumulation, final double. */
+  private[graft] def dotDecLocal(a: Array[Float], b: Array[Float]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < a.length) {
+      acc = acc.add(java.math.BigDecimal.valueOf(a(i).toDouble * b(i).toDouble)
+        .setScale(10, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue
+  }
+
+  /** The k greedy rounds over (id, emb, nrm, sq) candidates, identical
+    * selection rule to the distributed loop: argmax score, vec_id
+    * tie-break; round 1 score = r6(λ·sq), later rounds
+    * r6(λ·sq − (1−λ)·max r6(cosine(cand, sel))). */
+  private def greedyLocal(cands: Array[(Long, Array[Float], Double, Double)],
+                          k: Int, lam: Double): Vector[(Long, Double)] = {
+    var picked = Vector.empty[(Long, Double)]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Array[Float], Double)]
+    val taken = scala.collection.mutable.HashSet.empty[Long]
+    while (picked.size < k && taken.size < cands.length) {
+      var bestId = Long.MaxValue
+      var bestScore = Double.NegativeInfinity
+      cands.foreach { case (id, e, nrm, sq) =>
+        if (!taken.contains(id)) {
+          val score =
+            if (sel.isEmpty) r6Local(lam * sq)
+            else {
+              var pen = Double.NegativeInfinity
+              sel.foreach { case (se, sn) =>
+                val c = r6Local(dotDecLocal(e, se) / (nrm * sn))
+                if (c > pen) pen = c
+              }
+              r6Local(lam * sq - (1 - lam) * pen)
+            }
+          if (score > bestScore || (score == bestScore && id < bestId)) {
+            bestScore = score; bestId = id
+          }
+        }
+      }
+      if (bestId == Long.MaxValue) return picked
+      picked :+= ((bestId, bestScore))
+      taken += bestId
+      val c = cands.find(_._1 == bestId).get
+      sel += ((c._2, c._3))
+    }
+    picked
+  }
+
+  private def mmrResult(s: SparkSession, picked: Vector[(Long, Double)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      picked.zipWithIndex.map { case ((id, sc), i) =>
+        org.apache.spark.sql.Row(i + 1, id, sc)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType, false))))
+  }
+
+  /** The round-5 distributed greedy loop — k corpus passes, one
+    * TakeOrdered(1) collect per round. Kept (unregistered) as the
+    * exact full-corpus baseline the shortlist path is spec-pinned
+    * against; [[embMmr]] is the scale path. */
+  private[graft] def embMmrFullScan(s: SparkSession, dir: String, k: Int = 5,
+                                    lam: Double = 0.7): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = emb.filter(col("vec_id") === 0)
@@ -192,15 +298,7 @@ object Similarity2 {
       if (rows.isEmpty) exhausted = true
       else picked :+= ((rows(0).getLong(0), rows(0).getDouble(1)))
     }
-    import scala.jdk.CollectionConverters._
-    s.createDataFrame(
-      picked.zipWithIndex.map { case ((id, sc), i) =>
-        org.apache.spark.sql.Row(i + 1, id, sc)
-      }.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, false),
-        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, false),
-        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType, false))))
+    mmrResult(s, picked)
   }
 
   /** Chained-CTE replay of the greedy loop (same technique as the

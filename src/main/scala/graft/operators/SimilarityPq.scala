@@ -117,7 +117,7 @@ object SimilarityPq {
   def annPq(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
             iters: Int = 2, shortlist: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = Tables.embeddings(s, dir).localCheckpoint()
+    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
     val cb = trainCodebooks(corpus, iters)
     // encode: map-only — 8 argmax literals per row, no join
     val structCols = (0 until SubSpaces).map(m =>

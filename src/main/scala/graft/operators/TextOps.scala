@@ -650,7 +650,7 @@ object TextOps {
     // Same stop-shingle DF cap as n-gram Jaccard (and same exchange
     // reuse: the DF window and the self-join share the shingle key) —
     // an uncapped posting list is quadratic in its document frequency.
-    val sh = shingleTable(Tables.documents(s, dir)).localCheckpoint(false)
+    val sh = graft.Lineage.pinLazy(shingleTable(Tables.documents(s, dir)))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= NgramMaxDf)

@@ -82,22 +82,21 @@ object Partitioned {
     * pipeline runs. Requires the v2 parquet source + aggregate
     * pushdown, both scoped to THIS query's planning (v1 is the session
     * default; flipping it globally would re-shape every other query's
-    * scans): the physical plan is forced while the confs are set, then
-    * they are restored. Values are identical either way — footer stats
-    * for min/max/count are exact, not estimates. */
+    * scans). The confs are set on a CLONED session (`newSession`: own
+    * session state, shared context/catalog) rather than
+    * set-plan-restore on the caller's — a concurrently-planned query on
+    * the shared session must never observe the v2/pushdown window.
+    * Values are identical either way — footer stats for min/max/count
+    * are exact, not estimates. */
   def eventsMinmaxPushdown(s: SparkSession, dir: String): DataFrame = {
-    val v1Key = "spark.sql.sources.useV1SourceList"
-    val pdKey = "spark.sql.parquet.aggregatePushdown"
-    val (v1Prev, pdPrev) = (s.conf.get(v1Key), s.conf.get(pdKey, "false"))
-    try {
-      s.conf.set(v1Key, v1Prev.split(",").filterNot(_.trim == "parquet").mkString(","))
-      s.conf.set(pdKey, "true")
-      val df = s.read.parquet(s"$dir/events.parquet")
-        .agg(min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
-             count(lit(1)).as("n"))
-      df.queryExecution.executedPlan // force planning under the scoped confs
-      df
-    } finally { s.conf.set(v1Key, v1Prev); s.conf.set(pdKey, pdPrev) }
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.sources.useV1SourceList",
+      scoped.conf.get("spark.sql.sources.useV1SourceList")
+        .split(",").filterNot(_.trim == "parquet").mkString(","))
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    scoped.read.parquet(s"$dir/events.parquet")
+      .agg(min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+           count(lit(1)).as("n"))
   }
 
   val eventsMinmaxPushdownSql: String =

@@ -120,5 +120,5 @@ object StreamingKnn {
   }
 
   /** The batch Hamming-kNN oracle — identical output contract. */
-  val streamKnnSql: String = Similarity2.embHammingKnnSql
+  val streamKnnSql: String = Similarity2.embHammingKnnSql()
 }

@@ -23,16 +23,44 @@ import graft.sources.Tables
   * Cost per batch is proportional to the touched buckets, not the
   * snapshot: at 100 TB the snapshot table rewrites |affected buckets| /
   * nBuckets of itself per trigger, and a key-skewed trigger touches few
-  * buckets. foreachBatch gives at-least-once batch delivery; the merge
-  * is IDEMPOTENT (latest-wins by (ts, event_id) is unchanged by replay;
-  * the count partial is made replay-safe by keying it on the batch id —
-  * re-merging batch b replaces, not double-counts, its contribution).
+  * buckets. foreachBatch gives at-least-once batch delivery; replay
+  * safety is two-layered:
+  *
+  *  - re-merging the CURRENT batch (the normal at-least-once case — a
+  *    crash between sink write and offset commit) is idempotent:
+  *    latest-wins by (ts, event_id) is unchanged by replay, and the
+  *    count partial is keyed on the batch id, so batch b REPLACES, not
+  *    double-counts, its own contribution;
+  *  - a replayed OLDER batch (a restarted continuous deployment
+  *    re-reading from an earlier offset, e.g. with no
+  *    checkpointLocation) is dropped entirely by a high-watermark
+  *    guard: the snapshot records the max merged batch id in
+  *    `_GRAFT_MAX_BATCH`, and `batchId <= watermark` skips the merge —
+  *    the snapshot already compacts per-batch partials away, so an
+  *    older batch's partial cannot be replaced, only skipped. (If the
+  *    crash lands between sink write and watermark write, the replayed
+  *    batch falls through to the first layer — same batch id, replace.)
+  *
   * That idempotence is exactly what exactly-once sinks are built from
   * on non-transactional storage.
   */
 object StreamingUpsert {
 
   private val NBuckets = 16
+
+  private def watermarkFile(path: String) =
+    java.nio.file.Paths.get(s"$path/_GRAFT_MAX_BATCH")
+
+  /** Max batch id already merged into the snapshot (−1: none). */
+  private[graft] def readWatermark(path: String): Long = {
+    val f = watermarkFile(path)
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
+    else -1L
+  }
+
+  private def writeWatermark(path: String, id: Long): Unit =
+    java.nio.file.Files.write(watermarkFile(path), id.toString.getBytes)
 
   /** Latest-wins reduction of any (event) frame: one row per user with
     * the most recent (ts, event_id) event's fields + an event count. */
@@ -51,6 +79,9 @@ object StreamingUpsert {
     * partial for replay-safety. */
   private[graft] def mergeBatch(s: SparkSession, path: String,
                                 reduced: DataFrame, batchId: Long): Unit = {
+    // high-watermark guard: a strictly older batch was already merged
+    // AND compacted — skip it (see the replay-safety contract above)
+    if (batchId < readWatermark(path)) return
     val incoming = reduced
       .withColumn("bucket", pmod(col("user_id"), lit(NBuckets)).cast("int"))
       .withColumn("batch_id", lit(batchId))
@@ -86,6 +117,7 @@ object StreamingUpsert {
       merged.write.partitionBy("bucket")
         .mode(SaveMode.Overwrite)
         .parquet(path)
+      writeWatermark(path, batchId)
     } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 

@@ -123,6 +123,33 @@ class Batch3OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(2) <= 0.7 + 1e-9))
   }
 
+  test("mmr: shortlist path ≡ full-corpus distributed greedy (ids AND scores)") {
+    // the scale path (one TakeOrdered corpus pass + driver-local rounds)
+    // must select identically to the round-5 k-corpus-passes loop —
+    // including the bit-exact decimal/r6 score arithmetic
+    val full = Similarity2.embMmrFullScan(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val short = Similarity2.embMmr(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(short == full, s"shortlist=$short\nfull=$full")
+    // a tight shortlist (N=32 ≫ k=5) still reproduces the selection on
+    // this corpus — the N ≫ k safety margin in practice
+    val tight = Similarity2.embMmr(spark, sf, shortlist = 32).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(tight == full, s"tight=$tight\nfull=$full")
+  }
+
+  test("mmr: plan is one corpus pass — TakeOrdered, no per-round jobs") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_n"))
+    val base = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+    val p = plan(base.orderBy(col("nrm").desc, col("vec_id")).limit(4096))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   // ------------------------------------------- lineitem_bucketed_join
 
   test("bucketed join: result equals the plain join; zero exchanges feed the join") {

@@ -172,6 +172,50 @@ class GraftApiSpec extends AnyFunSuite {
     assert(capped.toSet == all.sortBy(_._1).take(2).toSet)
   }
 
+  test("pickTempVar: explicit varname wins; else preference list; else first numeric") {
+    import java.time.LocalDate
+    val rows = days(LocalDate.of(2023, 1, 1), LocalDate.of(2023, 1, 5))
+      .map(d => (d.toString, 1L, 20.0, 99.0, "x"))
+    val df = rows.toDF("t", "k", "salinity", "sst", "note")
+    val cfg = SeriesConfig(keyCol = "k", timeCol = "t", valueCol = "ignored")
+    // explicit varname wins, validated
+    assert(Graft.pickTempVar(df, cfg, Some("salinity")).valueCol == "salinity")
+    intercept[IllegalArgumentException](Graft.pickTempVar(df, cfg, Some("nope")))
+    // auto: 'sst' preferred over the schema-first 'salinity'
+    assert(Graft.pickTempVar(df, cfg).valueCol == "sst")
+    // no preferred name present → first numeric non-key/non-time column
+    val df2 = df.withColumnRenamed("sst", "reading")
+    assert(Graft.pickTempVar(df2, cfg).valueCol == "salinity")
+    // nothing numeric beyond key/time → reference's ValueError analog
+    intercept[IllegalArgumentException](
+      Graft.pickTempVar(df.select("t", "k", "note"), cfg))
+    // resolved config drives the normal chain end-to-end
+    val dl = Graft.dailySeries(df, Graft.pickTempVar(df, cfg))
+    assert(dl.select("sst").collect().forall(_.getDouble(0) == 99.0))
+  }
+
+  test("chain storage policy: replicated and RELIABLE levels leave results unchanged") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Mhw.mhwEvents(spark, sf).collect().map(_.toSeq).toSet
+    def withConf(v: String)(f: => Unit): Unit = {
+      spark.conf.set(Caches.ChainStorageConf, v)
+      // drop memoized frames so the policy applies to fresh builds
+      Caches.clear(spark)
+      try f finally {
+        spark.conf.set(Caches.ChainStorageConf, "MEMORY_AND_DISK")
+        Caches.clear(spark)
+      }
+    }
+    withConf("MEMORY_AND_DISK_2") {
+      assert(Mhw.mhwEvents(spark, sf).collect().map(_.toSeq).toSet == base)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    withConf("RELIABLE") {
+      assert(Mhw.mhwEvents(spark, sf).collect().map(_.toSeq).toSet == base)
+    }
+  }
+
   test("metrics-from-clim derives severity internally and equals the explicit chain") {
     val sf = "/root/testdata/sf0.001"
     val dl = Mhw.daily(spark, sf)

@@ -317,6 +317,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("auto-shuffle rule: partitions track volume, floored at cores, capped") {
+    import GraftSession.shufflePartitionsFor
+    // tiny input → core floor (never starve the machine)
+    assert(shufflePartitionsFor(100L << 20, cores = 32) == 32)
+    // ×30 grid shape: ~3.3 GB input, ×11 pooling fan-out → enough
+    // partitions that one task's exploded working set fits the 256 MB
+    // budget (the hand-measured recovery was 128; the rule lands in the
+    // same regime, NOT at the spilling core count)
+    val x30 = shufflePartitionsFor(3_300L << 20, cores = 32, amplification = 11.0)
+    assert(x30 >= 128 && x30 <= 256, s"x30 -> $x30")
+    // whole scheduling waves: always a multiple of the core count
+    assert(x30 % 32 == 0, s"x30 -> $x30 not whole waves")
+    // monotone in volume: ×100 plans more partitions than ×30
+    val x100 = shufflePartitionsFor(11_000L << 20, cores = 32, amplification = 11.0)
+    assert(x100 > x30 && x100 % 32 == 0)
+    // scheduling-overhead cap
+    assert(shufflePartitionsFor(Long.MaxValue, cores = 32) == 4096)
+  }
+
+  test("plan-audit mode: MHW chain explains its real exchanges and scans") {
+    // the round-5 audit blind spot: Caches.persisted frames explain as
+    // InMemoryRelation stubs (exchanges:0, scans:0). Under the audit
+    // conf the builder plan is explained instead.
+    spark.conf.set(Caches.PlanAuditConf, "true")
+    try {
+      val p = plan(Mhw.detectEvents(Mhw.severityChain(spark, sf, 0.9), 5, 2))
+      val exchanges = "\\) Exchange".r.findAllIn(p).length
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(exchanges > 0, s"audit mode still blind (0 exchanges):\n$p")
+      assert(scans > 0, s"audit mode still blind (0 scans):\n$p")
+    } finally spark.conf.set(Caches.PlanAuditConf, "false")
+  }
+
   test("emb outliers: centroids broadcast; distances persisted, not recomputed") {
     val df = graft.operators.Similarity.embOutliers(spark, sf)
     val p = plan(df)

@@ -119,6 +119,14 @@ class StreamingSpec extends AnyFunSuite {
     StreamingUpsert.mergeBatch(spark, path,
       StreamingUpsert.latestPerUser(lastBatch), 1L)
     assert(snap() == incremental, "replaying the last batch changed the snapshot")
+    // a replayed OLDER batch (restart from an earlier offset) is dropped
+    // by the high-watermark guard — the compacted snapshot can no longer
+    // replace its partial, only skip it
+    assert(StreamingUpsert.readWatermark(path) == 1L)
+    val firstBatch = ev.filter(unix_micros(col("ts")) <= cut)
+    StreamingUpsert.mergeBatch(spark, path,
+      StreamingUpsert.latestPerUser(firstBatch), 0L)
+    assert(snap() == incremental, "replaying an older batch changed the snapshot")
   }
 
   test("stream_hll: register maxes merge across micro-batches; estimate equals batch sketch") {
