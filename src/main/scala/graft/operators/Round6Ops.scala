@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Round-6 operator batch (SURVEY §2 #115, #116, #118, #121, #122):
+  * Holt double-exponential smoothing, grid-resolution two-sample
+  * Kolmogorov–Smirnov distance, fixed-length token-sequence packing
+  * stats, banded non-equi price joins, and per-user behavioral entropy.
+  * Same contracts as every other batch: Parity decimal/rounding
+  * discipline end-to-end, no key-proportional global windows, joins
+  * either broadcast-bounded or banded.
+  */
+object Round6Ops {
+
+  // --------------------------------------------------------- #115 ts_holt
+
+  private val HoltAlpha = 0.5
+  private val HoltBeta = 0.3
+  private val HoltHorizon = 7
+
+  /** #115 ts_holt: Holt's linear-trend (double-exponential) smoothing
+    * per series with zero initial trend (l₀ = x₀, b₀ = 0):
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * and an h-step forecast l + h·b — the level/trend monitor and
+    * short-horizon forecaster of an ops pipeline (the batch twin of the
+    * streaming EWMA family).
+    *
+    * The recursion is inherently sequential PER SERIES, so it runs as a
+    * bounded higher-order `aggregate` fold over that series' sorted
+    * value array — the same per-key-bounded-array contract as the exact
+    * pooled quantile (≤366·years elements; series are independent →
+    * linear scaling, one shuffle). Each step rounds l and b half-up at
+    * 6dp so the fold is bit-identical to the oracle's `list_reduce`
+    * replay (both fold structs left-to-right over the same doubles).
+    * Gaps in the daily record advance the fold by observation (no
+    * implicit NaN-fill), matching the `list(sst ORDER BY d)` replay. */
+  def tsHolt(s: SparkSession, dir: String): DataFrame =
+    tsHoltDf(Mhw.daily(s, dir))
+
+  def tsHoltDf(dl: DataFrame): DataFrame = {
+    val r6 = (x: String) => s"floor(($x) * 1e6 + 0.5) / 1e6"
+    val newL = r6(s"$HoltAlpha * x + ${1 - HoltAlpha} * (acc.l + acc.b)")
+    val fold =
+      s"""aggregate(
+         |  slice(xs, 2, size(xs) - 1),
+         |  named_struct('l', element_at(xs, 1), 'b', CAST(0.0 AS DOUBLE)),
+         |  (acc, x) -> named_struct(
+         |    'l', $newL,
+         |    'b', ${r6(s"$HoltBeta * ($newL - acc.l) + ${1 - HoltBeta} * acc.b")}))"""
+        .stripMargin.replace('\n', ' ')
+    dl.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"),
+           transform(sort_array(collect_list(struct(col("d"), col("sst")))),
+                     p => p("sst")).as("xs"))
+      .withColumn("st", expr(fold))
+      .select(col("user_id"), col("n_obs"),
+              col("st.l").as("level"), col("st.b").as("trend"))
+      .withColumn("forecast",
+        r(col("level") + lit(HoltHorizon) * col("trend"), 6))
+  }
+
+  val tsHoltSql: String = {
+    val r6 = (x: String) => s"floor(($x) * 1e6 + 0.5) / 1e6"
+    // state is a 2-element DOUBLE list [l, b], NOT a struct: DuckDB
+    // 1.0.0's list_reduce mis-evaluates struct-typed accumulators past
+    // two elements (verified: single lambda application correct, 3-el
+    // fold wrong) while list-typed state folds exactly
+    val newL = r6(s"$HoltAlpha * e[1] + ${1 - HoltAlpha} * (acc[1] + acc[2])")
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, ${sqlAvg("value", 6)} AS sst
+       |  FROM events GROUP BY 1, 2),
+       |series AS (
+       |  SELECT user_id, count(*) AS n_obs, list(sst ORDER BY d) AS xs
+       |  FROM daily GROUP BY 1),
+       |folded AS (
+       |  SELECT user_id, n_obs,
+       |    list_reduce(
+       |      list_prepend([xs[1], CAST(0.0 AS DOUBLE)],
+       |        list_transform(xs[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
+       |      (acc, e) -> [
+       |        $newL,
+       |        ${r6(s"$HoltBeta * ($newL - acc[1]) + ${1 - HoltBeta} * acc[2]")}]) AS st
+       |  FROM series)
+       |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+       |       st[1] AS level, st[2] AS trend,
+       |       ${r6(s"st[1] + $HoltHorizon * st[2]")} AS forecast
+       |FROM folded""".stripMargin
+  }
+
+  // ------------------------------------------------- #116 events_ks_2samp
+
+  private val KsBins = 64
+
+  /** #116 events_ks_2samp: two-sample Kolmogorov–Smirnov distance
+    * between every pair of event types' value distributions — the
+    * nonparametric complement of #104's Welch t (distribution shift,
+    * not just mean shift; the drift monitor for reward/score columns).
+    *
+    * Exact KS needs a merged sort of both samples — a per-type ranking
+    * window over a key-proportional table, banned here. Instead the
+    * ECDFs are evaluated at the [[KsBins]] edges of one shared
+    * equi-width grid (global min/max, broadcast scalars):
+    * D̂ = max_edges |F̂_a − F̂_b|, under-estimating D by at most the
+    * largest single-bin mass (the #83 quantile-sketch error contract).
+    * Histogram counts are mergeable O(bins) partials; the cumsum
+    * windows run over the 64-row-per-type dense grid, never over
+    * events. */
+  def eventsKs2samp(s: SparkSession, dir: String): DataFrame =
+    eventsKs2sampDf(Tables.events(s, dir))
+
+  def eventsKs2sampDf(ev: DataFrame): DataFrame = {
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bin = when(col("hi") === col("lo"), lit(0)).otherwise(
+      least(lit(KsBins - 1),
+        floor(((col("value") - col("lo")) / (col("hi") - col("lo"))) * KsBins)
+          .cast("int")))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("event_type"), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    // dense (type × bin) grid so every type has a cum value at every
+    // edge — types × 64 rows, all windows bounded by the grid
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(spark_range_bins(ev, KsBins))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    val cdf = grid.join(counts, Seq("event_type", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wTot))
+      .select(col("event_type"), col("bin"),
+              (col("cum").cast("double") / col("n").cast("double")).as("f"))
+    val a = cdf.select(col("event_type").as("type_a"), col("bin"), col("f").as("fa"))
+    val b = cdf.select(col("event_type").as("type_b"), col("bin"), col("f").as("fb"))
+    a.join(b, Seq("bin")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(r(max(abs(col("fa") - col("fb"))), 6).as("ks_d"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private def spark_range_bins(ev: DataFrame, n: Int): DataFrame =
+    ev.sparkSession.range(n).select(col("id").cast("int").as("bin"))
+
+  val eventsKs2sampSql: String =
+    s"""WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+       |counts AS (
+       |  SELECT event_type,
+       |         CASE WHEN b.hi = b.lo THEN 0
+       |              ELSE LEAST(${KsBins - 1},
+       |                CAST(floor(((value - b.lo) / (b.hi - b.lo)) * $KsBins) AS INT))
+       |         END AS bin,
+       |         count(*) AS c
+       |  FROM events CROSS JOIN bounds b GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT t.event_type, g.bin
+       |  FROM (SELECT DISTINCT event_type FROM events) t
+       |  CROSS JOIN (SELECT CAST(range AS INT) AS bin FROM range(0, $KsBins)) g),
+       |cdf AS (
+       |  SELECT g.event_type, g.bin,
+       |         CAST(sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.event_type
+       |              ORDER BY g.bin ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+       |         CAST(sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.event_type) AS DOUBLE) AS f
+       |  FROM grid g LEFT JOIN counts c
+       |    ON g.event_type = c.event_type AND g.bin = c.bin)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |       ${sqlR("max(abs(a.f - b.f))", 6)} AS ks_d
+       |FROM cdf a JOIN cdf b ON a.bin = b.bin AND a.event_type < b.event_type
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------- #118 doc_pack_sequences
+
+  private val SeqLen = 256L
+
+  /** #118 doc_pack_sequences: fixed-length training-sequence packing
+    * stats — concatenate each source's documents in doc_id order and
+    * chop into [[SeqLen]]-token sequences (the pretraining dataloader's
+    * packing step); report per source the sequence count, fill ratio
+    * (= 1 − padding waste of the final sequence) and how many documents
+    * straddle a sequence boundary (get split across training examples).
+    *
+    * Same DISTRIBUTED PREFIX SUM shape as #91 corpus_shard_pack: token
+    * start offsets come from a bucket-local cumsum (windows of
+    * ≤ bucketDocs rows) plus a per-source offset over the bucket
+    * AGGREGATE — no partition ever holds a whole source. The offsets
+    * depend only on (source, doc_id, n_tokens), so the plain
+    * single-window SQL replay is a valid oracle. */
+  def docPackSequences(s: SparkSession, dir: String,
+                       bucketDocs: Long = 1000L): DataFrame =
+    docPackSequencesDf(Tables.documents(s, dir), bucketDocs)
+
+  def docPackSequencesDf(docs: DataFrame, bucketDocs: Long = 1000L): DataFrame = {
+    val sized = docs.select(col("doc_id"), col("source"),
+      size(lowerTokens(col("text"))).cast("long").as("n_tok"),
+      (col("doc_id") / lit(bucketDocs)).cast("long").as("bkt"))
+    val wLocal = Window.partitionBy("source", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sized.withColumn("cum_local", sum(col("n_tok")).over(wLocal))
+    val wBkt = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("off", coalesce(sum(col("bkt_tok")).over(wBkt), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    val placed = local.join(graft.Hints.keyDim(offsets), Seq("source", "bkt"))
+      .withColumn("start", col("off") + col("cum_local") - col("n_tok"))
+      .withColumn("crossing",
+        (floor(col("start") / lit(SeqLen.toDouble)) =!=
+         floor((col("start") + col("n_tok") - 1) / lit(SeqLen.toDouble)))
+          .cast("int"))
+    placed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           sum(col("crossing")).as("n_crossing"))
+      .withColumn("n_sequences",
+        floor((col("total_tokens") + SeqLen - 1) / lit(SeqLen.toDouble)).cast("long"))
+      .withColumn("fill_ratio",
+        r(col("total_tokens").cast("double") /
+          (col("n_sequences") * SeqLen).cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  val docPackSequencesSql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |placed AS (
+       |  SELECT doc_id, source, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS start
+       |  FROM sized),
+       |flags AS (
+       |  SELECT source, n_tok,
+       |         CASE WHEN floor(start / ${SeqLen}.0) <>
+       |                   floor((start + n_tok - 1) / ${SeqLen}.0)
+       |              THEN 1 ELSE 0 END AS crossing
+       |  FROM placed),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |         CAST(sum(crossing) AS BIGINT) AS n_crossing
+       |  FROM flags GROUP BY 1)
+       |SELECT source, n_docs, total_tokens, n_crossing,
+       |       CAST(floor((total_tokens + ${SeqLen - 1}) / ${SeqLen}.0) AS BIGINT) AS n_sequences,
+       |       ${sqlR(s"CAST(total_tokens AS DOUBLE) / CAST(CAST(floor((total_tokens + ${SeqLen - 1}) / ${SeqLen}.0) AS BIGINT) * $SeqLen AS DOUBLE)", 6)} AS fill_ratio
+       |FROM agg ORDER BY source""".stripMargin
+
+  // ---------------------------------------- #121 part_price_band_join
+
+  private val PriceDelta = 1.0
+
+  /** #121 part_price_band_join: banded non-equi self-join — pairs of
+    * parts from DIFFERENT brands whose retail prices lie within
+    * [[PriceDelta]] of each other, rolled up per brand pair (the
+    * competitive-pricing / near-duplicate-listing probe). The naive
+    * |price_a − price_b| ≤ δ predicate plans a cartesian; the scalable
+    * shape is INTEGER BANDING: band = ⌊price/δ⌋, one side fans out to
+    * its 3 adjacent bands (map-side ×3), the join is a plain hash
+    * equi-join on the band, and the exact |Δ| ≤ δ filter runs only
+    * within candidate bands. Candidate volume is Σ per-band
+    * occupancy² — bounded by price concentration, never all-pairs
+    * (the interval-join #46 argument, applied to a value band).
+    * `pk_a < pk_b` on the UNDUPLICATED pair (each pair meets in
+    * exactly one band: b's own) keeps the count exact. */
+  def partPriceBandJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), col("p_brand").as("brand"),
+              col("p_retailprice").as("price"))
+    val a = p
+      .withColumn("band",
+        explode(array((-1 to 1).map(k =>
+          floor(col("price") / PriceDelta).cast("long") + k): _*)))
+      .select(col("pk").as("pk_a"), col("brand").as("brand_a"),
+              col("price").as("price_a"), col("band"))
+    val b = p
+      .withColumn("band", floor(col("price") / PriceDelta).cast("long"))
+      .select(col("pk").as("pk_b"), col("brand").as("brand_b"),
+              col("price").as("price_b"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("pk_a") < col("pk_b") &&
+              col("brand_a") =!= col("brand_b") &&
+              abs(col("price_a") - col("price_b")) <= PriceDelta)
+      .groupBy(least(col("brand_a"), col("brand_b")).as("brand_lo"),
+               greatest(col("brand_a"), col("brand_b")).as("brand_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+           davg(abs(col("price_a") - col("price_b")), 6).as("avg_gap"))
+      .orderBy(col("brand_lo"), col("brand_hi"))
+  }
+
+  val partPriceBandJoinSql: String =
+    s"""SELECT LEAST(a.p_brand, b.p_brand) AS brand_lo,
+       |       GREATEST(a.p_brand, b.p_brand) AS brand_hi,
+       |       count(*) AS n_pairs,
+       |       ${sqlAvg("abs(a.p_retailprice - b.p_retailprice)", 6)} AS avg_gap
+       |FROM part a JOIN part b
+       |  ON a.p_partkey < b.p_partkey
+       | AND a.p_brand <> b.p_brand
+       | AND abs(a.p_retailprice - b.p_retailprice) <= $PriceDelta
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------- #122 events_type_entropy
+
+  /** #122 events_type_entropy: Shannon entropy of each user's
+    * event-type mix — the behavioral-diversity feature (bots and
+    * single-purpose accounts sit near 0; exploratory users near
+    * ln(n_types)). Same two-exchange windows-then-group shape and the
+    * same round-the-libm-ln-before-use discipline as #24f
+    * text_token_entropy (ln is the one libm call whose last ulp
+    * differs across engines; 6dp-rounding it first makes the decimal
+    * sum identical). Event-type cardinality is bounded, so every
+    * window here runs over ≤ |types| rows per user. */
+  def eventsTypeEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("user_id")
+    val p = col("c") / col("n")
+    cnt.withColumn("n", sum(col("c")).over(w))
+      .withColumn("n_types", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(first(col("n")).as("n_events"),
+           first(col("n_types")).as("n_types"),
+           dsum(-(p * r(log(p), 6)), 6).as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsTypeEntropySql: String =
+    s"""WITH cnt AS (
+       |  SELECT user_id, event_type, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types
+       |  FROM cnt GROUP BY 1)
+       |SELECT c.user_id, t.n AS n_events, t.n_types,
+       |       ${sqlSum("-((c.c / t.n) * (" + sqlR("ln(c.c / t.n)", 6) + "))", 6)} AS entropy
+       |FROM cnt c JOIN tot t USING (user_id)
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+}

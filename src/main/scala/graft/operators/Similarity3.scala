@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Round-6 similarity/evaluation operators (SURVEY §2 #117, #119):
+  * Matryoshka prefix-dimension retrieval evaluation and a kNN
+  * majority-vote label-quality probe — the evaluation harnesses a
+  * vector-curation pipeline runs NEXT TO its retrieval operators (does
+  * a truncated embedding retrieve the same neighbors? do embedding
+  * neighborhoods predict labels?).
+  */
+object Similarity3 {
+
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** r6 cosine between two (possibly prefix-sliced) float arrays. */
+  private def cos6(a: Column, b: Column): Column =
+    r(dotDec(a, b) / (sqrt(dotDec(a, a)) * sqrt(dotDec(b, b))), 6)
+
+  /** #117 emb_matryoshka_eval: retrieval quality of PREFIX-truncated
+    * embeddings (Matryoshka representation learning, Kusupati et al.
+    * 2022): for each prefix dimension m ∈ {8,16,32,64}, top-k
+    * candidates by m-dim cosine are compared against the full-dim
+    * top-k; the report is mean recall@k per m — the measurement that
+    * decides how far a 100 TB vector corpus can truncate its index
+    * (8× storage cut at m=8) before retrieval degrades.
+    *
+    * One corpus scan: each candidate row fans out ×|dims| map-side
+    * (slice + cosine are codegen'd higher-order expressions), per-
+    * (query, m) shortlists come from bounded map-side collect_top_k
+    * heaps — no ranking window, no shuffle of scored pairs (the
+    * knn_brute shape, ×4). The m=64 row doubles as the self-check
+    * (recall ≡ 1). */
+  def embMatryoshkaEval(s: SparkSession, dir: String, k: Int = 5,
+                        nQueries: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("m", explode(array(MatryoshkaDims.map(lit): _*)))
+      .select(col("q_id"), col("m"), col("vec_id"),
+              cos6(slice(col("embedding"), lit(1), col("m")),
+                   slice(col("q_emb"), lit(1), col("m"))).as("score"))
+    val top = scored
+      .groupBy(col("q_id"), col("m"))
+      // collect_top_k(_, k, false) keeps the k LARGEST by struct order
+      // (the knnBrute topK contract): (score, -vec_id) descending ==
+      // score desc, vec_id asc
+      .agg(call_function("collect_top_k",
+        struct(col("score"), (-col("vec_id")).as("neg_id")),
+        lit(k), lit(false)).as("arr"))
+      .select(col("q_id"), col("m"), explode(col("arr")).as("e"))
+      .select(col("q_id"), col("m"), (-col("e.neg_id")).as("vec_id"))
+    val full = top.filter(col("m") === MatryoshkaDims.max)
+      .select(col("q_id").as("f_qid"), col("vec_id").as("full_id"))
+    top.join(full, col("q_id") === col("f_qid") &&
+                   col("vec_id") === col("full_id"), "left")
+      .groupBy(col("q_id"), col("m"))
+      .agg((sum(when(col("full_id").isNotNull, 1).otherwise(0))
+              .cast("double") / k).as("recall"))
+      .groupBy(col("m"))
+      .agg(davg(col("recall"), 6).as("mean_recall"))
+      .orderBy(col("m"))
+  }
+
+  def embMatryoshkaEvalSql(k: Int = 5, nQueries: Int = 5): String = {
+    val dims = MatryoshkaDims.mkString(", ")
+    def cosm = sqlR(
+      s"""${sqlDotDec("e.embedding[1:d.m]", "q.q_emb[1:d.m]")} /
+         | (sqrt(${sqlDotDec("e.embedding[1:d.m]", "e.embedding[1:d.m]")}) *
+         |  sqrt(${sqlDotDec("q.q_emb[1:d.m]", "q.q_emb[1:d.m]")}))"""
+        .stripMargin.replace('\n', ' '), 6)
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |           WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.q_id, d.m, e.vec_id, $cosm AS score
+       |  FROM embeddings e
+       |  JOIN q ON e.vec_id <> q.q_id
+       |  CROSS JOIN (SELECT unnest([$dims]) AS m) d),
+       |top AS (
+       |  SELECT q_id, m, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id, m
+       |                                 ORDER BY score DESC, vec_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $k),
+       |recall AS (
+       |  SELECT t.q_id, t.m,
+       |         CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / $k AS recall
+       |  FROM top t LEFT JOIN (SELECT q_id, vec_id FROM top
+       |                        WHERE m = ${MatryoshkaDims.max}) f
+       |    ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT m, ${sqlAvg("recall", 6)} AS mean_recall
+       |FROM recall GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------- #119 knn_label_vote
+
+  /** #119 knn_label_vote: kNN majority-vote label probe — hold out
+    * every 5th vector, predict its label from its k nearest TRAIN
+    * neighbors (full-dim cosine), report per-label accuracy. The
+    * label-quality / embedding-quality eval of a curation pipeline
+    * (labels whose neighborhoods can't predict them are noise
+    * candidates — the kNN flavor of confident-learning audits).
+    *
+    * The held-out set is an EVAL SAMPLE (bounded by contract, like the
+    * query sets of every ANN operator) and broadcasts; the train side
+    * streams map-only through the same bounded collect_top_k heaps as
+    * knn_brute — no ranking window, no pair shuffle. Majority vote =
+    * max over the ≤k-row (label, votes) table per probe; ties break to
+    * the smaller label (spelled identically in the oracle). */
+  def knnLabelVote(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val emb = Tables.embeddings(s, dir)
+    val test = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+              col("label").as("true_label"))
+    val train = emb.filter(col("vec_id") % 5 =!= 0)
+    val votes = train.join(broadcast(test), lit(true))
+      .select(col("t_id"), col("true_label"), col("vec_id"), col("label"),
+              cos6(col("embedding"), col("t_emb")).as("score"))
+      .groupBy(col("t_id"), col("true_label"))
+      // (score, -vec_id) descending == score desc, vec_id asc; label
+      // rides along (vec_id is unique, so it never orders)
+      .agg(call_function("collect_top_k",
+        struct(col("score"), (-col("vec_id")).as("neg_id"), col("label")),
+        lit(k), lit(false)).as("arr"))
+      .select(col("t_id"), col("true_label"), explode(col("arr")).as("e"))
+      .groupBy(col("t_id"), col("true_label"), col("e.label").as("label"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy(col("t_id"), col("true_label"))
+      .agg(max(struct(col("votes"), (-col("label")).as("neg_l"))).as("best"))
+      .select(col("t_id"), col("true_label"),
+              (-col("best.neg_l")).cast("int").as("pred_label"))
+    pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_test"),
+           sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+             .as("n_correct"))
+      .withColumn("accuracy",
+        r(col("n_correct").cast("double") / col("n_test").cast("double"), 6))
+      .orderBy(col("label"))
+  }
+
+  def knnLabelVoteSql(k: Int = 5): String = {
+    val cosab = sqlR(sqlCosine("e.embedding", "t.t_emb"), 6)
+    s"""WITH test AS (SELECT vec_id AS t_id, embedding AS t_emb,
+       |                     label AS true_label
+       |              FROM embeddings WHERE vec_id % 5 = 0),
+       |train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+       |scored AS (
+       |  SELECT t.t_id, t.true_label, e.vec_id, e.label, $cosab AS score
+       |  FROM train e CROSS JOIN test t),
+       |nbrs AS (
+       |  SELECT t_id, true_label, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY t_id
+       |                                 ORDER BY score DESC, vec_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $k),
+       |votes AS (
+       |  SELECT t_id, true_label, label, count(*) AS votes
+       |  FROM nbrs GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT t_id, true_label, label AS pred_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY t_id
+       |                                 ORDER BY votes DESC, label) AS rnk
+       |    FROM votes)
+       |  WHERE rnk = 1)
+       |SELECT true_label AS label, count(*) AS n_test,
+       |       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       ${sqlR("CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
+       |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}
