@@ -39,14 +39,23 @@ object Similarity3 {
   def embMatryoshkaEval(s: SparkSession, dir: String, k: Int = 5,
                         nQueries: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val emb = Tables.embeddings(s, dir)
-    val qs = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+    // prefix-slice + prefix-norm ONCE per (vector, m) — 4 rows per
+    // vector map-side — so each scored pair pays a single decimal dot,
+    // not three (the norms would otherwise recompute per pair)
+    def prefixed(df: DataFrame): DataFrame = df
       .withColumn("m", explode(array(MatryoshkaDims.map(lit): _*)))
+      .withColumn("pe", slice(col("embedding"), lit(1), col("m")))
+      .withColumn("pn", sqrt(dotDec(col("pe"), col("pe"))))
+    val emb = Tables.embeddings(s, dir)
+    val qs = prefixed(emb.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("m"),
+              col("pe").as("q_pe"), col("pn").as("q_pn"))
+    val scored = prefixed(emb)
+      .join(broadcast(qs), Seq("m"))
+      .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("m"), col("vec_id"),
-              cos6(slice(col("embedding"), lit(1), col("m")),
-                   slice(col("q_emb"), lit(1), col("m"))).as("score"))
+              r(dotDec(col("pe"), col("q_pe")) / (col("pn") * col("q_pn")), 6)
+                .as("score"))
     val top = scored
       .groupBy(col("q_id"), col("m"))
       // collect_top_k(_, k, false) keeps the k LARGEST by struct order
@@ -57,8 +66,11 @@ object Similarity3 {
         lit(k), lit(false)).as("arr"))
       .select(col("q_id"), col("m"), explode(col("arr")).as("e"))
       .select(col("q_id"), col("m"), (-col("e.neg_id")).as("vec_id"))
-    val full = top.filter(col("m") === MatryoshkaDims.max)
-      .select(col("q_id").as("f_qid"), col("vec_id").as("full_id"))
+    // the reference set is nQueries × k rows — broadcast it (Catalyst
+    // can't size the post-aggregate side, so left alone this plans a
+    // sort-merge join of two tiny frames)
+    val full = broadcast(top.filter(col("m") === MatryoshkaDims.max)
+      .select(col("q_id").as("f_qid"), col("vec_id").as("full_id")))
     top.join(full, col("q_id") === col("f_qid") &&
                    col("vec_id") === col("full_id"), "left")
       .groupBy(col("q_id"), col("m"))
@@ -118,14 +130,31 @@ object Similarity3 {
     * the smaller label (spelled identically in the oracle). */
   def knnLabelVote(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
+    // norms ONCE per vector (a decimal dot per row, not per pair), then
+    // the knn_brute lossless two-phase scoring: the native codegen'd
+    // float_dot prefilter keeps only pairs within 2e-6 of each probe's
+    // kth-best fast cosine (|float_dot − dotDec| < ~1e-12), and the
+    // expensive decimal-exact cosine re-ranks just those ~k survivors
+    // per probe — without this the exact path ran 3 decimal dots per
+    // PAIR and owned 43% of the full-suite bench at sf0.1
     val emb = Tables.embeddings(s, dir)
+      .withColumn("nrm", norm(col("embedding")))
     val test = emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
-              col("label").as("true_label"))
+              col("nrm").as("t_norm"), col("label").as("true_label"))
     val train = emb.filter(col("vec_id") % 5 =!= 0)
-    val votes = train.join(broadcast(test), lit(true))
+    val fast = train.crossJoin(broadcast(test))
+      .withColumn("fc",
+        call_function("float_dot", col("embedding"), col("t_emb")) /
+          (col("nrm") * col("t_norm")))
+    val th = fast.groupBy(col("t_id"))
+      .agg(call_function("collect_top_k", col("fc"), lit(k), lit(false)).as("arr"))
+      .select(col("t_id"), array_min(col("arr")).as("fc_kth"))
+    val votes = fast.join(broadcast(th), "t_id")
+      .filter(col("fc") >= col("fc_kth") - 2e-6)
       .select(col("t_id"), col("true_label"), col("vec_id"), col("label"),
-              cos6(col("embedding"), col("t_emb")).as("score"))
+              r(dotDec(col("embedding"), col("t_emb")) /
+                (col("nrm") * col("t_norm")), 6).as("score"))
       .groupBy(col("t_id"), col("true_label"))
       // (score, -vec_id) descending == score desc, vec_id asc; label
       // rides along (vec_id is unique, so it never orders)
