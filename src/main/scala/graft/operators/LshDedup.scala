@@ -92,6 +92,25 @@ object LshDedup {
   def dedupMinhashDf(input: DataFrame, tau: Double = 0.3,
                      k: Int = 64, bands: Int = 32,
                      maxBucket: Int = 256): DataFrame = {
+    val (docs, _, candidates) = minhashParts(input, k, bands, maxBucket)
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        r(col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The shared MinHash machinery: (shingled docs, k-component
+    * signature table, banded candidate pairs). Extracted so the #123
+    * estimator-error eval consumes the IDENTICAL sketch and candidate
+    * generation as the dedup operator. */
+  private[graft] def minhashParts(input: DataFrame, k: Int = 64,
+                                  bands: Int = 32, maxBucket: Int = 256)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rows = k / bands
     val docs = TextOps.shingleTable(input).filter(size(col("sh")) > 0)
     val sigs = docs
@@ -126,15 +145,45 @@ object LshDedup {
       .filter(col("cnt") > maxBucket && col("nxt").isNotNull)
       .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
     val candidates = allPairs.union(chainPairs).distinct()
-    candidates
+    (docs, sigs, candidates)
+  }
+
+  /** #123 dedup_minhash_eval: estimator-error report for the MinHash
+    * sketch — over the SAME banded candidate pairs the dedup operator
+    * verifies, compare the signature-agreement Jaccard estimate
+    * (matching components / k, the unbiased MinHash estimator) against
+    * the exact shingle-set Jaccard, and report the error profile plus
+    * threshold confusion counts at τ. The sketch-quality audit a
+    * 100 TB dedup deployment runs before trusting estimate-only
+    * shortcuts: one extra |pairs|-bounded join over tables the dedup
+    * operator already computes — no new scan, no new pair space. */
+  def dedupMinhashEval(s: SparkSession, dir: String, tau: Double = 0.3,
+                       k: Int = 64, bands: Int = 32,
+                       maxBucket: Int = 256): DataFrame = {
+    val (docs, sigs, candidates) = minhashParts(Tables.documents(s, dir), k, bands, maxBucket)
+    val agree = (0 until k).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = candidates
+      .join(sigs.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"),
+              (agree.cast("double") / k).as("est"))
+    val pairs = est
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
+      .withColumn("exact",
         r(col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      davg(abs(col("est") - col("exact")), 6).as("mean_abs_err"),
+      r(max(abs(col("est") - col("exact"))), 6).as("max_abs_err"),
+      sum(when(col("est") >= tau && col("exact") < tau, 1L).otherwise(0L))
+        .as("n_false_pos"),
+      sum(when(col("est") < tau && col("exact") >= tau, 1L).otherwise(0L))
+        .as("n_false_neg"))
   }
 
   /** DuckDB oracle for [[dedupMinhash]] — the identical sketch: same
@@ -142,7 +191,16 @@ object LshDedup {
     * banding, exact-Jaccard verify via the inverted-index shared-shingle
     * count (≡ array_intersect on distinct shingle sets). */
   def dedupMinhashSql(tau: Double = 0.3, k: Int = 64, bands: Int = 32,
-                      maxBucket: Int = 256): String = {
+                      maxBucket: Int = 256): String =
+    minhashSqlPrefix(k, bands, maxBucket) +
+    s"""SELECT id_a, id_b,
+       |       floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM shared JOIN cnt c1 ON id_a = c1.doc_id JOIN cnt c2 ON id_b = c2.doc_id
+       |WHERE floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 >= $tau""".stripMargin
+
+  /** Shared CTE chain (toks..sig..cand..cnt..shared) for the MinHash
+    * oracle family. */
+  private def minhashSqlPrefix(k: Int, bands: Int, maxBucket: Int): String = {
     val rows = k / bands
     val mins = (0 until k).map { i =>
       val (a, b) = coef(i); s"min(($a * sm + $b) % $P) AS m$i"
@@ -200,10 +258,39 @@ object LshDedup {
        |  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
        |  GROUP BY 1, 2
        |)
-       |SELECT id_a, id_b,
-       |       floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 AS jaccard
-       |FROM shared JOIN cnt c1 ON id_a = c1.doc_id JOIN cnt c2 ON id_b = c2.doc_id
-       |WHERE floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 >= $tau""".stripMargin
+       |""".stripMargin
+  }
+
+  /** Oracle for [[dedupMinhashEval]]: same prefix, then signature
+    * agreement vs exact Jaccard (LEFT join — a candidate pair with zero
+    * shared shingles has exact = 0). */
+  def dedupMinhashEvalSql(tau: Double = 0.3, k: Int = 64, bands: Int = 32,
+                          maxBucket: Int = 256): String = {
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    minhashSqlPrefix(k, bands, maxBucket) +
+    s""", est AS (
+       |  SELECT c.id_a, c.id_b, CAST(($agree) AS DOUBLE) / $k AS est
+       |  FROM cand c JOIN sig a ON c.id_a = a.doc_id
+       |              JOIN sig b ON c.id_b = b.doc_id
+       |),
+       |ex AS (
+       |  SELECT s.id_a, s.id_b,
+       |         floor((s.shared / (c1.n + c2.n - s.shared)) * 1e6 + 0.5) / 1e6 AS exact
+       |  FROM shared s JOIN cnt c1 ON s.id_a = c1.doc_id
+       |                JOIN cnt c2 ON s.id_b = c2.doc_id
+       |),
+       |joined AS (
+       |  SELECT e.est, COALESCE(x.exact, 0.0) AS exact
+       |  FROM est e LEFT JOIN ex x ON e.id_a = x.id_a AND e.id_b = x.id_b
+       |)
+       |SELECT count(*) AS n_pairs,
+       |       ${sqlAvg("abs(est - exact)", 6)} AS mean_abs_err,
+       |       ${sqlR("max(abs(est - exact))", 6)} AS max_abs_err,
+       |       CAST(sum(CASE WHEN est >= $tau AND exact < $tau THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |       CAST(sum(CASE WHEN est < $tau AND exact >= $tau THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+       |FROM joined""".stripMargin
   }
 
   // ------------------------------------------------------------- SimHash

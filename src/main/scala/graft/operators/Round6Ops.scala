@@ -305,6 +305,90 @@ object Round6Ops {
        | AND abs(a.p_retailprice - b.p_retailprice) <= $PriceDelta
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- #125 events_pmi
+
+  /** #125 events_pmi: pointwise mutual information between event types
+    * over per-user co-occurrence — PMI(a,b) = ln(P(a,b)/(P(a)·P(b)))
+    * with user-level presence probabilities. The association-mining
+    * feature (which behaviors travel together) in the same family as
+    * #66 brand_affinity's lift, but information-theoretic and over the
+    * events stream. Scale shape: the distinct (user, type) table is
+    * ≤ users × |types|; the per-user type self-join fans out ≤ |types|²
+    * per user (types are a bounded vocabulary); marginals broadcast
+    * back. The libm ln is 6dp-rounded before use (#24f discipline). */
+  def eventsPmi(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_users"))
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+               col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+              r(r(log((col("n_ab") * col("n_users")) /
+                      (col("n_a") * col("n_b"))), 6), 6).as("pmi"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val eventsPmiSql: String =
+    s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM ut),
+       |marg AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+       |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+       |                     AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT p.type_a, p.type_b, p.n_ab,
+       |       ${sqlR(sqlR("ln((p.n_ab * nu.n_users) / (ma.n * mb.n))", 6), 6)} AS pmi
+       |FROM pairs p
+       |JOIN marg ma ON p.type_a = ma.event_type
+       |JOIN marg mb ON p.type_b = mb.event_type
+       |CROSS JOIN nu
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------- #127 orders_backlog_aging
+
+  /** #127 orders_backlog_aging: the open-order backlog aged as of the
+    * corpus' last order date — per (priority, age bucket): order count
+    * and value at risk. The operational WIP report every warehouse
+    * runs. One scan + one bounded groupBy; the as-of date is a
+    * broadcast scalar, never a driver-side collect. */
+  def ordersBacklogAging(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val asof = o.agg(max(to_date(col("o_orderdate"))).as("asof"))
+    val age = datediff(col("asof"), to_date(col("o_orderdate")))
+    val bucket = when(age <= 30, "a_0_30").when(age <= 90, "b_31_90")
+      .when(age <= 365, "c_91_365").otherwise("d_365_plus")
+    o.filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(asof))
+      .groupBy(col("o_orderpriority"), bucket.as("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice"), 2).as("value_at_risk"))
+      .orderBy(col("o_orderpriority"), col("age_bucket"))
+  }
+
+  val ordersBacklogAgingSql: String =
+    s"""WITH cutoff AS (SELECT max(CAST(o_orderdate AS DATE)) AS d FROM orders)
+       |SELECT o_orderpriority,
+       |       CASE WHEN datediff('day', CAST(o_orderdate AS DATE), cutoff.d) <= 30 THEN 'a_0_30'
+       |            WHEN datediff('day', CAST(o_orderdate AS DATE), cutoff.d) <= 90 THEN 'b_31_90'
+       |            WHEN datediff('day', CAST(o_orderdate AS DATE), cutoff.d) <= 365 THEN 'c_91_365'
+       |            ELSE 'd_365_plus' END AS age_bucket,
+       |       count(*) AS n_orders,
+       |       ${sqlSum("o_totalprice", 2)} AS value_at_risk
+       |FROM orders CROSS JOIN cutoff
+       |WHERE o_orderstatus <> 'F'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------- #122 events_type_entropy
 
   /** #122 events_type_entropy: Shannon entropy of each user's

@@ -113,6 +113,88 @@ object Similarity3 {
        |FROM recall GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------- #124 emb_rank_fusion
+
+  private val RrfK = 60
+  private val RrfDepth = 20
+
+  /** #124 emb_rank_fusion: reciprocal-rank fusion (Cormack et al. 2009)
+    * of two retrievers — exact-cosine brute kNN and the 1-bit
+    * Hamming-sketch kNN — per query: each retriever contributes its
+    * top-[[RrfDepth]] with weight 1/(60+rank), the fused score is the
+    * sum (a missing list contributes 0), and the fused top-k is
+    * re-ranked on (score desc, vec_id). The standard cheap ensembling
+    * step of a retrieval pipeline (dense + sketch/lexical): both
+    * retrievers are already scale-shaped (broadcast queries, map-only
+    * scans, bounded heaps), and the fusion itself joins two
+    * queries×depth-row lists — model-sized. */
+  def embRankFusion(s: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val emb = Tables.embeddings(s, dir)
+    val cos = Similarity.knnBruteDf(
+        emb.select(col("vec_id"), col("embedding")),
+        emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        RrfDepth)
+      .select(col("q_id"), col("vec_id"),
+              (lit(1.0) / (lit(RrfK) + col("rank"))).as("w_cos"))
+    val ham = Similarity2.embHammingKnn(s, dir, RrfDepth, nQueries)
+      .select(col("q_id"), col("vec_id"),
+              (lit(1.0) / (lit(RrfK) + col("rank"))).as("w_ham"))
+    val fused = cos.join(ham, Seq("q_id", "vec_id"), "full_outer")
+      .select(col("q_id"), col("vec_id"),
+              r(coalesce(col("w_cos"), lit(0.0)) +
+                coalesce(col("w_ham"), lit(0.0)), 6).as("rrf"))
+    fused.groupBy(col("q_id"))
+      .agg(call_function("collect_top_k",
+        struct(col("rrf"), (-col("vec_id")).as("neg_id")), lit(k), lit(false))
+        .as("arr"))
+      .select(col("q_id"), posexplode(reverse(array_sort(col("arr")))))
+      .select(col("q_id"), (-col("col.neg_id")).as("vec_id"),
+              col("col.rrf").as("rrf"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  def embRankFusionSql(k: Int = 5, nQueries: Int = 5): String = {
+    def pack(off: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 32),
+         | i -> CASE WHEN embedding[i + ${off + 1}] > 0
+         |      THEN (CAST(1 AS BIGINT) << i) ELSE (CAST(0 AS BIGINT)) END))
+         | AS BIGINT)""".stripMargin.replace('\n', ' ')
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |           WHERE vec_id < $nQueries),
+       |cosr AS (
+       |  SELECT q_id, vec_id, CAST(1.0 AS DOUBLE) / ($RrfK + rnk) AS w_cos FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${sqlR(sqlCosine("q.q_emb", "e.embedding"), 6)} DESC, e.vec_id) AS rnk
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+       |  WHERE rnk <= $RrfDepth),
+       |packed AS (
+       |  SELECT vec_id, ${pack(0)} AS lo, ${pack(32)} AS hi FROM embeddings),
+       |pq AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM packed
+       |       WHERE vec_id < $nQueries),
+       |hamr AS (
+       |  SELECT q_id, vec_id, CAST(1.0 AS DOUBLE) / ($RrfK + rnk) AS w_ham FROM (
+       |    SELECT pq.q_id, p.vec_id,
+       |           row_number() OVER (PARTITION BY pq.q_id ORDER BY
+       |             bit_count(xor(p.lo, pq.q_lo)) + bit_count(xor(p.hi, pq.q_hi)),
+       |             p.vec_id) AS rnk
+       |    FROM packed p JOIN pq ON p.vec_id <> pq.q_id)
+       |  WHERE rnk <= $RrfDepth),
+       |fused AS (
+       |  SELECT COALESCE(c.q_id, h.q_id) AS q_id,
+       |         COALESCE(c.vec_id, h.vec_id) AS vec_id,
+       |         ${sqlR("COALESCE(c.w_cos, CAST(0.0 AS DOUBLE)) + COALESCE(h.w_ham, CAST(0.0 AS DOUBLE))", 6)} AS rrf
+       |  FROM cosr c FULL OUTER JOIN hamr h
+       |    ON c.q_id = h.q_id AND c.vec_id = h.vec_id)
+       |SELECT q_id, vec_id, rrf, CAST(rnk AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY rrf DESC, vec_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   // ------------------------------------------------- #119 knn_label_vote
 
   /** #119 knn_label_vote: kNN majority-vote label probe — hold out

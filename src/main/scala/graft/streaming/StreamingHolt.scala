@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.sources.Tables
+
+/** #126 stream_holt: the #115 Holt level/trend smoother maintained
+  * incrementally over the events stream. The recursion itself is
+  * order-sensitive, so the state is NOT (l, b): it is the per-day
+  * decimal partials — day → (scale-10 unscaled sum, count) — and each
+  * emission re-folds the sorted day axis. That makes the operator
+  * arrival-order and chunking INVARIANT (partials commute; late or
+  * out-of-order days land in their slot), at O(days) state per key —
+  * calendar-bounded, the same boundedness argument as the panel-mean
+  * broadcast in ts_cross_corr, and the same emit-cumulative/last-wins
+  * protocol as stream_kmv. The re-fold per emission costs O(days) with
+  * the identical arithmetic as batch ts_holt (davg per day, 6dp-rounded
+  * α/β steps), so the drained stream is BIT-IDENTICAL to the batch
+  * operator (spec-pinned) and shares its oracle.
+  */
+object StreamingHolt {
+
+  private[streaming] case class HoltIn(user_id: Long, day: Int, value: Double)
+  private[streaming] case class HoltState(
+      upd: Int, days: Map[Int, (Long, Long)])
+  private[streaming] case class HoltEmit(
+      user_id: Long, upd: Int, n_obs: Long,
+      level: Double, trend: Double, forecast: Double)
+
+  private def unscaled10(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** The batch chain's arithmetic over the day partials: davg per day
+    * (decimal sum → double, / count, r6), then the α=0.5/β=0.3 fold. */
+  private[streaming] def foldDays(days: Map[Int, (Long, Long)])
+      : (Long, Double, Double) = {
+    val xs = days.toSeq.sortBy(_._1).map { case (_, (su, n)) =>
+      r6(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(su), 10).doubleValue / n)
+    }
+    var l = xs.head; var b = 0.0
+    xs.tail.foreach { x =>
+      val nl = r6(0.5 * x + 0.5 * (l + b))
+      b = r6(0.3 * (nl - l) + 0.7 * b); l = nl
+    }
+    (xs.length.toLong, l, b)
+  }
+
+  private def foldHolt(uid: Long, rows: Iterator[HoltIn],
+                       state: GroupState[HoltState]): Iterator[HoltEmit] = {
+    val acc = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    state.getOption.foreach(st => acc ++= st.days)
+    var any = false
+    rows.foreach { r =>
+      any = true
+      val (su, n) = acc.getOrElse(r.day, (0L, 0L))
+      acc(r.day) = (su + unscaled10(r.value), n + 1)
+    }
+    if (!any && acc.isEmpty) Iterator.empty
+    else {
+      val upd = state.getOption.map(_.upd).getOrElse(0) + 1
+      state.update(HoltState(upd, acc.toMap))
+      val (n, l, b) = foldDays(acc.toMap)
+      Iterator.single(HoltEmit(uid, upd, n, l, b, r6(l + 7 * b)))
+    }
+  }
+
+  private[graft] def holtFold(ev: DataFrame): Dataset[HoltEmit] = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.select(col("user_id"),
+              datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+                .as("day"),
+              col("value"))
+      .as[HoltIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        foldHolt)
+  }
+
+  /** Last emission per user from a drained sink → the batch output
+    * shape (user_id, n_obs, level, trend, forecast). */
+  private[graft] def finalizeHolt(sink: DataFrame): DataFrame =
+    sink.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("upd").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_obs"), col("level"), col("trend"),
+              col("forecast"))
+      .orderBy(col("user_id"))
+
+  def streamHolt(s: SparkSession, dir: String): DataFrame = {
+    val name = s"holt_${System.nanoTime()}"
+    Streaming.withStreamPartitions(s) {
+      val q = holtFold(Streaming.eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Streaming.sealResult(s, name, finalizeHolt(s.table(name)))
+  }
+
+  /** The batch #115 oracle — identical output contract. */
+  val streamHoltSql: String = graft.operators.Round6Ops.tsHoltSql
+}

@@ -185,6 +185,98 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(stream == batch, s"stream=$stream\nbatch=$batch")
   }
 
+  // ------------------------------------------------- dedup_minhash_eval
+
+  test("minhash eval: error profile bounded; confusion counts within pairs") {
+    val r = graft.operators.LshDedup.dedupMinhashEval(spark, sf).collect()(0)
+    val (n, meanE, maxE) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val (fp, fn) = (r.getLong(3), r.getLong(4))
+    assert(n > 0, "no candidate pairs at this SF")
+    assert(meanE >= 0 && meanE <= maxE && maxE <= 1.0)
+    assert(fp + fn <= n)
+    // candidate pairs dominate the tau-filtered dedup output
+    val kept = graft.operators.LshDedup.dedupMinhash(spark, sf).count()
+    assert(n >= kept)
+  }
+
+  // ----------------------------------------------------- emb_rank_fusion
+
+  test("rank fusion: ranks 1..k per query; every fused doc came from a retriever") {
+    import graft.operators.{Similarity, Similarity2, Similarity3}
+    val fused = Similarity3.embRankFusion(spark, sf).collect()
+    val perQ = fused.groupBy(_.getLong(0))
+    perQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+    }
+    // rrf bounded by a double top-rank from both retrievers
+    val cap = math.floor((1.0 / 61 + 1.0 / 61) * 1e6 + 0.5) / 1e6
+    fused.foreach(r => assert(r.getDouble(2) <= cap + 1e-9))
+    val cos = Similarity.knnBruteDf(
+        Tables.embeddings(spark, sf).select("vec_id", "embedding"),
+        Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ham = Similarity2.embHammingKnn(spark, sf, 20, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(cos.contains(key) || ham.contains(key), s"$key from neither retriever")
+    }
+  }
+
+  // ----------------------------------------------------------- events_pmi
+
+  test("pmi: hand-recomputation for the most frequent pair; perfect co-occurrence is 0") {
+    val out = Round6Ops.eventsPmi(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ut = Tables.events(spark, sf).select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val users = ut.map(_._1).distinct.length.toDouble
+    val byType = ut.groupBy(_._2).view.mapValues(_.length).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    out.foreach { row =>
+      val (a, b, nab) = (row.getString(0), row.getString(1), row.getLong(2))
+      val expected = {
+        val sets = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+        (sets(a) & sets(b)).size
+      }
+      assert(nab == expected)
+      assert(row.getDouble(3) ==
+        r6(r6(math.log(nab * users / (byType(a).toLong * byType(b)).toDouble))))
+    }
+  }
+
+  // ------------------------------------------------------------ stream_holt
+
+  test("stream holt: drained stream is bit-identical to batch ts_holt") {
+    val batch = Round6Ops.tsHolt(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val stream = graft.streaming.StreamingHolt.streamHolt(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("stream holt: fold is arrival-order invariant (reversed input)") {
+    import graft.streaming.StreamingHolt
+    val ev = Tables.events(spark, sf)
+    val fwd = StreamingHolt.finalizeHolt(StreamingHolt.holtFold(ev).toDF())
+      .collect().map(_.toSeq).toSeq
+    val rev = StreamingHolt.finalizeHolt(
+        StreamingHolt.holtFold(ev.orderBy(col("ts").desc)).toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(fwd == rev)
+  }
+
+  // ------------------------------------------------- orders_backlog_aging
+
+  test("backlog aging: buckets partition the open orders exactly") {
+    val out = Round6Ops.ordersBacklogAging(spark, sf).collect()
+    val open = Tables.orders(spark, sf).filter(col("o_orderstatus") =!= "F").count()
+    assert(out.map(_.getLong(2)).sum == open)
+    val buckets = Set("a_0_30", "b_31_90", "c_91_365", "d_365_plus")
+    out.foreach(r => assert(buckets.contains(r.getString(1))))
+  }
+
   test("stream drift: fold is chunking-invariant (two half-batches ≡ one)") {
     import graft.streaming.StreamingDrift
     val emb = Tables.embeddings(spark, sf)
