@@ -21,7 +21,8 @@ import org.apache.spark.sql.DataFrame
   */
 object Lineage {
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+    if (Caches.auditing(df.sparkSession)) df
+    else if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
 

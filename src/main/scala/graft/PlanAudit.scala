@@ -25,23 +25,30 @@ object PlanAudit {
       // here (their shapes are pinned in StreamingSpec)
       if (name.startsWith("stream_")) None
       else {
-        val p = fn(spark, sfDir).queryExecution.explainString(
+        val qe = fn(spark, sfDir).queryExecution
+        val p = qe.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         def n(re: String) = re.r.findAllIn(p).length
+        // a LocalRelation/LocalTableScan result means the operator
+        // FINALIZES ON THE DRIVER over model-sized data (the MMR greedy
+        // rounds) — mark it rather than reporting a misleading 0/0 plan
+        val driverFinal =
+          qe.optimizedPlan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
         Some((name, n("\\) Exchange"), n("\\) BroadcastHashJoin"),
               n("\\) SortMergeJoin"), n("\\) ShuffledHashJoin"),
-              n("\\(\\d+\\) Scan parquet"), n("\\) Window")))
+              n("\\(\\d+\\) Scan parquet"), n("\\) Window"), driverFinal))
       }
     }
     println(f"${"query"}%-24s exch  bhj  smj  shj  scan  win")
-    rows.foreach { case (q, ex, bhj, smj, shj, sc, w) =>
+    rows.foreach { case (q, ex, bhj, smj, shj, sc, w, _) =>
       println(f"$q%-24s $ex%4d $bhj%4d $smj%4d $shj%4d $sc%5d $w%4d")
     }
     // durable artifact: plan shapes are deterministic (unlike wall-clock
     // on a shared host), so per-round diffs of this file surface plan
     // regressions — a lost broadcast, an extra exchange — reliably
-    val json = rows.map { case (q, ex, bhj, smj, shj, sc, w) =>
-      s""""$q":{"exchanges":$ex,"bhj":$bhj,"smj":$smj,"shj":$shj,"scans":$sc,"windows":$w}"""
+    val json = rows.map { case (q, ex, bhj, smj, shj, sc, w, dfin) =>
+      val extra = if (dfin) ""","driver_finalized":true""" else ""
+      s""""$q":{"exchanges":$ex,"bhj":$bhj,"smj":$smj,"shj":$shj,"scans":$sc,"windows":$w$extra}"""
     }.mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_PLAN_OUT", "/root/repo/PLAN_AUDIT.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

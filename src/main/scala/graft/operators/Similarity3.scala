@@ -142,10 +142,14 @@ object Similarity3 {
     val ham = Similarity2.embHammingKnn(s, dir, RrfDepth, nQueries)
       .select(col("q_id"), col("vec_id"),
               (lit(1.0) / (lit(RrfK) + col("rank"))).as("w_ham"))
-    val fused = cos.join(ham, Seq("q_id", "vec_id"), "full_outer")
-      .select(col("q_id"), col("vec_id"),
-              r(coalesce(col("w_cos"), lit(0.0)) +
-                coalesce(col("w_ham"), lit(0.0)), 6).as("rrf"))
+    // union + groupBy, not a FULL OUTER join (which can't broadcast and
+    // plans a sort-merge join of two tiny lists): each (q, doc) has ≤2
+    // contributions and one IEEE addition is commutative, so the
+    // grouped sum is bit-equal to the oracle's coalesce(a)+coalesce(b)
+    val fused = cos.select(col("q_id"), col("vec_id"), col("w_cos").as("w"))
+      .unionByName(ham.select(col("q_id"), col("vec_id"), col("w_ham").as("w")))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(r(sum(col("w")), 6).as("rrf"))
     fused.groupBy(col("q_id"))
       .agg(call_function("collect_top_k",
         struct(col("rrf"), (-col("vec_id")).as("neg_id")), lit(k), lit(false))
