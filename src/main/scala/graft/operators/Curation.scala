@@ -351,4 +351,85 @@ object Curation {
        |       ${sqlR("CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS DOUBLE) / sum(n_tokens)", 6)} AS dup_token_share
        |FROM base JOIN keep USING (fp)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- #128 corpus_dedup_funnel
+
+  /** #128 corpus_dedup_funnel: the END-TO-END dedup pipeline survival
+    * report — per source, how many documents survive each successive
+    * pass: exact fingerprint dedup (#25, keep the min doc_id per
+    * normalized-text group) → MinHash near-dup (#27, a single-pass
+    * keep-first rule: a doc is dropped when a verified τ-pair links it
+    * to a LOWER-id doc that survived the exact pass) → semantic dedup
+    * (#31f, the SemDeDup kept flag on the doc's embedding). The
+    * composition report every corpus-curation run publishes ("N in, M
+    * out, here's where they went").
+    *
+    * Each pass is the already-scale-shaped operator (fingerprint
+    * groupBy, banded bucket join, cluster-blocked pruning); the funnel
+    * adds only semi/anti joins on doc ids and ONE bounded per-source
+    * rollup. The near-dup rule is the deterministic single-pass form
+    * (no transitive closure — #42 dedup_clusters covers the
+    * connected-component variant). */
+  def corpusDedupFunnel(s: SparkSession, dir: String,
+                        tau: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val exSurv = TextOps.dedupExact(s, dir)
+      .select(col("keep_id").as("doc_id")).withColumn("ex", lit(1))
+    val flagged = docs.join(exSurv, Seq("doc_id"), "left")
+    // near-dup drops: τ-verified pairs whose BOTH endpoints survived
+    // exact; the higher id (id_b — pairs are emitted id_a < id_b) drops
+    val pairs = LshDedup.dedupMinhash(s, dir, tau)
+    val exIds = exSurv.select(col("doc_id"))
+    val nearDrop = pairs
+      .join(exIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .join(exIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("nd", lit(1))
+    val semDrop = Similarity.embSemanticDedup(s, dir)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id")).withColumn("sd", lit(1))
+    flagged
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(semDrop, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("ex") === 1, 1L).otherwise(0L)).as("n_after_exact"),
+           sum(when(col("ex") === 1 && col("nd").isNull, 1L).otherwise(0L))
+             .as("n_after_near"),
+           sum(when(col("ex") === 1 && col("nd").isNull && col("sd").isNull, 1L)
+                 .otherwise(0L)).as("n_after_semantic"))
+      .withColumn("retention",
+        r(col("n_after_semantic").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the three passes' own oracle SQLs composed as subqueries
+    * (DuckDB supports WITH inside a parenthesized subquery), then the
+    * identical flag/rollup logic. */
+  def corpusDedupFunnelSql(tau: Double = 0.3): String =
+    s"""WITH ex AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM documents
+       |  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+       |mh AS (SELECT id_a, id_b FROM (
+       |${LshDedup.dedupMinhashSql(tau)}
+       |) mhq),
+       |nd AS (
+       |  SELECT DISTINCT m.id_b AS doc_id
+       |  FROM mh m
+       |  JOIN ex a ON m.id_a = a.doc_id
+       |  JOIN ex b ON m.id_b = b.doc_id),
+       |sd AS (SELECT vec_id AS doc_id FROM (
+       |${Similarity.embSemanticDedupSql()}
+       |) semq WHERE NOT kept)
+       |SELECT d.source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after_exact,
+       |       CAST(sum(CASE WHEN e.doc_id IS NOT NULL AND n.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after_near,
+       |       CAST(sum(CASE WHEN e.doc_id IS NOT NULL AND n.doc_id IS NULL AND s.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after_semantic,
+       |       ${sqlR("CAST(sum(CASE WHEN e.doc_id IS NOT NULL AND n.doc_id IS NULL AND s.doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS retention
+       |FROM documents d
+       |LEFT JOIN ex e ON d.doc_id = e.doc_id
+       |LEFT JOIN nd n ON d.doc_id = n.doc_id
+       |LEFT JOIN sd s ON d.doc_id = s.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

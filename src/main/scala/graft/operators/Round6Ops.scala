@@ -116,18 +116,33 @@ object Round6Ops {
     eventsKs2sampDf(Tables.events(s, dir))
 
   def eventsKs2sampDf(ev: DataFrame): DataFrame = {
-    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val bin = when(col("hi") === col("lo"), lit(0)).otherwise(
+    val counts = ev.crossJoin(broadcast(ksBounds(ev)))
+      .groupBy(col("event_type"), ksBin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    ksFromCounts(counts, ev.select(col("event_type")).distinct())
+  }
+
+  /** Global value bounds — the shared grid both samples are binned on. */
+  private[graft] def ksBounds(ev: DataFrame): DataFrame =
+    ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+
+  /** Bin of `value` on the [lo, hi] equi-width grid (degenerate
+    * lo = hi → bin 0). */
+  private[graft] def ksBin: Column =
+    when(col("hi") === col("lo"), lit(0)).otherwise(
       least(lit(KsBins - 1),
         floor(((col("value") - col("lo")) / (col("hi") - col("lo"))) * KsBins)
           .cast("int")))
-    val counts = ev.crossJoin(broadcast(bounds))
-      .groupBy(col("event_type"), bin.as("bin"))
-      .agg(count(lit(1)).as("c"))
+
+  /** D̂ per type pair from per-(type, bin) counts — the post-histogram
+    * stage, shared with the streaming twin (#129) whose state IS the
+    * counts. All windows run over the types × [[KsBins]] dense grid. */
+  private[graft] def ksFromCounts(counts: DataFrame, types: DataFrame): DataFrame = {
     // dense (type × bin) grid so every type has a cum value at every
     // edge — types × 64 rows, all windows bounded by the grid
-    val grid = ev.select(col("event_type")).distinct()
-      .crossJoin(spark_range_bins(ev, KsBins))
+    val grid = types
+      .crossJoin(types.sparkSession.range(KsBins)
+        .select(col("id").cast("int").as("bin")))
     val wCum = Window.partitionBy("event_type").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy("event_type")
@@ -144,9 +159,6 @@ object Round6Ops {
       .agg(r(max(abs(col("fa") - col("fb"))), 6).as("ks_d"))
       .orderBy(col("type_a"), col("type_b"))
   }
-
-  private def spark_range_bins(ev: DataFrame, n: Int): DataFrame =
-    ev.sparkSession.range(n).select(col("id").cast("int").as("bin"))
 
   val eventsKs2sampSql: String =
     s"""WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),

@@ -277,6 +277,46 @@ class Round6OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(buckets.contains(r.getString(1))))
   }
 
+  // ------------------------------------------------ corpus_dedup_funnel
+
+  test("dedup funnel: stage counts are monotone and tie to the stage operators") {
+    import graft.operators.{Curation, TextOps}
+    val out = Curation.corpusDedupFunnel(spark, sf).collect()
+    out.foreach { r =>
+      val (n, e, nr, sm) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= e && e >= nr && nr >= sm && sm >= 0)
+      assert(r.getDouble(5) ==
+        math.floor(sm.toDouble / n * 1e6 + 0.5) / 1e6)
+    }
+    // exact-stage total equals the fingerprint-group count corpus-wide
+    val exactGroups = TextOps.dedupExact(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == exactGroups)
+    // every document is in exactly one source row
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total)
+  }
+
+  // -------------------------------------------------------- stream_ks
+
+  test("stream ks: drained stream is bit-identical to the batch monitor") {
+    val batch = Round6Ops.eventsKs2samp(spark, sf).collect().map(_.toSeq).toSeq
+    val stream = graft.streaming.StreamingKs.streamKs(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch, s"stream=$stream\nbatch=$batch")
+  }
+
+  test("stream ks: histogram fold is arrival-order invariant") {
+    import graft.streaming.StreamingKs
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
+    val bounds = Round6Ops.ksBounds(ev)
+    val fwd = StreamingKs.finalizeKs(StreamingKs.ksFold(ev, bounds).toDF())
+      .collect().map(_.toSeq).toSeq
+    val rev = StreamingKs.finalizeKs(
+        StreamingKs.ksFold(ev.orderBy(col("value").desc), bounds).toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(fwd == rev)
+  }
+
   test("stream drift: fold is chunking-invariant (two half-batches ≡ one)") {
     import graft.streaming.StreamingDrift
     val emb = Tables.embeddings(spark, sf)
