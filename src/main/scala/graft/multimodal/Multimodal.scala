@@ -128,6 +128,51 @@ object Multimodal {
       |FROM documents
       |CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f""".stripMargin
 
+  /** #130 mm_scene_cuts: shot-boundary detection over the sampled
+    * frame stream — per asset, flag a SCENE CUT wherever the
+    * inter-frame feature distance jumps past a threshold, and report
+    * (n_frames, n_cuts, cut_rate). The video-curation primitive that
+    * decides which keyframes a training pipeline keeps. The per-frame
+    * feature is a deterministic 16-bit projection of the frame
+    * fingerprint (the decode stub's md5 — a real decoder would emit a
+    * luma histogram through the same seam); the comparison is a lag
+    * window ordered by frame index, partitioned per asset — bounded by
+    * frames-per-asset, never a cross-asset window — then one bounded
+    * per-asset rollup. Plan: decode-map → one per-asset window → agg.
+    */
+  def mmSceneCuts(s: SparkSession, dir: String, threshold: Int = 21845): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val luma = conv(substring(col("frame_fp"), 1, 4), 16, 10).cast("int")
+    mmFrames(s, dir)
+      .withColumn("luma", luma)
+      .withColumn("cut",
+        when(abs(col("luma") - lag(col("luma"), 1).over(w)) > threshold, 1)
+          .otherwise(0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(col("cut")).as("n_cuts"))
+      .withColumn("cut_rate",
+        graft.Parity.r(col("n_cuts").cast("double") / col("n_frames"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  def mmSceneCutsSql(threshold: Int = 21845): String =
+    s"""WITH frames AS (
+       |  SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+       |         CAST(('0x' || substr(md5(md5(text) || ':' || CAST(f.f AS INT)), 1, 4)) AS INT) AS luma
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f),
+       |flagged AS (
+       |  SELECT doc_id,
+       |         CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > $threshold
+       |              THEN 1 ELSE 0 END AS cut
+       |  FROM frames)
+       |SELECT doc_id, count(*) AS n_frames,
+       |       CAST(sum(cut) AS BIGINT) AS n_cuts,
+       |       floor((CAST(sum(cut) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS cut_rate
+       |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** #34d payload-level exact dedup on the BINARY column: md5 of the
     * raw bytes groups identical media regardless of metadata — the
     * first pass of any multimodal dedup (perceptual hashing would

@@ -317,6 +317,27 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(fwd == rev)
   }
 
+  // --------------------------------------------------------- mm_scene_cuts
+
+  test("scene cuts: per-asset recomputation matches; threshold 0 flags every jump") {
+    import graft.multimodal.Multimodal
+    val out = Multimodal.mmSceneCuts(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // recompute one asset by hand from the frame stream
+    val frames = Multimodal.mmFrames(spark, sf)
+      .filter(col("doc_id") === out.keys.min)
+      .orderBy(col("frame_idx"))
+      .collect().map(r => Integer.parseInt(r.getString(2).take(4), 16))
+    val cuts = frames.sliding(2).count(p => math.abs(p(1) - p(0)) > 21845)
+    val (nf, nc, rate) = out(out.keys.min)
+    assert(nf == frames.length && nc == cuts)
+    assert(rate == math.floor(nc.toDouble / nf * 1e6 + 0.5) / 1e6)
+    // threshold 0: every adjacent pair with ANY difference is a cut
+    val all0 = Multimodal.mmSceneCuts(spark, sf, threshold = -1).collect()
+    all0.foreach(r => assert(r.getLong(2) == r.getLong(1) - 1,
+      s"threshold=-1 must cut at every of n_frames-1 boundaries: ${r.toSeq}"))
+  }
+
   test("stream drift: fold is chunking-invariant (two half-batches ≡ one)") {
     import graft.streaming.StreamingDrift
     val emb = Tables.embeddings(spark, sf)
