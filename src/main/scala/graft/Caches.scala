@@ -107,11 +107,25 @@ object Caches {
     * Values are storage-only: spec-pinned to leave results unchanged. */
   val ChainStorageConf = "spark.graft.chainStorage"
 
+  private val warnedCheckpointCleanup = new java.util.concurrent.atomic.AtomicBoolean
+
   private def chainStore(s: SparkSession, df: DataFrame): DataFrame =
     s.conf.get(ChainStorageConf, "MEMORY_AND_DISK").toUpperCase match {
       case "RELIABLE" =>
         require(s.sparkContext.getCheckpointDir.isDefined,
           s"$ChainStorageConf=RELIABLE needs sc.setCheckpointDir(...)")
+        // unpersist() is a no-op for reliable checkpoints: without the
+        // cleaner conf, every evicted/cleared chain table leaves its
+        // files on the DFS forever — the one deployment knob RELIABLE
+        // mode depends on, so its absence is loudly flagged once
+        if (!s.sparkContext.getConf.getBoolean(
+              "spark.cleaner.referenceTracking.cleanCheckpoints", false) &&
+            warnedCheckpointCleanup.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$ChainStorageConf=RELIABLE without spark.cleaner." +
+            "referenceTracking.cleanCheckpoints=true: checkpoint files of " +
+            "evicted chain tables are never deleted and the checkpoint " +
+            "dir grows unboundedly — set the cleaner conf on the context")
         df.checkpoint(eager = false)
       case lvl => df.persist(StorageLevel.fromString(lvl))
     }

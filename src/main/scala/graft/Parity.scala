@@ -51,6 +51,23 @@ object Parity {
   def davg(c: Column, d: Int): Column =
     r(dsum(c) / count(c), d)
 
+  /** Driver-side replica of [[r]] at d = 6 — THE half-up-6dp rounding
+    * every JVM-side finalize (streaming folds, MMR greedy) must share
+    * with the distributed expressions. */
+  def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Spark's double→DECIMAL(38,10) cast (shortest decimal repr, then
+    * HALF_UP to scale 10) as an unscaled long — the streaming-state
+    * encoding of an exact decimal sum. */
+  def dec10Unscaled(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Scale-10 unscaled long back to double (Decimal.toDouble). */
+  def dec10ToDouble(u: Long): Double =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(u), 10).doubleValue
+
   /** Oracle-SQL fragments mirroring the above (DuckDB dialect-safe ANSI). */
   def sqlR(x: String, d: Int): String = {
     val m = s"1e$d"

@@ -45,7 +45,7 @@ object Round6Ops {
     tsHoltDf(Mhw.daily(s, dir))
 
   def tsHoltDf(dl: DataFrame): DataFrame = {
-    val r6 = (x: String) => s"floor(($x) * 1e6 + 0.5) / 1e6"
+    val r6 = (x: String) => sqlR(x, 6) // Parity's ONE rounding fragment
     val newL = r6(s"$HoltAlpha * x + ${1 - HoltAlpha} * (acc.l + acc.b)")
     val fold =
       s"""aggregate(
@@ -67,7 +67,7 @@ object Round6Ops {
   }
 
   val tsHoltSql: String = {
-    val r6 = (x: String) => s"floor(($x) * 1e6 + 0.5) / 1e6"
+    val r6 = (x: String) => sqlR(x, 6) // Parity's ONE rounding fragment
     // state is a 2-element DOUBLE list [l, b], NOT a struct: DuckDB
     // 1.0.0's list_reduce mis-evaluates struct-typed accumulators past
     // two elements (verified: single lambda application correct, 3-el
@@ -96,7 +96,7 @@ object Round6Ops {
 
   // ------------------------------------------------- #116 events_ks_2samp
 
-  private val KsBins = 64
+  private[graft] val KsBins = 64
 
   /** #116 events_ks_2samp: two-sample Kolmogorov–Smirnov distance
     * between every pair of event types' value distributions — the

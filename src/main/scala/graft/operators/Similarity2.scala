@@ -173,7 +173,18 @@ object Similarity2 {
     * bit-for-bit: products cast to DECIMAL(18,10) (Spark cast = shortest
     * decimal repr, HALF_UP — `BigDecimal.valueOf`), exact decimal
     * accumulation, IEEE `floor(x·1e6 + 0.5)/1e6` rounding — so the
-    * result still hash-matches the full-corpus CTE oracle. */
+    * result still hash-matches the full-corpus CTE oracle.
+    *
+    * SOUNDNESS CERTIFICATE: relevance alone does not bound MMR when
+    * cosines can be NEGATIVE — an outside candidate's score can reach
+    * λ·sq + (1−λ) (penalty ≥ −1). So the shortlist is fetched as N+1
+    * rows: the (N+1)-th relevance is the outside cutoff, and after the
+    * greedy rounds every picked score is checked against the outside
+    * upper bound λ·sq_cutoff + (1−λ). Certificate holds (always, when
+    * the corpus fits the shortlist) → the selection is PROVABLY equal
+    * to the full-corpus greedy; certificate fails → fall back to the
+    * exact distributed loop ([[embMmrFullScan]]) rather than silently
+    * approximate. */
   def embMmr(s: SparkSession, dir: String, k: Int = 5, lam: Double = 0.7,
              shortlist: Int = 4096): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -184,14 +195,19 @@ object Similarity2 {
       .select(col("vec_id"), col("embedding"), col("nrm"),
               r(dotDec(col("embedding"), col("q_emb")) / (col("nrm") * col("q_n")), 6)
                 .as("sq"))
-    val cands = base.orderBy(col("sq").desc, col("vec_id")).limit(shortlist)
+    val fetched = base.orderBy(col("sq").desc, col("vec_id")).limit(shortlist + 1)
       .collect()
       .map(row => (row.getLong(0), row.getSeq[Float](1).toArray,
                    row.getDouble(2), row.getDouble(3)))
-    mmrResult(s, greedyLocal(cands, k, lam))
+    val (cands, overflow) = fetched.splitAt(shortlist)
+    val picked = greedyLocal(cands, k, lam)
+    val certified = overflow.isEmpty || {
+      val outsideBound = lam * overflow.head._4 + (1 - lam)
+      picked.forall(_._2 >= outsideBound)
+    }
+    if (certified) mmrResult(s, picked)
+    else embMmrFullScan(s, dir, k, lam)
   }
-
-  private def r6Local(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   /** Driver-local replica of [[graft.functions.VectorFunctions.dotDec]]:
     * per-term double product → DECIMAL(18,10) via the same
@@ -223,14 +239,14 @@ object Similarity2 {
       cands.foreach { case (id, e, nrm, sq) =>
         if (!taken.contains(id)) {
           val score =
-            if (sel.isEmpty) r6Local(lam * sq)
+            if (sel.isEmpty) graft.Parity.r6d(lam * sq)
             else {
               var pen = Double.NegativeInfinity
               sel.foreach { case (se, sn) =>
-                val c = r6Local(dotDecLocal(e, se) / (nrm * sn))
+                val c = graft.Parity.r6d(dotDecLocal(e, se) / (nrm * sn))
                 if (c > pen) pen = c
               }
-              r6Local(lam * sq - (1 - lam) * pen)
+              graft.Parity.r6d(lam * sq - (1 - lam) * pen)
             }
           if (score > bestScore || (score == bestScore && id < bestId)) {
             bestScore = score; bestId = id

@@ -34,12 +34,6 @@ object StreamingDrift {
       label: Int, upd: Int,
       sa: Array[Long], na: Long, sb: Array[Long], nb: Long)
 
-  /** Spark's double→DECIMAL(38,10) cast (shortest decimal repr, then
-    * HALF_UP to scale 10), as an unscaled long. */
-  private def unscaled10(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(10, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
 
   private def foldDrift(label: Int, rows: Iterator[DriftIn],
                         state: GroupState[DriftStateRow]): Iterator[DriftEmit] = {
@@ -50,7 +44,7 @@ object StreamingDrift {
                            new Array[Long](r.x.length), 0L)
       val tgt = if (r.par == 0L) st.sa else st.sb
       var i = 0
-      while (i < r.x.length) { tgt(i) += unscaled10(r.x(i)); i += 1 }
+      while (i < r.x.length) { tgt(i) += graft.Parity.dec10Unscaled(r.x(i)); i += 1 }
       st = if (r.par == 0L) st.copy(na = st.na + 1) else st.copy(nb = st.nb + 1)
     }
     if (st == null) Iterator.empty
@@ -79,8 +73,6 @@ object StreamingDrift {
         foldDrift)
   }
 
-  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-
   /** Finalize a drained sink: last emission per label (window over the
     * ≤ labels × batches sink), then the batch operator's exact final
     * arithmetic per component and label. */
@@ -101,17 +93,15 @@ object StreamingDrift {
         var ss = java.math.BigDecimal.ZERO
         var i = 0
         while (i < sa.length) {
-          val ca = r6(new java.math.BigDecimal(
-            java.math.BigInteger.valueOf(sa(i)), 10).doubleValue / na)
-          val cb = r6(new java.math.BigDecimal(
-            java.math.BigInteger.valueOf(sb(i)), 10).doubleValue / nb)
+          val ca = graft.Parity.r6d(graft.Parity.dec10ToDouble(sa(i)) / na)
+          val cb = graft.Parity.r6d(graft.Parity.dec10ToDouble(sb(i)) / nb)
           val d = ca - cb
           // the batch dsum: per-term double product cast DECIMAL(38,10)
           ss = ss.add(java.math.BigDecimal.valueOf(d * d)
             .setScale(10, java.math.RoundingMode.HALF_UP))
           i += 1
         }
-        Iterator.single((label, na, nb, r6(math.sqrt(ss.doubleValue))))
+        Iterator.single((label, na, nb, graft.Parity.r6d(math.sqrt(ss.doubleValue))))
       }
     }.toDF("label", "n_a", "n_b", "drift_l2")
       .orderBy(col("label"))

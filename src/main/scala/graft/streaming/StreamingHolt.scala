@@ -30,25 +30,19 @@ object StreamingHolt {
       user_id: Long, upd: Int, n_obs: Long,
       level: Double, trend: Double, forecast: Double)
 
-  private def unscaled10(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(10, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
-
-  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  import graft.Parity.{dec10Unscaled, dec10ToDouble, r6d}
 
   /** The batch chain's arithmetic over the day partials: davg per day
     * (decimal sum → double, / count, r6), then the α=0.5/β=0.3 fold. */
   private[streaming] def foldDays(days: Map[Int, (Long, Long)])
       : (Long, Double, Double) = {
     val xs = days.toSeq.sortBy(_._1).map { case (_, (su, n)) =>
-      r6(new java.math.BigDecimal(
-        java.math.BigInteger.valueOf(su), 10).doubleValue / n)
+      r6d(dec10ToDouble(su) / n)
     }
     var l = xs.head; var b = 0.0
     xs.tail.foreach { x =>
-      val nl = r6(0.5 * x + 0.5 * (l + b))
-      b = r6(0.3 * (nl - l) + 0.7 * b); l = nl
+      val nl = r6d(0.5 * x + 0.5 * (l + b))
+      b = r6d(0.3 * (nl - l) + 0.7 * b); l = nl
     }
     (xs.length.toLong, l, b)
   }
@@ -61,14 +55,14 @@ object StreamingHolt {
     rows.foreach { r =>
       any = true
       val (su, n) = acc.getOrElse(r.day, (0L, 0L))
-      acc(r.day) = (su + unscaled10(r.value), n + 1)
+      acc(r.day) = (su + dec10Unscaled(r.value), n + 1)
     }
     if (!any && acc.isEmpty) Iterator.empty
     else {
       val upd = state.getOption.map(_.upd).getOrElse(0) + 1
       state.update(HoltState(upd, acc.toMap))
       val (n, l, b) = foldDays(acc.toMap)
-      Iterator.single(HoltEmit(uid, upd, n, l, b, r6(l + 7 * b)))
+      Iterator.single(HoltEmit(uid, upd, n, l, b, r6d(l + 7 * b)))
     }
   }
 

@@ -22,7 +22,10 @@ import graft.sources.Tables
   */
 object StreamingKs {
 
-  private val KsBins = 64
+  // the ONE bin-count constant, shared with the batch operator whose
+  // ksBin values this state indexes — divergence would be a runtime
+  // ArrayIndexOutOfBounds inside the fold, not a compile error
+  private def KsBins = graft.operators.Round6Ops.KsBins
 
   private[streaming] case class KsIn(event_type: String, bin: Int)
   private[streaming] case class KsStateRow(upd: Int, counts: Array[Long])

@@ -31,15 +31,23 @@ import graft.sources.Tables
   *    latest-wins by (ts, event_id) is unchanged by replay, and the
   *    count partial is keyed on the batch id, so batch b REPLACES, not
   *    double-counts, its own contribution;
-  *  - a replayed OLDER batch (a restarted continuous deployment
-  *    re-reading from an earlier offset, e.g. with no
-  *    checkpointLocation) is dropped entirely by a high-watermark
-  *    guard: the snapshot records the max merged batch id in
-  *    `_GRAFT_MAX_BATCH`, and `batchId <= watermark` skips the merge —
-  *    the snapshot already compacts per-batch partials away, so an
-  *    older batch's partial cannot be replaced, only skipped. (If the
-  *    crash lands between sink write and watermark write, the replayed
-  *    batch falls through to the first layer — same batch id, replace.)
+  *  - a replayed OLDER batch within the SAME stream incarnation is
+  *    dropped by a high-watermark guard: the snapshot records the max
+  *    merged batch id in `_GRAFT_MAX_BATCH` (written atomically —
+  *    temp file + rename — so a crash can't leave a corrupt
+  *    watermark), and `0 < batchId < watermark` skips the merge — the
+  *    snapshot already compacts per-batch partials away, so an older
+  *    batch's partial cannot be replaced, only skipped. (A crash
+  *    between sink write and watermark write replays the SAME batch
+  *    id, which falls through to the first layer — replace.)
+  *  - a RESTARTED incarnation (no checkpointLocation: Structured
+  *    Streaming resets batch ids to 0 and the source re-reads
+  *    everything, old + newly-arrived) must NOT be confused with an
+  *    old-batch replay — batch ids are not comparable across
+  *    incarnations. `batchId == 0` with an existing watermark
+  *    therefore RESETS the snapshot (static overwrite) and rebuilds:
+  *    the re-read stream reconstructs the same fixed point plus the
+  *    new events, instead of silently dropping them.
   *
   * That idempotence is exactly what exactly-once sinks are built from
   * on non-transactional storage.
@@ -51,16 +59,25 @@ object StreamingUpsert {
   private def watermarkFile(path: String) =
     java.nio.file.Paths.get(s"$path/_GRAFT_MAX_BATCH")
 
-  /** Max batch id already merged into the snapshot (−1: none). */
+  /** Max batch id already merged into the snapshot (−1: none; a
+    * corrupt/unparsable file also reads −1 — the content-idempotent
+    * merge layers then apply instead of wedging every batch). */
   private[graft] def readWatermark(path: String): Long = {
     val f = watermarkFile(path)
-    if (java.nio.file.Files.exists(f))
-      new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
-    else -1L
+    if (!java.nio.file.Files.exists(f)) -1L
+    else try new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
+    catch { case _: NumberFormatException => -1L }
   }
 
-  private def writeWatermark(path: String, id: Long): Unit =
-    java.nio.file.Files.write(watermarkFile(path), id.toString.getBytes)
+  /** Atomic: temp file + rename, so a crash mid-write can't leave a
+    * partial watermark. */
+  private def writeWatermark(path: String, id: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$path/._GRAFT_MAX_BATCH.tmp")
+    java.nio.file.Files.write(tmp, id.toString.getBytes)
+    java.nio.file.Files.move(tmp, watermarkFile(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Latest-wins reduction of any (event) frame: one row per user with
     * the most recent (ts, event_id) event's fields + an event count. */
@@ -79,15 +96,20 @@ object StreamingUpsert {
     * partial for replay-safety. */
   private[graft] def mergeBatch(s: SparkSession, path: String,
                                 reduced: DataFrame, batchId: Long): Unit = {
-    // high-watermark guard: a strictly older batch was already merged
-    // AND compacted — skip it (see the replay-safety contract above)
-    if (batchId < readWatermark(path)) return
+    val watermark = readWatermark(path)
+    // batch ids are NOT comparable across stream incarnations: id 0
+    // with an existing watermark means a restarted stream re-reading
+    // from scratch — reset and rebuild (see the replay contract above)
+    val restarted = batchId == 0 && watermark >= 0
+    // high-watermark guard (same incarnation only): a strictly older
+    // batch was already merged AND compacted — skip it
+    if (!restarted && batchId < watermark) return
     val incoming = reduced
       .withColumn("bucket", pmod(col("user_id"), lit(NBuckets)).cast("int"))
       .withColumn("batch_id", lit(batchId))
     val buckets = incoming.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted // ≤ NBuckets scalars
-    val exists = new java.io.File(s"$path/_SUCCESS").exists()
+    val exists = !restarted && new java.io.File(s"$path/_SUCCESS").exists()
     val merged = if (!exists) incoming else {
       val cur = s.read.parquet(path).filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
       // latest-wins on event fields; counts re-sum per (user, batch) so

@@ -137,6 +137,13 @@ class Batch3OpsSpec extends AnyFunSuite {
     val tight = Similarity2.embMmr(spark, sf, shortlist = 32).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(tight == full, s"tight=$tight\nfull=$full")
+    // a shortlist so small the soundness certificate CANNOT hold
+    // (outside candidates could out-score the picks when penalties go
+    // negative): the certified fallback must still return the exact
+    // full-corpus selection, never a silent approximation
+    val forced = Similarity2.embMmr(spark, sf, shortlist = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(forced == full, s"forced=$forced\nfull=$full")
   }
 
   test("mmr: plan is one corpus pass — TakeOrdered, no per-round jobs") {

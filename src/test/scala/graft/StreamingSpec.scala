@@ -119,14 +119,25 @@ class StreamingSpec extends AnyFunSuite {
     StreamingUpsert.mergeBatch(spark, path,
       StreamingUpsert.latestPerUser(lastBatch), 1L)
     assert(snap() == incremental, "replaying the last batch changed the snapshot")
-    // a replayed OLDER batch (restart from an earlier offset) is dropped
-    // by the high-watermark guard — the compacted snapshot can no longer
-    // replace its partial, only skip it
+    // an older batch id WITHIN the incarnation (0 < id < watermark) is
+    // dropped by the high-watermark guard — the compacted snapshot can
+    // no longer replace its partial, only skip it
     assert(StreamingUpsert.readWatermark(path) == 1L)
     val firstBatch = ev.filter(unix_micros(col("ts")) <= cut)
+    // batch id 0 against an existing watermark = RESTARTED incarnation
+    // (Structured Streaming resets ids when no checkpoint is set): the
+    // snapshot RESETS to that batch and rebuilds — new events arriving
+    // post-restart are never silently dropped
     StreamingUpsert.mergeBatch(spark, path,
       StreamingUpsert.latestPerUser(firstBatch), 0L)
-    assert(snap() == incremental, "replaying an older batch changed the snapshot")
+    val afterReset = StreamingUpsert.latestPerUser(firstBatch)
+      .select("user_id", "ts", "event_type", "value", "n_events")
+      .orderBy("user_id").collect().toSeq
+    assert(snap() == afterReset, "restart did not reset to the re-read batch")
+    // ...and the re-read remainder rebuilds the identical fixed point
+    StreamingUpsert.mergeBatch(spark, path,
+      StreamingUpsert.latestPerUser(lastBatch), 1L)
+    assert(snap() == incremental, "rebuild after restart diverged")
   }
 
   test("stream_hll: register maxes merge across micro-batches; estimate equals batch sketch") {
