@@ -27,15 +27,15 @@ import graft.sources.Tables
   */
 object StreamingDrift {
 
-  private[streaming] case class DriftIn(label: Int, par: Long, x: Seq[Double])
-  private[streaming] case class DriftStateRow(
+  private[graft] case class DriftIn(label: Int, par: Long, x: Seq[Double])
+  private[graft] case class DriftStateRow(
       upd: Int, sa: Array[Long], na: Long, sb: Array[Long], nb: Long)
-  private[streaming] case class DriftEmit(
+  private[graft] case class DriftEmit(
       label: Int, upd: Int,
       sa: Array[Long], na: Long, sb: Array[Long], nb: Long)
 
 
-  private def foldDrift(label: Int, rows: Iterator[DriftIn],
+  private[graft] def foldDrift(label: Int, rows: Iterator[DriftIn],
                         state: GroupState[DriftStateRow]): Iterator[DriftEmit] = {
     var st = state.getOption.orNull
     rows.foreach { r =>

@@ -23,10 +23,10 @@ import graft.sources.Tables
   */
 object StreamingHolt {
 
-  private[streaming] case class HoltIn(user_id: Long, day: Int, value: Double)
-  private[streaming] case class HoltState(
+  private[graft] case class HoltIn(user_id: Long, day: Int, value: Double)
+  private[graft] case class HoltState(
       upd: Int, days: Map[Int, (Long, Long)])
-  private[streaming] case class HoltEmit(
+  private[graft] case class HoltEmit(
       user_id: Long, upd: Int, n_obs: Long,
       level: Double, trend: Double, forecast: Double)
 
@@ -34,7 +34,7 @@ object StreamingHolt {
 
   /** The batch chain's arithmetic over the day partials: davg per day
     * (decimal sum → double, / count, r6), then the α=0.5/β=0.3 fold. */
-  private[streaming] def foldDays(days: Map[Int, (Long, Long)])
+  private[graft] def foldDays(days: Map[Int, (Long, Long)])
       : (Long, Double, Double) = {
     val xs = days.toSeq.sortBy(_._1).map { case (_, (su, n)) =>
       r6d(dec10ToDouble(su) / n)
@@ -47,7 +47,7 @@ object StreamingHolt {
     (xs.length.toLong, l, b)
   }
 
-  private def foldHolt(uid: Long, rows: Iterator[HoltIn],
+  private[graft] def foldHolt(uid: Long, rows: Iterator[HoltIn],
                        state: GroupState[HoltState]): Iterator[HoltEmit] = {
     val acc = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
     state.getOption.foreach(st => acc ++= st.days)

@@ -27,12 +27,12 @@ object StreamingKs {
   // ArrayIndexOutOfBounds inside the fold, not a compile error
   private def KsBins = graft.operators.Round6Ops.KsBins
 
-  private[streaming] case class KsIn(event_type: String, bin: Int)
-  private[streaming] case class KsStateRow(upd: Int, counts: Array[Long])
-  private[streaming] case class KsEmit(event_type: String, upd: Int,
+  private[graft] case class KsIn(event_type: String, bin: Int)
+  private[graft] case class KsStateRow(upd: Int, counts: Array[Long])
+  private[graft] case class KsEmit(event_type: String, upd: Int,
                                        counts: Array[Long])
 
-  private def foldKs(typ: String, rows: Iterator[KsIn],
+  private[graft] def foldKs(typ: String, rows: Iterator[KsIn],
                      state: GroupState[KsStateRow]): Iterator[KsEmit] = {
     val counts = state.getOption.map(_.counts.clone())
       .getOrElse(new Array[Long](KsBins))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.streaming.TestGroupState
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.{KmvIn, KmvSketchRow, KnnIn, KnnPair, KnnTopRow, Streaming, StreamingKnn}
+import graft.streaming.{StreamingDrift, StreamingHolt, StreamingKs}
 
 /** Pure-fold properties for the O(k) streaming state transitions: the
   * final state must be a function of the SET of rows seen, invariant to
@@ -37,6 +38,75 @@ class FoldPropertySpec extends AnyFunSuite {
         state = if (g.exists) Some(g.get) else None
       }
       assert(state.get.ks == expected, s"trial $trial")
+    }
+  }
+
+  test("foldKs: final histogram = bin counts of the whole stream, any chunking/order") {
+    val rng = new scala.util.Random(17)
+    (0 until 50).foreach { trial =>
+      val bins = Seq.fill(20 + rng.nextInt(150))(rng.nextInt(64))
+      val expected = Array.tabulate(64)(b => bins.count(_ == b).toLong)
+      val shuffled = rng.shuffle(bins)
+      val nChunks = 1 + rng.nextInt(5)
+      val bounds = (0 +: Seq.fill(nChunks - 1)(rng.nextInt(shuffled.size + 1)).sorted) :+ shuffled.size
+      var state: Option[StreamingKs.KsStateRow] = None
+      bounds.zip(bounds.tail).foreach { case (a, b) =>
+        val g = gs(state)
+        StreamingKs.foldKs("t", shuffled.slice(a, b).iterator.map(StreamingKs.KsIn("t", _)), g)
+        state = if (g.exists) Some(g.get) else None
+      }
+      assert(state.get.counts.toSeq == expected.toSeq, s"trial $trial")
+    }
+  }
+
+  test("foldHolt: final (n, level, trend) = batch fold of the day partials, any chunking/order") {
+    val rng = new scala.util.Random(19)
+    (0 until 30).foreach { trial =>
+      val obs = Seq.fill(10 + rng.nextInt(60))(
+        (18000 + rng.nextInt(20), math.floor(rng.nextDouble() * 1e6) / 1e6))
+      // direct partial accumulation -> the shared batch arithmetic
+      val partials = obs.groupBy(_._1).map { case (d, vs) =>
+        d -> (vs.map(v => graft.Parity.dec10Unscaled(v._2)).sum, vs.size.toLong)
+      }
+      val expected = StreamingHolt.foldDays(partials)
+      val shuffled = rng.shuffle(obs)
+      val nChunks = 1 + rng.nextInt(5)
+      val bounds = (0 +: Seq.fill(nChunks - 1)(rng.nextInt(shuffled.size + 1)).sorted) :+ shuffled.size
+      var state: Option[StreamingHolt.HoltState] = None
+      var last: Option[StreamingHolt.HoltEmit] = None
+      bounds.zip(bounds.tail).foreach { case (a, b) =>
+        val g = gs(state)
+        val out = StreamingHolt.foldHolt(1L,
+          shuffled.slice(a, b).iterator.map(o => StreamingHolt.HoltIn(1L, o._1, o._2)), g)
+        out.foreach(e => last = Some(e))
+        state = if (g.exists) Some(g.get) else None
+      }
+      val e = last.get
+      assert((e.n_obs, e.level, e.trend) == expected, s"trial $trial")
+    }
+  }
+
+  test("foldDrift: final cohort sums/counts = direct decimal sums, any chunking/order") {
+    val rng = new scala.util.Random(23)
+    (0 until 30).foreach { trial =>
+      val dims = 4
+      val rows = Seq.fill(8 + rng.nextInt(40))(
+        (rng.nextInt(2).toLong, Seq.fill(dims)(math.floor(rng.nextDouble() * 1e4) / 1e4)))
+      def sums(par: Long) = Array.tabulate(dims)(i =>
+        rows.filter(_._1 == par).map(r => graft.Parity.dec10Unscaled(r._2(i))).sum)
+      val shuffled = rng.shuffle(rows)
+      val nChunks = 1 + rng.nextInt(4)
+      val bounds = (0 +: Seq.fill(nChunks - 1)(rng.nextInt(shuffled.size + 1)).sorted) :+ shuffled.size
+      var state: Option[StreamingDrift.DriftStateRow] = None
+      bounds.zip(bounds.tail).foreach { case (a, b) =>
+        val g = gs(state)
+        StreamingDrift.foldDrift(0,
+          shuffled.slice(a, b).iterator.map(r => StreamingDrift.DriftIn(0, r._1, r._2)), g)
+        state = if (g.exists) Some(g.get) else None
+      }
+      val st = state.get
+      assert(st.sa.toSeq == sums(0L).toSeq && st.sb.toSeq == sums(1L).toSeq, s"trial $trial")
+      assert(st.na == rows.count(_._1 == 0L) && st.nb == rows.count(_._1 == 1L))
     }
   }
 
