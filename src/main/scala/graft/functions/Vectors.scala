@@ -45,6 +45,18 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dotDec(a, b) / (norm(a) * norm(b))
 
+  /** Exact (decimal-accumulated) squared L2 distance between two
+    * numeric arrays (float or double elements): per-term (x−y)² is one
+    * IEEE multiply of one IEEE subtract — identical across engines —
+    * and the decimal sum is order-independent. */
+  def distSqDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        (d * d).cast(DecTerm)
+      }),
+      zeroDec, (acc, v) => (acc + v).cast(DecAcc)).cast("double")
+
   // ------------------------------------------------------- oracle fragments
 
   /** DuckDB mirror of [[dotDec]] for list columns `a`, `b`. */
@@ -54,6 +66,14 @@ object VectorFunctions {
        | AS DOUBLE)""".stripMargin.replace("\n", "")
 
   def sqlNorm(a: String): String = s"sqrt(${sqlDotDec(a, a)})"
+
+  /** DuckDB mirror of [[distSqDec]] for list columns `a`, `b`. */
+  def sqlDistSqDec(a: String, b: String): String = {
+    val d = s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))"
+    s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
+       |  i -> CAST($d * $d AS DECIMAL(18,10))))
+       | AS DOUBLE)""".stripMargin.replace("\n", "")
+  }
 
   def sqlCosine(a: String, b: String): String =
     s"${sqlDotDec(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"

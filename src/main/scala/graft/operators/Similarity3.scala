@@ -263,6 +263,71 @@ object Similarity3 {
       .orderBy(col("label"))
   }
 
+  // ------------------------------------------------ #133 emb_silhouette
+
+  /** #133 emb_silhouette: simplified (centroid-based) silhouette score
+    * per label — for each vector, a = distance to its own label
+    * centroid, b = nearest other-label centroid distance,
+    * s = (b − a)/max(a, b); reported as the per-label mean. The
+    * cluster-quality / label-coherence audit a labeled embedding corpus
+    * runs before trusting the labels for curation (medoid-free variant;
+    * classic silhouette's all-pairs a/b is unusable at corpus scale).
+    *
+    * Scale shape: centroids are a labels×dim aggregate (mergeable
+    * decimal partials, one shuffle over exploded dims), packed into a
+    * MODEL-SIZED array table that broadcasts; per-vector distances are
+    * then one map-side crossJoin(broadcast) scan — corpus rows × |labels|
+    * candidate rows, never vector×vector. Distances use the decimal
+    * zip_with accumulator ([[graft.functions.VectorFunctions.distSqDec]]),
+    * sqrt is IEEE-exact, and the per-vector silhouette is 6dp-rounded
+    * before the decimal mean. */
+  def embSilhouette(s: SparkSession, dir: String): DataFrame =
+    embSilhouetteDf(Tables.embeddings(s, dir))
+
+  def embSilhouetteDf(emb: DataFrame): DataFrame = {
+    val cent = emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(davg(col("col").cast("double"), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+                     p => p("m")).as("centroid"))
+      .select(col("label").as("c_label"), col("centroid"))
+    val dist = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+              col("c_label"),
+              sqrt(distSqDec(col("embedding"), col("centroid"))).as("dist"))
+    dist.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("c_label") === col("label"), col("dist"))).as("a"),
+           min(when(col("c_label") =!= col("label"), col("dist"))).as("b"))
+      .withColumn("sil",
+        r((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), davg(col("sil"), 6).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
+  val embSilhouetteSql: String =
+    s"""WITH cent AS (
+       |  SELECT label AS c_label, list(m ORDER BY d) AS centroid FROM (
+       |    SELECT label, d, ${sqlAvg("CAST(x AS DOUBLE)", 6)} AS m
+       |    FROM (SELECT label, unnest(embedding) AS x,
+       |                 generate_subscripts(embedding, 1) AS d
+       |          FROM embeddings)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |dist AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |         sqrt(${sqlDistSqDec("e.embedding", "c.centroid")}) AS dist
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ab AS (
+       |  SELECT vec_id, label,
+       |         min(CASE WHEN c_label = label THEN dist END) AS a,
+       |         min(CASE WHEN c_label <> label THEN dist END) AS b
+       |  FROM dist GROUP BY 1, 2)
+       |SELECT label, count(*) AS n_vecs,
+       |       ${sqlAvg(sqlR("(b - a) / GREATEST(a, b)", 6), 6)} AS mean_silhouette
+       |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin
+
   def knnLabelVoteSql(k: Int = 5): String = {
     val cosab = sqlR(sqlCosine("e.embedding", "t.t_emb"), 6)
     s"""WITH test AS (SELECT vec_id AS t_id, embedding AS t_emb,

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Round6Ops2, Similarity3}
+
+/** Invariants + hand-computed pins for round-6 batch 4 (#131-#134). */
+class Round6Ops2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------- text_ngram_novelty
+
+  test("novelty: first doc owns shared shingles; repeat text scores 0") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d} — both first here
+      (2L, "a b c x"),   // {a b c (seen), b c x (new)} → 1/2
+      (3L, "a b c d"))   // exact repeat → both seen → 0
+      .toDF("doc_id", "text")
+    val out = Round6Ops2.textNgramNoveltyDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("novelty: corpus-wide novel-shingle total equals distinct shingle count") {
+    // every distinct shingle is novel in exactly one document
+    val out = Round6Ops2.textNgramNovelty(spark, sf)
+    val novelTotal = out.agg(sum("n_novel")).first().getLong(0)
+    val distinctShingles = sources.Tables.documents(spark, sf)
+      .select(explode(functions.TextFunctions.shingles3(
+        functions.TextFunctions.lowerTokens(col("text")))).as("sg"))
+      .select("sg").distinct().count()
+    assert(novelTotal == distinctShingles)
+  }
+
+  // --------------------------------------------------- corpus_quality_curve
+
+  test("quality curve: threshold 0 retains everything; curve is monotone non-increasing") {
+    val rows = Round6Ops2.corpusQualityCurve(spark, sf)
+      .orderBy("threshold").collect()
+    assert(rows.length == 10)
+    val nDocsTotal = sources.Tables.documents(spark, sf).count()
+    assert(rows.head.getDouble(0) == 0.0)
+    assert(rows.head.getLong(1) == nDocsTotal)
+    assert(rows.head.getDouble(3) == 1.0)
+    val docs = rows.map(_.getLong(1))
+    val toks = rows.map(_.getLong(2))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+
+  // -------------------------------------------------------- emb_silhouette
+
+  test("silhouette: two tight, well-separated clusters score near 1") {
+    val emb = (0 until 20).map { i =>
+      val lbl = i % 2
+      val base = if (lbl == 0) 0.0f else 10.0f
+      (i.toLong, Array(base + (i / 2) * 0.01f, base), lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity3.embSilhouetteDf(emb).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 10L)
+      assert(r.getDouble(2) > 0.98, s"silhouette ${r.getDouble(2)}")
+    }
+  }
+
+  test("silhouette: scrambling labels on a clustered corpus destroys the score") {
+    // two geometric clusters; true labels follow geometry, scrambled don't
+    val base = (0 until 20).map { i =>
+      val lbl = i % 2
+      val off = if (lbl == 0) 0.0f else 10.0f
+      (i.toLong, Array(off + (i / 2) * 0.01f, off), lbl)
+    }
+    val truthDf = base.toDF("vec_id", "embedding", "label")
+    val truth = Similarity3.embSilhouetteDf(truthDf)
+      .agg(avg("mean_silhouette")).first().getDouble(0)
+    // deterministic scramble decorrelated from geometry: label by i/2 parity
+    val scrambledDf = base.map { case (id, e, _) => (id, e, (id / 2 % 2).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val noise = Similarity3.embSilhouetteDf(scrambledDf)
+      .agg(avg("mean_silhouette")).first().getDouble(0)
+    assert(truth > 0.98 && noise < 0.1,
+      s"truth $truth should be ~1, scrambled $noise ~0")
+  }
+
+  // -------------------------------------------------------- ts_periodogram
+
+  test("periodogram: pure 7-day sine concentrates power at period 7") {
+    val dl = (0 until 280).map { i =>
+      (1L, java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+       math.sin(2 * math.Pi * i / 7.0))
+    }.toDF("user_id", "d", "sst")
+    val out = Round6Ops2.tsPeriodogramDf(dl).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(7) > 100 * out(14), s"power ${out}")
+    assert(out(7) > 100 * out(30), s"power ${out}")
+  }
+
+  test("periodogram: constant series has zero power at every period") {
+    val dl = (0 until 60).map(i =>
+      (2L, java.sql.Date.valueOf(java.time.LocalDate.of(2021, 3, 1).plusDays(i)), 4.2))
+      .toDF("user_id", "d", "sst")
+    Round6Ops2.tsPeriodogramDf(dl).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3)) < 1e-3, s"period ${r.getInt(1)}: ${r.getDouble(3)}")
+    }
+  }
+
+  test("periodogram: one row per (user, period) over the sf corpus") {
+    val out = Round6Ops2.tsPeriodogram(spark, sf)
+    val users = operators.Mhw.daily(spark, sf).select("user_id").distinct().count()
+    assert(out.count() == users * 3)
+  }
+}
