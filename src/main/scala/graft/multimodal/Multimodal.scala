@@ -173,6 +173,73 @@ object Multimodal {
        |       floor((CAST(sum(cut) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS cut_rate
        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #138 mm_audio_vad: voice-activity segmentation over the decoded
+    * frame stream — treat each payload as an audio clip whose frames
+    * carry an energy level (here a deterministic [0,1) projection of
+    * the frame fingerprint; a real decoder emits RMS energy through the
+    * same seam), mark frames with energy ≥ τ as voiced, and compact
+    * maximal voiced runs into SEGMENTS (gaps-and-islands per asset).
+    * Per asset: frame/voiced counts, segment count, longest segment,
+    * voiced ratio — the speech-curation primitive that decides which
+    * clip regions feed an ASR training set.
+    *
+    * Scale shape: decode-map → one per-asset window (bounded by
+    * frames-per-asset, the #130 contract) for the island ids → two
+    * bounded rollups; silent assets survive via a left join on the
+    * asset-cardinality totals table. */
+  def mmAudioVad(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val energy = graft.Parity.r(
+      conv(substring(col("frame_fp"), 1, 8), 16, 10).cast("double") /
+        4294967296.0, 6)
+    val voiced = mmFrames(s, dir)
+      .withColumn("energy", energy)
+      .filter(col("energy") >= tau)
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+    val segs = voiced.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("seg_len")).as("n_voiced"),
+           count(lit(1)).as("n_segments"),
+           max(col("seg_len")).as("longest_segment"))
+    val totals = mmFrames(s, dir).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    totals.join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+              coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+              coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+              coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+      .withColumn("voiced_ratio",
+        graft.Parity.r(col("n_voiced").cast("double") / col("n_frames"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  def mmAudioVadSql(tau: Double = 0.5): String =
+    s"""WITH frames AS (
+       |  SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+       |         floor((CAST(('0x' || substr(md5(md5(text) || ':' || CAST(f.f AS INT)), 1, 8)) AS BIGINT) / 4294967296.0) * 1e6 + 0.5) / 1e6 AS energy
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f),
+       |voiced AS (
+       |  SELECT doc_id, frame_idx,
+       |         frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+       |  FROM frames WHERE energy >= $tau),
+       |segs AS (
+       |  SELECT doc_id, CAST(sum(seg_len) AS BIGINT) AS n_voiced,
+       |         count(*) AS n_segments,
+       |         CAST(max(seg_len) AS BIGINT) AS longest_segment
+       |  FROM (SELECT doc_id, grp, count(*) AS seg_len FROM voiced GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |totals AS (SELECT doc_id, count(*) AS n_frames FROM frames GROUP BY 1)
+       |SELECT t.doc_id, t.n_frames,
+       |       COALESCE(s.n_voiced, 0) AS n_voiced,
+       |       COALESCE(s.n_segments, 0) AS n_segments,
+       |       COALESCE(s.longest_segment, 0) AS longest_segment,
+       |       floor((CAST(COALESCE(s.n_voiced, 0) AS DOUBLE) / t.n_frames) * 1e6 + 0.5) / 1e6 AS voiced_ratio
+       |FROM totals t LEFT JOIN segs s USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   /** #34d payload-level exact dedup on the BINARY column: md5 of the
     * raw bytes groups identical media regardless of metadata — the
     * first pass of any multimodal dedup (perceptual hashing would

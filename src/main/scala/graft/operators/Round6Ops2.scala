@@ -130,6 +130,179 @@ object Round6Ops2 {
        |       ${sqlR("CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 6)} AS token_share
        |FROM agg ORDER BY threshold""".stripMargin
 
+  // -------------------------------------------- #136 ts_cusum_alarm
+
+  private val CusumK = 0.5 // slack, in σ units
+  private val CusumH = 4.0 // alarm threshold, in σ units
+
+  /** #136 ts_cusum_alarm: the SEQUENTIAL one-sided CUSUM control chart
+    * per series — s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − K·σ)), alarm
+    * whenever s⁺ crosses above H·σ from below; report per series the
+    * alarm count and the maximum excursion. This is the page-by-page
+    * drift ALARM (Page 1954) that complements #11f ts_changepoint's
+    * retrospective argmax split: the changepoint op locates one shift
+    * after the fact, the CUSUM chart counts how often the monitored
+    * process would have paged.
+    *
+    * μ and σ come from decimal-exact moments in the SAME groupBy that
+    * builds the bounded sorted value array; the recursion is the
+    * ts_holt `aggregate`-fold contract (per-step 6dp rounding, struct
+    * state on the Spark side, list-typed state in the oracle's
+    * list_reduce — the documented DuckDB workaround). One shuffle,
+    * state O(1) per step, array bounded per key. */
+  def tsCusumAlarm(s: SparkSession, dir: String): DataFrame =
+    tsCusumAlarmDf(Mhw.daily(s, dir))
+
+  def tsCusumAlarmDf(dl: DataFrame): DataFrame = {
+    val r6 = (x: String) => sqlR(x, 6)
+    val sp = r6(s"greatest(CAST(0.0 AS DOUBLE), acc.sp + (x - mu - $CusumK * sg))")
+    val fold =
+      s"""aggregate(xs,
+         |  named_struct('sp', CAST(0.0 AS DOUBLE), 'mx', CAST(0.0 AS DOUBLE),
+         |               'al', CAST(0.0 AS DOUBLE), 'ab', CAST(0.0 AS DOUBLE)),
+         |  (acc, x) -> named_struct(
+         |    'sp', $sp,
+         |    'mx', greatest(acc.mx, $sp),
+         |    'al', acc.al + (CASE WHEN $sp > $CusumH * sg AND acc.ab = 0.0
+         |                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END),
+         |    'ab', CASE WHEN $sp > $CusumH * sg
+         |               THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))"""
+        .stripMargin.replace('\n', ' ')
+    dl.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"),
+           dsum(col("sst")).as("sx"),
+           dsum(col("sst") * col("sst")).as("sxx"),
+           transform(sort_array(collect_list(struct(col("d"), col("sst")))),
+                     p => p("sst")).as("xs"))
+      .filter(col("n_obs") >= 2)
+      .withColumn("mu", r(col("sx") / col("n_obs"), 6))
+      .withColumn("sg", r(sqrt(greatest(lit(0.0),
+        (col("sxx") - col("n_obs") * col("mu") * col("mu")) /
+          (col("n_obs") - 1))), 6))
+      .withColumn("st", expr(fold))
+      .select(col("user_id"), col("n_obs"), col("mu"), col("sg").as("sigma"),
+              col("st.mx").as("cusum_max"),
+              col("st.al").cast("long").as("n_alarms"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsCusumAlarmSql: String = {
+    val r6 = (x: String) => sqlR(x, 6)
+    // list-typed accumulator [sp, mx, al, ab] — the DuckDB 1.0.0
+    // list_reduce struct-state bug workaround (see ts_holt)
+    val sp = r6(s"greatest(CAST(0.0 AS DOUBLE), acc[1] + (e[1] - mu - $CusumK * sg))")
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, ${sqlAvg("value", 6)} AS sst
+       |  FROM events GROUP BY 1, 2),
+       |series AS (
+       |  SELECT user_id, count(*) AS n_obs,
+       |         ${sqlSum("sst")} AS sx, ${sqlSum("sst * sst")} AS sxx,
+       |         list(sst ORDER BY d) AS xs
+       |  FROM daily GROUP BY 1),
+       |mom AS (
+       |  SELECT user_id, n_obs, xs,
+       |         ${r6("sx / n_obs")} AS mu,
+       |         ${r6("sqrt(greatest(0.0, (sxx - n_obs * (" + r6("sx / n_obs") +
+                ") * (" + r6("sx / n_obs") + ")) / (n_obs - 1)))")} AS sg
+       |  FROM series WHERE n_obs >= 2),
+       |folded AS (
+       |  SELECT user_id, n_obs, mu, sg,
+       |    list_reduce(
+       |      list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0],
+       |        list_transform(xs, x -> [x, 0.0, 0.0, 0.0])),
+       |      (acc, e) -> [
+       |        $sp,
+       |        greatest(acc[2], $sp),
+       |        acc[3] + (CASE WHEN $sp > $CusumH * sg AND acc[4] = 0.0
+       |                       THEN 1.0 ELSE 0.0 END),
+       |        CASE WHEN $sp > $CusumH * sg THEN 1.0 ELSE 0.0 END]) AS st
+       |  FROM mom)
+       |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs, mu, sg AS sigma,
+       |       st[2] AS cusum_max, CAST(st[3] AS BIGINT) AS n_alarms
+       |FROM folded ORDER BY user_id""".stripMargin
+  }
+
+  // -------------------------------------------- #137 events_ab_lift
+
+  private[graft] val AbConvMin = 14L // engagement threshold, ≈ the median
+
+  /** #137 events_ab_lift: the A/B experiment readout — users are
+    * deterministically split into two arms by md5 hash parity (the
+    * #78 md5-uniform assignment discipline: reproducible, unit-keyed,
+    * no RNG), a user "converts" on a metric event type when they
+    * emitted it at least [[AbConvMin]] times (an engagement threshold —
+    * mere presence is saturated in a dense corpus and collapses the
+    * pooled variance to zero), and the report per event type is arm
+    * sizes, conversion counts/rates, relative lift, and the
+    * two-proportion z-statistic under the pooled-variance null — the
+    * decision table every experimentation pipeline ships. Degenerate
+    * cells guard to NULL (pa = 0 → no lift; se = 0 → no z) instead of
+    * erroring under ANSI division.
+    *
+    * Scale shape: one (user, type) count rollup + one distinct
+    * user→arm table (both ≤ users × |types|), a per-(type, arm) count
+    * rollup, and a broadcast of the two arm totals — no window, no
+    * per-user state. z's sqrt is IEEE-exact; divisions are 6dp-rounded
+    * at the edges only. */
+  def eventsAbLift(s: SparkSession, dir: String): DataFrame = {
+    val arm = expr(
+      "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2")
+    val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("arm", arm)
+    val armSizes = users.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val na = armSizes.filter(col("arm") === 0).select(col("n").as("n_a"))
+    val nb = armSizes.filter(col("arm") === 1).select(col("n").as("n_b"))
+    val conv = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= AbConvMin)
+      .join(graft.Hints.keyDim(users), "user_id")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("conv_a"),
+           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+             (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    conv.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+              col("conv_a"), col("conv_b"),
+              r(pa, 6).as("rate_a"), r(pb, 6).as("rate_b"),
+              when(col("conv_a") > 0, r(pb / pa - 1.0, 6)).as("lift"),
+              when(se > 0.0, r((pb - pa) / se, 6)).as("z_score"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsAbLiftSql: String = {
+    val pa = "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    val pb = "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    val se = s"sqrt($pp * (1.0 - $pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |sizes AS (
+       |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM users),
+       |conv AS (
+       |  SELECT e.event_type,
+       |         CAST(sum(CASE WHEN u.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+       |         CAST(sum(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM (SELECT user_id, event_type FROM events
+       |        GROUP BY 1, 2 HAVING count(*) >= $AbConvMin) e
+       |  JOIN users u USING (user_id)
+       |  GROUP BY 1)
+       |SELECT event_type, n_a, n_b, conv_a, conv_b,
+       |       ${sqlR(pa, 6)} AS rate_a, ${sqlR(pb, 6)} AS rate_b,
+       |       CASE WHEN conv_a > 0 THEN ${sqlR(s"$pb / $pa - 1.0", 6)} END AS lift,
+       |       CASE WHEN $se > 0.0 THEN ${sqlR(s"($pb - $pa) / $se", 6)} END AS z_score
+       |FROM conv CROSS JOIN sizes ORDER BY event_type""".stripMargin
+  }
+
   // -------------------------------------------- #134 ts_periodogram
 
   private[graft] val PeriodogramPeriods = Seq(7, 14, 30)

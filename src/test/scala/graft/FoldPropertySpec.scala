@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.TestGroupState
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.{KmvIn, KmvSketchRow, KnnIn, KnnPair, KnnTopRow, Streaming, StreamingKnn}
-import graft.streaming.{StreamingDrift, StreamingHolt, StreamingKs}
+import graft.streaming.{StreamingDrift, StreamingHolt, StreamingKs, StreamingPeriodogram}
 
 /** Pure-fold properties for the O(k) streaming state transitions: the
   * final state must be a function of the SET of rows seen, invariant to
@@ -128,6 +128,34 @@ class FoldPropertySpec extends AnyFunSuite {
         state = if (g.exists) Some(g.get) else None
       }
       assert(state.get.top == expected, s"trial $trial")
+    }
+  }
+
+  test("foldPg: final periodogram sums are chunking/order invariant (decimal sums commute)") {
+    val rng = new scala.util.Random(19)
+    (0 until 30).foreach { trial =>
+      val rows = Seq.tabulate(20 + rng.nextInt(200))(i =>
+        StreamingPeriodogram.PgIn(0L, 18000 + i, rng.nextDouble() * 100))
+      def drain(input: Seq[StreamingPeriodogram.PgIn], chunks: Int) = {
+        val bounds = (0 +: Seq.fill(chunks - 1)(rng.nextInt(input.size + 1)).sorted) :+ input.size
+        var state: Option[StreamingPeriodogram.PgState] = None
+        var last: Seq[StreamingPeriodogram.PgEmit] = Nil
+        bounds.zip(bounds.tail).foreach { case (a, b) =>
+          val g = gs(state)
+          val out = StreamingPeriodogram.foldPg(0L, input.slice(a, b).iterator, g).toList
+          if (out.nonEmpty) last = out
+          state = if (g.exists) Some(g.get) else None
+        }
+        (state.get, last)
+      }
+      val (s1, e1) = drain(rows, 1)
+      val (s2, e2) = drain(rng.shuffle(rows), 1 + rng.nextInt(5))
+      assert(s1.n == s2.n && s1.sx.toSeq == s2.sx.toSeq &&
+             s1.sxc.toSeq == s2.sxc.toSeq && s1.sxs.toSeq == s2.sxs.toSeq &&
+             s1.sc.toSeq == s2.sc.toSeq && s1.ss.toSeq == s2.ss.toSeq,
+        s"trial $trial state diverged")
+      assert(e1.map(e => (e.period, e.n_obs, e.power)) ==
+             e2.map(e => (e.period, e.n_obs, e.power)), s"trial $trial emissions diverged")
     }
   }
 }

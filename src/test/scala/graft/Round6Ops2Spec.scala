@@ -118,4 +118,67 @@ class Round6Ops2Spec extends AnyFunSuite {
     val users = operators.Mhw.daily(spark, sf).select("user_id").distinct().count()
     assert(out.count() == users * 3)
   }
+
+  // -------------------------------------------------------- ts_cusum_alarm
+
+  test("cusum: constant series never alarms; a level shift alarms exactly once") {
+    val base = java.time.LocalDate.of(2022, 1, 1)
+    val flat = (0 until 60).map(i =>
+      (1L, java.sql.Date.valueOf(base.plusDays(i)), 3.0))
+    val shifted = (0 until 60).map { i =>
+      // 30 days at 0 ± small noise, then a +10 level shift
+      val v = if (i < 30) (if (i % 2 == 0) -0.5 else 0.5) else 10.0
+      (2L, java.sql.Date.valueOf(base.plusDays(i)), v)
+    }
+    val out = Round6Ops2.tsCusumAlarmDf((flat ++ shifted).toDF("user_id", "d", "sst"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(4), r.getLong(5))).toMap
+    val (flatMax, flatAlarms) = out(1L)
+    assert(flatMax == 0.0 && flatAlarms == 0L)
+    val (shiftMax, shiftAlarms) = out(2L)
+    assert(shiftAlarms == 1L, s"expected one crossing, got $shiftAlarms")
+    assert(shiftMax > 0.0)
+  }
+
+  test("cusum: sf corpus rows carry non-negative excursions and bounded alarms") {
+    val rows = Round6Ops2.tsCusumAlarm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0)              // cusum_max
+      assert(r.getLong(5) <= r.getLong(1))       // n_alarms ≤ n_obs
+    }
+  }
+
+  // -------------------------------------------------------- events_ab_lift
+
+  test("ab lift: arms partition the users; conversions bounded by arm size") {
+    val rows = Round6Ops2.eventsAbLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(1), r.getLong(2))
+      assert(na + nb == users)
+      assert(r.getLong(3) <= na && r.getLong(4) <= nb)
+      // z sign agrees with the rate difference when defined
+      if (!r.isNullAt(8) && r.getDouble(6) != r.getDouble(5))
+        assert((r.getDouble(8) > 0) == (r.getDouble(6) > r.getDouble(5)))
+    }
+  }
+
+  // ---------------------------------------------------------- mm_audio_vad
+
+  test("vad: segment accounting is internally consistent per asset") {
+    val rows = graft.multimodal.Multimodal.mmAudioVad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, nv, ns, longest) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nv <= nf)
+      assert(longest <= nv)
+      assert(ns <= nv)                      // each segment has ≥1 frame
+      if (nv > 0) assert(ns >= 1 && longest >= 1)
+      assert(ns == 0 || longest * ns >= nv) // segments can't all be shorter than max
+    }
+  }
 }
