@@ -44,17 +44,23 @@ object Round6Ops {
   def tsHolt(s: SparkSession, dir: String): DataFrame =
     tsHoltDf(Mhw.daily(s, dir))
 
-  def tsHoltDf(dl: DataFrame): DataFrame = {
+  /** The Holt recursion as a Spark SQL `aggregate` fold over any sorted
+    * value-array expression — shared by #115 and the #139 backtest
+    * (which folds a PREFIX of the same array). */
+  private[operators] def holtFoldExpr(xs: String): String = {
     val r6 = (x: String) => sqlR(x, 6) // Parity's ONE rounding fragment
     val newL = r6(s"$HoltAlpha * x + ${1 - HoltAlpha} * (acc.l + acc.b)")
-    val fold =
-      s"""aggregate(
-         |  slice(xs, 2, size(xs) - 1),
-         |  named_struct('l', element_at(xs, 1), 'b', CAST(0.0 AS DOUBLE)),
-         |  (acc, x) -> named_struct(
-         |    'l', $newL,
-         |    'b', ${r6(s"$HoltBeta * ($newL - acc.l) + ${1 - HoltBeta} * acc.b")}))"""
-        .stripMargin.replace('\n', ' ')
+    s"""aggregate(
+       |  slice($xs, 2, size($xs) - 1),
+       |  named_struct('l', element_at($xs, 1), 'b', CAST(0.0 AS DOUBLE)),
+       |  (acc, x) -> named_struct(
+       |    'l', $newL,
+       |    'b', ${r6(s"$HoltBeta * ($newL - acc.l) + ${1 - HoltBeta} * acc.b")}))"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  def tsHoltDf(dl: DataFrame): DataFrame = {
+    val fold = holtFoldExpr("xs")
     dl.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_obs"),
            transform(sort_array(collect_list(struct(col("d"), col("sst")))),

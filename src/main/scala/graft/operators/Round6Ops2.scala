@@ -130,6 +130,136 @@ object Round6Ops2 {
        |       ${sqlR("CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 6)} AS token_share
        |FROM agg ORDER BY threshold""".stripMargin
 
+  // --------------------------------------- #139 ts_forecast_backtest
+
+  private val BtHorizon = 7
+
+  /** #139 ts_forecast_backtest: rolling-origin evaluation of the #115
+    * Holt forecaster — hold out each series' final [[BtHorizon]]
+    * observations, fit level+trend on the prefix (the SAME fold
+    * expression, via [[Round6Ops.holtFoldExpr]]), forecast h = 1…H, and
+    * score MAE against the actuals next to the naive last-value
+    * baseline; skill = 1 − MAE_holt/MAE_naive. The backtest is what
+    * turns a forecaster from code into a trusted monitor — no model
+    * ships without one.
+    *
+    * Same bounded-sorted-array contract as #115: one shuffle, the
+    * holdout arithmetic is per-row higher-order expressions over ≤ H
+    * elements. Error sums fold left-to-right over H doubles in both
+    * engines (same order → same bits; no decimal needed). */
+  def tsForecastBacktest(s: SparkSession, dir: String): DataFrame =
+    tsForecastBacktestDf(Mhw.daily(s, dir))
+
+  def tsForecastBacktestDf(dl: DataFrame): DataFrame = {
+    val r6 = (x: String) => sqlR(x, 6)
+    val fold = Round6Ops.holtFoldExpr(s"slice(xs, 1, size(xs) - $BtHorizon)")
+    val errsHolt =
+      s"""transform(sequence(1, $BtHorizon),
+         |  h -> abs(element_at(xs, size(xs) - $BtHorizon + h) -
+         |           ${r6("st.l + h * st.b")}))""".stripMargin.replace('\n', ' ')
+    val errsNaive =
+      s"""transform(sequence(1, $BtHorizon),
+         |  h -> abs(element_at(xs, size(xs) - $BtHorizon + h) -
+         |           element_at(xs, size(xs) - $BtHorizon)))"""
+        .stripMargin.replace('\n', ' ')
+    def mae(errs: String) =
+      r(expr(s"aggregate($errs, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
+        BtHorizon.toDouble, 6)
+    dl.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"),
+           transform(sort_array(collect_list(struct(col("d"), col("sst")))),
+                     p => p("sst")).as("xs"))
+      .filter(col("n_obs") >= BtHorizon + 2)
+      .withColumn("st", expr(fold))
+      .withColumn("mae_holt", mae(errsHolt))
+      .withColumn("mae_naive", mae(errsNaive))
+      .select(col("user_id"), col("n_obs"),
+              col("st.l").as("level"), col("st.b").as("trend"),
+              col("mae_holt"), col("mae_naive"),
+              when(col("mae_naive") > 0.0,
+                r(lit(1.0) - col("mae_holt") / col("mae_naive"), 6)).as("skill"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsForecastBacktestSql: String = {
+    val r6 = (x: String) => sqlR(x, 6)
+    // the #115 list-state fold (DuckDB list_reduce struct bug), over the
+    // train prefix
+    val newL = r6(s"0.5 * e[1] + 0.5 * (acc[1] + acc[2])")
+    val errsHolt =
+      s"list_transform(range(1, ${BtHorizon + 1}), h -> abs(xs[len(xs) - $BtHorizon + CAST(h AS INT)] - ${r6("st[1] + h * st[2]")}))"
+    val errsNaive =
+      s"list_transform(range(1, ${BtHorizon + 1}), h -> abs(xs[len(xs) - $BtHorizon + CAST(h AS INT)] - xs[len(xs) - $BtHorizon]))"
+    def mae(errs: String) = r6(s"list_reduce($errs, (a, x) -> a + x) / ${BtHorizon}.0")
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, ${sqlAvg("value", 6)} AS sst
+       |  FROM events GROUP BY 1, 2),
+       |series AS (
+       |  SELECT user_id, count(*) AS n_obs, list(sst ORDER BY d) AS xs
+       |  FROM daily GROUP BY 1),
+       |train AS (
+       |  SELECT user_id, n_obs, xs, xs[1:len(xs) - $BtHorizon] AS tr
+       |  FROM series WHERE n_obs >= ${BtHorizon + 2}),
+       |folded AS (
+       |  SELECT user_id, n_obs, xs,
+       |    list_reduce(
+       |      list_prepend([tr[1], CAST(0.0 AS DOUBLE)],
+       |        list_transform(tr[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
+       |      (acc, e) -> [
+       |        $newL,
+       |        ${r6(s"0.3 * ($newL - acc[1]) + 0.7 * acc[2]")}]) AS st
+       |  FROM train),
+       |scored AS (
+       |  SELECT user_id, n_obs, st[1] AS level, st[2] AS trend,
+       |         ${mae(errsHolt)} AS mae_holt,
+       |         ${mae(errsNaive)} AS mae_naive
+       |  FROM folded)
+       |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs, level, trend,
+       |       mae_holt, mae_naive,
+       |       CASE WHEN mae_naive > 0.0
+       |            THEN ${r6("1.0 - mae_holt / mae_naive")} END AS skill
+       |FROM scored ORDER BY user_id""".stripMargin
+  }
+
+  // -------------------------------------------- #140 supplier_scorecard
+
+  /** #140 supplier_scorecard: the vendor-quality report every warehouse
+    * publishes — per supplier (name joined from the broadcast dim):
+    * item volume, net revenue, return RATE (`l_returnflag = 'R'`),
+    * revenue at risk in returned items, and mean discount granted.
+    * Complements #110's order-to-ship SLA with the merchandise-quality
+    * and pricing-posture axes (the synthetic schema carries no
+    * receipt/commit dates, so lateness stays #110's ship-lag metric).
+    * One fact scan, map-side partial aggregation on the supplier key,
+    * broadcast dim join AFTER the rollup (supplier-cardinality, never
+    * row-fanout). */
+  def supplierScorecard(s: SparkSession, dir: String): DataFrame = {
+    val returned = col("l_returnflag") === "R"
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val agg = Tables.lineitem(s, dir).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+           dsum(net, 2).as("revenue"),
+           r(dsum(when(returned, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+             .as("return_rate"),
+           dsum(when(returned, net).otherwise(0.0), 2).as("returned_revenue"),
+           davg(col("l_discount"), 6).as("mean_discount"))
+    agg.join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+      col("l_suppkey") === col("s_suppkey"))
+      .drop("s_suppkey")
+      .orderBy(col("l_suppkey"))
+  }
+
+  val supplierScorecardSql: String =
+    s"""SELECT l_suppkey, count(*) AS n_items,
+       |       ${sqlSum("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
+       |       ${sqlR(sqlSum("CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END") + " / count(*)", 6)} AS return_rate,
+       |       ${sqlSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 2)} AS returned_revenue,
+       |       ${sqlAvg("l_discount", 6)} AS mean_discount,
+       |       any_value(s_name) AS s_name
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------- #136 ts_cusum_alarm
 
   private val CusumK = 0.5 // slack, in σ units
@@ -301,6 +431,125 @@ object Round6Ops2 {
        |       CASE WHEN conv_a > 0 THEN ${sqlR(s"$pb / $pa - 1.0", 6)} END AS lift,
        |       CASE WHEN $se > 0.0 THEN ${sqlR(s"($pb - $pa) / $se", 6)} END AS z_score
        |FROM conv CROSS JOIN sizes ORDER BY event_type""".stripMargin
+  }
+
+  // -------------------------------------------- #141 events_cuped_lift
+
+  /** #141 events_cuped_lift: the variance-reduced A/B readout — CUPED
+    * (Deng et al. 2013): split the record at its midpoint timestamp,
+    * use each user's PRE-period activity count as the covariate X for
+    * their post-period metric Y, estimate θ = cov(X,Y)/var(X) pooled
+    * over both arms, and report per event type the raw arm-mean lift
+    * next to the adjusted lift (Ȳ_b − θX̄_b) − (Ȳ_a − θX̄_a) and the
+    * achieved variance-reduction ratio 1 − var(Y−θX)/var(Y). The
+    * production companion of #137: same experiment, tighter confidence
+    * for the same traffic.
+    *
+    * Scale shape: the per-(user, type) pre/post counts are one
+    * conditional rollup against a broadcast midpoint scalar; users
+    * absent from a (type, period) cell contribute zeros via the dense
+    * user×type grid (|types| is a bounded vocabulary, so the grid is
+    * user-cardinality ×|types|, built by a broadcast cross of the
+    * distinct-type dim — never a row fanout). θ and every moment are
+    * decimal-exact sums; divisions 6dp-round at the edges. */
+  def eventsCupedLift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val us = epochUs(col("ts"))
+    val mid = ev.agg(
+      floor((min(us) + max(us)) / lit(2.0)).cast("long").as("mid_us"))
+    val arm = expr(
+      "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2")
+    val users = ev.select(col("user_id")).distinct().withColumn("arm", arm)
+    val types = ev.select(col("event_type")).distinct()
+    val grid = graft.Hints.keyDim(users).crossJoin(broadcast(types))
+    val counts = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(when(us < col("mid_us"), 1L).otherwise(0L)).as("x"),
+           sum(when(us >= col("mid_us"), 1L).otherwise(0L)).as("y"))
+    val xy = grid.join(counts, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"), col("arm"),
+              coalesce(col("x"), lit(0L)).cast("double").as("x"),
+              coalesce(col("y"), lit(0L)).cast("double").as("y"))
+    val agg = xy.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+           dsum(col("x") * col("x")).as("sxx"),
+           dsum(col("y") * col("y")).as("syy"),
+           dsum(col("x") * col("y")).as("sxy"),
+           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+           dsum(when(col("arm") === 0, col("y")).otherwise(0.0)).as("sy_a"),
+           dsum(when(col("arm") === 1, col("y")).otherwise(0.0)).as("sy_b"),
+           dsum(when(col("arm") === 0, col("x")).otherwise(0.0)).as("sx_a"),
+           dsum(when(col("arm") === 1, col("x")).otherwise(0.0)).as("sx_b"))
+      .withColumn("n_b", col("n") - col("n_a"))
+    val varX = (col("sxx") - col("sx") * col("sx") / col("n"))
+    val covXY = (col("sxy") - col("sx") * col("sy") / col("n"))
+    val varY = (col("syy") - col("sy") * col("sy") / col("n"))
+    val withTheta = agg.withColumn("theta",
+      when(varX > 0.0, r(covXY / varX, 6)).otherwise(lit(0.0)))
+    val liftRaw = col("sy_b") / col("n_b") - col("sy_a") / col("n_a")
+    val liftCuped = (col("sy_b") / col("n_b") -
+                     col("theta") * (col("sx_b") / col("n_b"))) -
+                    (col("sy_a") / col("n_a") -
+                     col("theta") * (col("sx_a") / col("n_a")))
+    val varResid = varY - lit(2.0) * col("theta") * covXY +
+                   col("theta") * col("theta") * varX
+    withTheta.select(col("event_type"), col("n"),
+        col("n_a"), col("n_b"), col("theta"),
+        r(liftRaw, 6).as("lift_raw"),
+        r(liftCuped, 6).as("lift_cuped"),
+        when(varY > 0.0, r(lit(1.0) - varResid / varY, 6)).as("var_reduction"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsCupedLiftSql: String = {
+    val varX = "(sxx - sx * sx / n)"
+    val covXY = "(sxy - sx * sy / n)"
+    val varY = "(syy - sy * sy / n)"
+    val theta = s"CASE WHEN $varX > 0.0 THEN ${sqlR(s"$covXY / $varX", 6)} ELSE 0.0 END"
+    val liftRaw = "sy_b / n_b - sy_a / n_a"
+    val liftCuped = "(sy_b / n_b - theta * (sx_b / n_b)) - (sy_a / n_a - theta * (sx_a / n_a))"
+    val varResid = s"$varY - 2.0 * theta * $covXY + theta * theta * $varX"
+    s"""WITH mid AS (
+       |  SELECT CAST(floor((min(epoch_us(CAST(ts AS TIMESTAMP))) +
+       |                     max(epoch_us(CAST(ts AS TIMESTAMP)))) / 2.0) AS BIGINT) AS mid_us
+       |  FROM events),
+       |users AS (
+       |  SELECT user_id,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |grid AS (
+       |  SELECT u.user_id, u.arm, t.event_type
+       |  FROM users u CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+       |counts AS (
+       |  SELECT user_id, event_type,
+       |         CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events CROSS JOIN mid GROUP BY 1, 2),
+       |xy AS (
+       |  SELECT g.event_type, g.arm,
+       |         CAST(COALESCE(c.x, 0) AS DOUBLE) AS x,
+       |         CAST(COALESCE(c.y, 0) AS DOUBLE) AS y
+       |  FROM grid g LEFT JOIN counts c USING (user_id, event_type)),
+       |agg AS (
+       |  SELECT event_type, count(*) AS n,
+       |         ${sqlSum("x")} AS sx, ${sqlSum("y")} AS sy,
+       |         ${sqlSum("x * x")} AS sxx, ${sqlSum("y * y")} AS syy,
+       |         ${sqlSum("x * y")} AS sxy,
+       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(count(*) - sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         ${sqlSum("CASE WHEN arm = 0 THEN y ELSE 0.0 END")} AS sy_a,
+       |         ${sqlSum("CASE WHEN arm = 1 THEN y ELSE 0.0 END")} AS sy_b,
+       |         ${sqlSum("CASE WHEN arm = 0 THEN x ELSE 0.0 END")} AS sx_a,
+       |         ${sqlSum("CASE WHEN arm = 1 THEN x ELSE 0.0 END")} AS sx_b
+       |  FROM xy GROUP BY 1),
+       |th AS (SELECT *, $theta AS theta FROM agg)
+       |SELECT event_type, CAST(n AS BIGINT) AS n, n_a, n_b, theta,
+       |       ${sqlR(liftRaw, 6)} AS lift_raw,
+       |       ${sqlR(liftCuped, 6)} AS lift_cuped,
+       |       CASE WHEN $varY > 0.0
+       |            THEN ${sqlR(s"1.0 - ($varResid) / $varY", 6)} END AS var_reduction
+       |FROM th ORDER BY event_type""".stripMargin
   }
 
   // -------------------------------------------- #134 ts_periodogram

@@ -328,6 +328,71 @@ object Similarity3 {
        |       ${sqlAvg(sqlR("(b - a) / GREATEST(a, b)", 6), 6)} AS mean_silhouette
        |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- #142 emb_recall_curve
+
+  private val RecallKs = Seq(1, 5, 10)
+  private val RecallMaxK = 10
+
+  /** #142 emb_recall_curve: the ANN index acceptance test — recall@k of
+    * the #31 LSH retriever against the #30 exact top-k for
+    * k ∈ {1, 5, 10}, micro-averaged over the query set. The measurement
+    * that decides whether the bucketed index can replace the exact scan
+    * at deployment (the #117 Matryoshka eval's sibling, aimed at the
+    * index instead of the embedding width).
+    *
+    * Both retrievers already produce (q_id, vec_id, rank) with the same
+    * rounding and tie rule; this op joins the two queries×k-row lists
+    * (model-sized), fans the matches out over the bounded k grid, and
+    * rolls up — every input is an already-scale-shaped operator, the
+    * curve adds only bounded joins. */
+  def embRecallCurve(s: SparkSession, dir: String, nQueries: Int = 5): DataFrame = {
+    val lsh = Similarity.annLsh(s, dir, k = RecallMaxK, nQueries = nQueries)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rank_lsh"))
+    val exact = Similarity.knnBrute(s, dir, k = RecallMaxK, nQueries = nQueries)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rank_exact"))
+    val matches = exact.join(lsh, Seq("q_id", "vec_id"))
+    val ks = {
+      import s.implicits._
+      RecallKs.map(k => (k, nQueries.toLong * k)).toDF("k", "denom")
+    }
+    matches.crossJoin(broadcast(ks))
+      .groupBy(col("k"), col("denom"))
+      .agg(sum(when(col("rank_exact") <= col("k") &&
+                    col("rank_lsh") <= col("k"), 1L).otherwise(0L))
+             .as("n_hits"))
+      .select(col("k"), col("n_hits"),
+              r(col("n_hits").cast("double") / col("denom").cast("double"), 6)
+                .as("recall"))
+      .orderBy(col("k"))
+  }
+
+  def embRecallCurveSql(nQueries: Int = 5): String =
+    s"""WITH lsh AS (
+       |  SELECT q_id, vec_id, rank AS rank_lsh
+       |  FROM (${Similarity.annLshSql(k = RecallMaxK, nQueries = nQueries)})),
+       |exact AS (
+       |  SELECT q_id, vec_id, rnk AS rank_exact FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cosine DESC, vec_id) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS q_id, e.vec_id,
+       |             ${sqlR(sqlCosine("q.embedding", "e.embedding"), 6)} AS cosine
+       |      FROM embeddings e
+       |      JOIN (SELECT vec_id, embedding FROM embeddings
+       |            WHERE vec_id < $nQueries) q
+       |        ON e.vec_id <> q.vec_id) s)
+       |  WHERE rnk <= $RecallMaxK),
+       |ks AS (SELECT k FROM (VALUES ${RecallKs.map(k => s"($k)").mkString(", ")}) t(k)),
+       |m AS (
+       |  SELECT e.q_id, e.vec_id, e.rank_exact, l.rank_lsh
+       |  FROM exact e JOIN lsh l USING (q_id, vec_id))
+       |SELECT k, CAST(sum(CASE WHEN rank_exact <= k AND rank_lsh <= k
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       ${sqlR(s"CAST(sum(CASE WHEN rank_exact <= k AND rank_lsh <= k THEN 1 ELSE 0 END) AS DOUBLE) / ($nQueries.0 * k)", 6)} AS recall
+       |FROM m CROSS JOIN ks
+       |GROUP BY k ORDER BY k""".stripMargin
+
   def knnLabelVoteSql(k: Int = 5): String = {
     val cosab = sqlR(sqlCosine("e.embedding", "t.t_emb"), 6)
     s"""WITH test AS (SELECT vec_id AS t_id, embedding AS t_emb,

@@ -166,6 +166,72 @@ class Round6Ops2Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------- ts_forecast_backtest
+
+  test("backtest: Holt beats naive decisively on a long linear-trend series") {
+    val base = java.time.LocalDate.of(2020, 1, 1)
+    val dl = (0 until 100).map(i =>
+      (1L, java.sql.Date.valueOf(base.plusDays(i)), 10.0 + 0.5 * i))
+      .toDF("user_id", "d", "sst")
+    val row = Round6Ops2.tsForecastBacktestDf(dl).collect()(0)
+    val (maeHolt, maeNaive) = (row.getDouble(4), row.getDouble(5))
+    // naive repeats the last train value: errors 0.5, 1.0, …, 3.5 → MAE 2.0
+    assert(maeNaive == 2.0, s"naive MAE $maeNaive")
+    assert(maeHolt < maeNaive / 4, s"holt MAE $maeHolt vs naive $maeNaive")
+    assert(row.getDouble(6) > 0.75) // skill
+  }
+
+  test("backtest: skill column is consistent with the two MAEs") {
+    Round6Ops2.tsForecastBacktest(spark, sf).collect().foreach { r =>
+      val (h, n) = (r.getDouble(4), r.getDouble(5))
+      if (!r.isNullAt(6) && n > 0)
+        assert(math.abs(r.getDouble(6) - Parity.r6d(1.0 - h / n)) < 1e-9)
+    }
+  }
+
+  // ---------------------------------------------------- supplier_scorecard
+
+  test("scorecard: per-supplier rollup reconciles with the corpus totals") {
+    val rows = Round6Ops2.supplierScorecard(spark, sf).collect()
+    val li = sources.Tables.lineitem(spark, sf)
+    assert(rows.length == li.select("l_suppkey").distinct().count())
+    val nTotal = rows.map(_.getLong(1)).sum
+    assert(nTotal == li.count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // return_rate
+      assert(r.getDouble(4) <= r.getDouble(2) + 1e-6)         // returned ≤ revenue
+      assert(r.getString(6).nonEmpty)                          // s_name joined
+    }
+  }
+
+  // ------------------------------------------------------ events_cuped_lift
+
+  test("cuped: variance reduction bounded; theta zero when covariate is constant") {
+    val rows = Round6Ops2.eventsCupedLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(7)) {
+        val vr = r.getDouble(7)
+        // rounded θ is within one rounding step of the pooled optimum
+        assert(vr <= 1.0 && vr >= -0.01, s"var_reduction $vr")
+      }
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1)) // n_a + n_b = n
+    }
+  }
+
+  // ------------------------------------------------------- emb_recall_curve
+
+  test("recall curve: bounded rates over the declared k grid") {
+    val rows = operators.Similarity3.embRecallCurve(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 5, 10))
+    rows.foreach { r =>
+      val (k, hits, rec) = (r.getInt(0), r.getLong(1), r.getDouble(2))
+      assert(hits <= 5L * k)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec == Parity.r6d(hits.toDouble / (5.0 * k)))
+    }
+  }
+
   // ---------------------------------------------------------- mm_audio_vad
 
   test("vad: segment accounting is internally consistent per asset") {
