@@ -183,33 +183,36 @@ object Multimodal {
     * voiced ratio — the speech-curation primitive that decides which
     * clip regions feed an ASR training set.
     *
-    * Scale shape: decode-map → one per-asset window (bounded by
-    * frames-per-asset, the #130 contract) for the island ids → two
-    * bounded rollups; silent assets survive via a left join on the
-    * asset-cardinality totals table. */
+    * Scale shape: ONE decode-map pass (unvoiced frames ride through
+    * with a NULL island id instead of forcing a second decode for the
+    * totals) → one per-asset window (bounded by frames-per-asset, the
+    * #130 contract) for the island ids → two bounded rollups; silent
+    * assets keep their NULL-island group, so no second scan or join is
+    * needed to retain them. */
   def mmAudioVad(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
     val energy = graft.Parity.r(
       conv(substring(col("frame_fp"), 1, 8), 16, 10).cast("double") /
         4294967296.0, 6)
-    val voiced = mmFrames(s, dir)
-      .withColumn("energy", energy)
-      .filter(col("energy") >= tau)
-      .withColumn("grp", col("frame_idx") - row_number().over(w))
-    val segs = voiced.groupBy(col("doc_id"), col("grp"))
-      .agg(count(lit(1)).as("seg_len"))
+    val flagged = mmFrames(s, dir)
+      .withColumn("voiced", (energy >= tau).cast("int"))
+      // cumulative voiced count ≡ row_number among voiced rows, so the
+      // island id matches the classic gaps-and-islands formula while
+      // unvoiced rows stay in the frame (grp NULL)
+      .withColumn("grp",
+        when(col("voiced") === 1,
+             col("frame_idx") - sum(col("voiced")).over(w)))
+    flagged.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("seg_len")).as("n_voiced"),
-           count(lit(1)).as("n_segments"),
-           max(col("seg_len")).as("longest_segment"))
-    val totals = mmFrames(s, dir).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"))
-    totals.join(segs, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_frames"),
-              coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
-              coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-              coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+      .agg(sum(col("cnt")).as("n_frames"),
+           sum(when(col("grp").isNotNull, col("cnt")).otherwise(0L)).as("n_voiced"),
+           sum(when(col("grp").isNotNull, 1L).otherwise(0L)).as("n_segments"),
+           coalesce(max(when(col("grp").isNotNull, col("cnt"))), lit(0L))
+             .as("longest_segment"))
       .withColumn("voiced_ratio",
         graft.Parity.r(col("n_voiced").cast("double") / col("n_frames"), 6))
       .orderBy(col("doc_id"))

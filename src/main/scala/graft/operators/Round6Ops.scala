@@ -20,8 +20,10 @@ object Round6Ops {
 
   // --------------------------------------------------------- #115 ts_holt
 
-  private val HoltAlpha = 0.5
-  private val HoltBeta = 0.3
+  // shared with the #139 backtest oracle (Round6Ops2) — the Spark sides
+  // already share holtFoldExpr, so the constants must too
+  private[operators] val HoltAlpha = 0.5
+  private[operators] val HoltBeta = 0.3
   private val HoltHorizon = 7
 
   /** #115 ts_holt: Holt's linear-trend (double-exponential) smoothing

@@ -1,19 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Parity._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
-/** Round-6 operator batch 4 (SURVEY §2 #131, #132, #134): shingle
-  * novelty attribution, the quality-threshold data-selection curve, and
-  * a fixed-period periodogram for seasonality detection. Same contracts
-  * as every other batch: Parity decimal/rounding discipline end-to-end,
-  * no key-proportional global windows, joins bounded by inverted-index
-  * or broadcast shapes. (#133 emb_silhouette lives with the other
-  * embedding evaluators in [[Similarity3]].)
+/** Round-6 operator batches 4-6 (SURVEY §2 #131, #132, #134, #136,
+  * #137, #139, #140, #141): shingle novelty attribution, the
+  * quality-threshold data-selection curve, a fixed-period periodogram,
+  * the sequential CUSUM alarm chart, the A/B lift + CUPED experiment
+  * readouts, the Holt rolling-origin backtest, and the vendor
+  * scorecard. Same contracts as every other batch: Parity
+  * decimal/rounding discipline end-to-end, no key-proportional global
+  * windows, joins bounded by inverted-index or broadcast shapes.
+  * (#133 emb_silhouette and #142 emb_recall_curve live with the other
+  * embedding evaluators in [[Similarity3]]; #135 stream_periodogram
+  * and #138 mm_audio_vad with their families.)
   */
 object Round6Ops2 {
 
@@ -184,8 +188,9 @@ object Round6Ops2 {
   val tsForecastBacktestSql: String = {
     val r6 = (x: String) => sqlR(x, 6)
     // the #115 list-state fold (DuckDB list_reduce struct bug), over the
-    // train prefix
-    val newL = r6(s"0.5 * e[1] + 0.5 * (acc[1] + acc[2])")
+    // train prefix — constants shared with Round6Ops (one forecaster)
+    val (al, be) = (Round6Ops.HoltAlpha, Round6Ops.HoltBeta)
+    val newL = r6(s"$al * e[1] + ${1 - al} * (acc[1] + acc[2])")
     val errsHolt =
       s"list_transform(range(1, ${BtHorizon + 1}), h -> abs(xs[len(xs) - $BtHorizon + CAST(h AS INT)] - ${r6("st[1] + h * st[2]")}))"
     val errsNaive =
@@ -207,7 +212,7 @@ object Round6Ops2 {
        |        list_transform(tr[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
        |      (acc, e) -> [
        |        $newL,
-       |        ${r6(s"0.3 * ($newL - acc[1]) + 0.7 * acc[2]")}]) AS st
+       |        ${r6(s"$be * ($newL - acc[1]) + ${1 - be} * acc[2]")}]) AS st
        |  FROM train),
        |scored AS (
        |  SELECT user_id, n_obs, st[1] AS level, st[2] AS trend,
@@ -356,6 +361,19 @@ object Round6Ops2 {
 
   private[graft] val AbConvMin = 14L // engagement threshold, ≈ the median
 
+  /** The ONE experiment arm assignment (md5 parity of the user key),
+    * shared by #137 and its CUPED companion #141 — re-keying it in one
+    * op but not the other would silently split users into different
+    * arms across the two readouts of the same experiment. */
+  private def armExpr: Column = expr(
+    "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2")
+
+  private val armSqlCte: String =
+    """users AS (
+      |  SELECT user_id,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+      |  FROM (SELECT DISTINCT user_id FROM events))""".stripMargin
+
   /** #137 events_ab_lift: the A/B experiment readout — users are
     * deterministically split into two arms by md5 hash parity (the
     * #78 md5-uniform assignment discipline: reproducible, unit-keyed,
@@ -375,13 +393,14 @@ object Round6Ops2 {
     * per-user state. z's sqrt is IEEE-exact; divisions are 6dp-rounded
     * at the edges only. */
   def eventsAbLift(s: SparkSession, dir: String): DataFrame = {
-    val arm = expr(
-      "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2")
     val users = Tables.events(s, dir).select(col("user_id")).distinct()
-      .withColumn("arm", arm)
-    val armSizes = users.groupBy(col("arm")).agg(count(lit(1)).as("n"))
-    val na = armSizes.filter(col("arm") === 0).select(col("n").as("n_a"))
-    val nb = armSizes.filter(col("arm") === 1).select(col("n").as("n_b"))
+      .withColumn("arm", armExpr)
+    // ONE aggregate row of conditional sums (the SQL sizes CTE): a
+    // degenerate corpus whose users all hash to one arm yields n=0 on
+    // the empty side, not an empty frame that would zero the crossJoin
+    val sizes = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
     val conv = Tables.events(s, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
@@ -396,12 +415,14 @@ object Round6Ops2 {
              (col("n_a") + col("n_b")).cast("double")
     val se = sqrt(pp * (lit(1.0) - pp) *
       (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
-    conv.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+    val bothArms = col("n_a") > 0 && col("n_b") > 0
+    conv.crossJoin(broadcast(sizes))
       .select(col("event_type"), col("n_a"), col("n_b"),
               col("conv_a"), col("conv_b"),
-              r(pa, 6).as("rate_a"), r(pb, 6).as("rate_b"),
-              when(col("conv_a") > 0, r(pb / pa - 1.0, 6)).as("lift"),
-              when(se > 0.0, r((pb - pa) / se, 6)).as("z_score"))
+              when(col("n_a") > 0, r(pa, 6)).as("rate_a"),
+              when(col("n_b") > 0, r(pb, 6)).as("rate_b"),
+              when(bothArms && col("conv_a") > 0, r(pb / pa - 1.0, 6)).as("lift"),
+              when(bothArms, when(se > 0.0, r((pb - pa) / se, 6))).as("z_score"))
       .orderBy(col("event_type"))
   }
 
@@ -410,10 +431,7 @@ object Round6Ops2 {
     val pb = "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
     val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
     val se = s"sqrt($pp * (1.0 - $pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
-    s"""WITH users AS (
-       |  SELECT user_id,
-       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
-       |  FROM (SELECT DISTINCT user_id FROM events)),
+    s"""WITH $armSqlCte,
        |sizes AS (
        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
@@ -427,9 +445,13 @@ object Round6Ops2 {
        |  JOIN users u USING (user_id)
        |  GROUP BY 1)
        |SELECT event_type, n_a, n_b, conv_a, conv_b,
-       |       ${sqlR(pa, 6)} AS rate_a, ${sqlR(pb, 6)} AS rate_b,
-       |       CASE WHEN conv_a > 0 THEN ${sqlR(s"$pb / $pa - 1.0", 6)} END AS lift,
-       |       CASE WHEN $se > 0.0 THEN ${sqlR(s"($pb - $pa) / $se", 6)} END AS z_score
+       |       CASE WHEN n_a > 0 THEN ${sqlR(pa, 6)} END AS rate_a,
+       |       CASE WHEN n_b > 0 THEN ${sqlR(pb, 6)} END AS rate_b,
+       |       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a > 0
+       |            THEN ${sqlR(s"$pb / $pa - 1.0", 6)} END AS lift,
+       |       CASE WHEN n_a > 0 AND n_b > 0
+       |            THEN (CASE WHEN $se > 0.0
+       |                       THEN ${sqlR(s"($pb - $pa) / $se", 6)} END) END AS z_score
        |FROM conv CROSS JOIN sizes ORDER BY event_type""".stripMargin
   }
 
@@ -457,9 +479,7 @@ object Round6Ops2 {
     val us = epochUs(col("ts"))
     val mid = ev.agg(
       floor((min(us) + max(us)) / lit(2.0)).cast("long").as("mid_us"))
-    val arm = expr(
-      "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2")
-    val users = ev.select(col("user_id")).distinct().withColumn("arm", arm)
+    val users = ev.select(col("user_id")).distinct().withColumn("arm", armExpr)
     val types = ev.select(col("event_type")).distinct()
     val grid = graft.Hints.keyDim(users).crossJoin(broadcast(types))
     val counts = ev.crossJoin(broadcast(mid))
@@ -514,10 +534,7 @@ object Round6Ops2 {
        |  SELECT CAST(floor((min(epoch_us(CAST(ts AS TIMESTAMP))) +
        |                     max(epoch_us(CAST(ts AS TIMESTAMP)))) / 2.0) AS BIGINT) AS mid_us
        |  FROM events),
-       |users AS (
-       |  SELECT user_id,
-       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
-       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |$armSqlCte,
        |grid AS (
        |  SELECT u.user_id, u.arm, t.event_type
        |  FROM users u CROSS JOIN (SELECT DISTINCT event_type FROM events) t),

@@ -105,9 +105,9 @@ object Similarity {
       .transform(topKExact(_, k))
   }
 
-  val knnBruteSql: String =
+  def knnBruteSql(k: Int = 5, nQueries: Int = 5): String =
     s"""WITH q AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $nQueries
        |),
        |scored AS (
        |  SELECT q.q_id, e.vec_id,
@@ -117,7 +117,7 @@ object Similarity {
        |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
        |  FROM scored)
-       |WHERE rank <= 5""".stripMargin
+       |WHERE rank <= $k""".stripMargin
 
   // ------------------------------------------------------------------- LSH
 

@@ -371,18 +371,8 @@ object Similarity3 {
        |  SELECT q_id, vec_id, rank AS rank_lsh
        |  FROM (${Similarity.annLshSql(k = RecallMaxK, nQueries = nQueries)})),
        |exact AS (
-       |  SELECT q_id, vec_id, rnk AS rank_exact FROM (
-       |    SELECT q_id, vec_id,
-       |           row_number() OVER (PARTITION BY q_id
-       |             ORDER BY cosine DESC, vec_id) AS rnk
-       |    FROM (
-       |      SELECT q.vec_id AS q_id, e.vec_id,
-       |             ${sqlR(sqlCosine("q.embedding", "e.embedding"), 6)} AS cosine
-       |      FROM embeddings e
-       |      JOIN (SELECT vec_id, embedding FROM embeddings
-       |            WHERE vec_id < $nQueries) q
-       |        ON e.vec_id <> q.vec_id) s)
-       |  WHERE rnk <= $RecallMaxK),
+       |  SELECT q_id, vec_id, rank AS rank_exact
+       |  FROM (${Similarity.knnBruteSql(k = RecallMaxK, nQueries = nQueries)})),
        |ks AS (SELECT k FROM (VALUES ${RecallKs.map(k => s"($k)").mkString(", ")}) t(k)),
        |m AS (
        |  SELECT e.q_id, e.vec_id, e.rank_exact, l.rank_lsh

@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Round6Ops2, Similarity3}
 
-/** Invariants + hand-computed pins for round-6 batch 4 (#131-#134). */
+/** Invariants + hand-computed pins for round-6 batches 4-6
+  * (#131-#134, #136-#142). */
 class Round6Ops2Spec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftSession.local("4")
