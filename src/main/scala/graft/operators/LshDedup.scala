@@ -157,9 +157,11 @@ object LshDedup {
     * 100 TB dedup deployment runs before trusting estimate-only
     * shortcuts: one extra |pairs|-bounded join over tables the dedup
     * operator already computes — no new scan, no new pair space. */
-  def dedupMinhashEval(s: SparkSession, dir: String, tau: Double = 0.3,
-                       k: Int = 64, bands: Int = 32,
-                       maxBucket: Int = 256): DataFrame = {
+  /** Per-candidate-pair (est, exact) Jaccard table — the shared core of
+    * the #123 estimator audit and the #144 τ sweep. */
+  private[graft] def minhashEvalPairs(s: SparkSession, dir: String,
+                                      k: Int = 64, bands: Int = 32,
+                                      maxBucket: Int = 256): DataFrame = {
     val (docs, sigs, candidates) = minhashParts(Tables.documents(s, dir), k, bands, maxBucket)
     val agree = (0 until k).map(i =>
       when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
@@ -169,14 +171,20 @@ object LshDedup {
       .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
       .select(col("id_a"), col("id_b"),
               (agree.cast("double") / k).as("est"))
-    val pairs = est
+    est
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("exact",
         r(col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-    pairs.agg(
+      .select(col("id_a"), col("id_b"), col("est"), col("exact"))
+  }
+
+  def dedupMinhashEval(s: SparkSession, dir: String, tau: Double = 0.3,
+                       k: Int = 64, bands: Int = 32,
+                       maxBucket: Int = 256): DataFrame =
+    minhashEvalPairs(s, dir, k, bands, maxBucket).agg(
       count(lit(1)).as("n_pairs"),
       davg(abs(col("est") - col("exact")), 6).as("mean_abs_err"),
       r(max(abs(col("est") - col("exact"))), 6).as("max_abs_err"),
@@ -184,6 +192,39 @@ object LshDedup {
         .as("n_false_pos"),
       sum(when(col("est") < tau && col("exact") >= tau, 1L).otherwise(0L))
         .as("n_false_neg"))
+
+  private[graft] val SweepTaus = Seq(0.2, 0.3, 0.4, 0.6, 0.8)
+
+  /** #144 dedup_tau_sweep: the dedup-threshold TUNING table — over the
+    * SAME banded candidate pairs as #123, classify (est ≥ τ) against
+    * (exact ≥ τ) for each τ on a fixed grid and report TP/FP/FN plus
+    * the precision/recall the estimator would deliver at that
+    * threshold. This is the table a curation team reads before picking
+    * the near-dup cutoff for a 100 TB run; it costs one ×|τ| map-side
+    * fan-out over the pairs-bounded table the audit already computes —
+    * no new joins, no new hashing. */
+  def dedupTauSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashEvalPairs(s, dir)
+    val taus = {
+      import s.implicits._
+      SweepTaus.toDF("tau")
+    }
+    pairs.crossJoin(broadcast(taus))
+      .groupBy(col("tau"))
+      .agg(sum(when(col("est") >= col("tau") && col("exact") >= col("tau"), 1L)
+             .otherwise(0L)).as("n_tp"),
+           sum(when(col("est") >= col("tau") && col("exact") < col("tau"), 1L)
+             .otherwise(0L)).as("n_fp"),
+           sum(when(col("est") < col("tau") && col("exact") >= col("tau"), 1L)
+             .otherwise(0L)).as("n_fn"))
+      .select(col("tau"), col("n_tp"), col("n_fp"), col("n_fn"),
+              when(col("n_tp") + col("n_fp") > 0,
+                r(col("n_tp").cast("double") /
+                  (col("n_tp") + col("n_fp")).cast("double"), 6)).as("precision"),
+              when(col("n_tp") + col("n_fn") > 0,
+                r(col("n_tp").cast("double") /
+                  (col("n_tp") + col("n_fn")).cast("double"), 6)).as("recall"))
+      .orderBy(col("tau"))
   }
 
   /** DuckDB oracle for [[dedupMinhash]] — the identical sketch: same
@@ -264,8 +305,9 @@ object LshDedup {
   /** Oracle for [[dedupMinhashEval]]: same prefix, then signature
     * agreement vs exact Jaccard (LEFT join — a candidate pair with zero
     * shared shingles has exact = 0). */
-  def dedupMinhashEvalSql(tau: Double = 0.3, k: Int = 64, bands: Int = 32,
-                          maxBucket: Int = 256): String = {
+  /** Shared CTE chain through the per-pair (est, exact) table — the
+    * SQL twin of [[minhashEvalPairs]], used by #123 and #144. */
+  private def minhashEvalJoinedSql(k: Int, bands: Int, maxBucket: Int): String = {
     val agree = (0 until k)
       .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
@@ -284,14 +326,38 @@ object LshDedup {
        |joined AS (
        |  SELECT e.est, COALESCE(x.exact, 0.0) AS exact
        |  FROM est e LEFT JOIN ex x ON e.id_a = x.id_a AND e.id_b = x.id_b
-       |)
+       |)""".stripMargin
+  }
+
+  def dedupMinhashEvalSql(tau: Double = 0.3, k: Int = 64, bands: Int = 32,
+                          maxBucket: Int = 256): String =
+    minhashEvalJoinedSql(k, bands, maxBucket) +
+    s"""
        |SELECT count(*) AS n_pairs,
        |       ${sqlAvg("abs(est - exact)", 6)} AS mean_abs_err,
        |       ${sqlR("max(abs(est - exact))", 6)} AS max_abs_err,
        |       CAST(sum(CASE WHEN est >= $tau AND exact < $tau THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
        |       CAST(sum(CASE WHEN est < $tau AND exact >= $tau THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
        |FROM joined""".stripMargin
-  }
+
+  def dedupTauSweepSql(k: Int = 64, bands: Int = 32,
+                       maxBucket: Int = 256): String =
+    minhashEvalJoinedSql(k, bands, maxBucket) +
+    s""",
+       |grid AS (SELECT CAST(tau AS DOUBLE) AS tau
+       |         FROM (VALUES ${SweepTaus.map(t => s"($t)").mkString(", ")}) t(tau)),
+       |cls AS (
+       |  SELECT g.tau,
+       |         CAST(sum(CASE WHEN est >= g.tau AND exact >= g.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       |         CAST(sum(CASE WHEN est >= g.tau AND exact < g.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       |         CAST(sum(CASE WHEN est < g.tau AND exact >= g.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_fn
+       |  FROM joined CROSS JOIN grid g GROUP BY 1)
+       |SELECT tau, n_tp, n_fp, n_fn,
+       |       CASE WHEN n_tp + n_fp > 0
+       |            THEN ${sqlR("CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE)", 6)} END AS precision,
+       |       CASE WHEN n_tp + n_fn > 0
+       |            THEN ${sqlR("CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE)", 6)} END AS recall
+       |FROM cls ORDER BY tau""".stripMargin
 
   // ------------------------------------------------------------- SimHash
 

@@ -420,8 +420,11 @@ object Round6Ops {
     * differs across engines; 6dp-rounding it first makes the decimal
     * sum identical). Event-type cardinality is bounded, so every
     * window here runs over ≤ |types| rows per user. */
-  def eventsTypeEntropy(s: SparkSession, dir: String): DataFrame = {
-    val cnt = Tables.events(s, dir)
+  def eventsTypeEntropy(s: SparkSession, dir: String): DataFrame =
+    eventsTypeEntropyDf(Tables.events(s, dir))
+
+  def eventsTypeEntropyDf(ev: DataFrame): DataFrame = {
+    val cnt = ev
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("user_id")

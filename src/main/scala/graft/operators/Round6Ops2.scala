@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Parity._
@@ -568,6 +569,100 @@ object Round6Ops2 {
        |            THEN ${sqlR(s"1.0 - ($varResid) / $varY", 6)} END AS var_reduction
        |FROM th ORDER BY event_type""".stripMargin
   }
+
+  // -------------------------------------------- #145 events_bot_score
+
+  private val BotEntropyMax = 1.0 // nats; ln(|types|) ≈ 1.6 for 5 types
+  private val BotCvMax = 0.5      // machine-regular interarrival
+
+  /** #145 events_bot_score: the behavioral bot-likelihood feature table
+    * — per user: event volume, events/day rate, type-mix Shannon
+    * entropy (the #122 feature, composed), and the coefficient of
+    * variation of interarrival gaps. The rule flag fires on the classic
+    * bot signature: LOW type entropy (single-purpose) AND LOW gap CV
+    * (machine-regular timing). The feature-builder + rule shape is what
+    * an abuse pipeline ships first; the thresholds are the tunable
+    * heuristic seam.
+    *
+    * Scale shape: gaps come from one per-user lag window (bounded by
+    * events-per-user, the #53 contract), moments are decimal-exact,
+    * entropy joins #122's user-cardinality output — three
+    * user-cardinality frames joined on the user key. */
+  def eventsBotScore(s: SparkSession, dir: String): DataFrame =
+    eventsBotScoreDf(Tables.events(s, dir))
+
+  def eventsBotScoreDf(ev: DataFrame): DataFrame = {
+    val us = epochUs(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = ev.select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("gap", (col("us") - lag(col("us"), 1).over(w)).cast("double"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+           dsum(col("gap")).as("sg"),
+           dsum(col("gap") * col("gap")).as("sgg"))
+      .withColumn("mean_gap", r(col("sg") / col("n_gaps"), 6))
+      .withColumn("sd_gap", r(sqrt(greatest(lit(0.0),
+        (col("sgg") - col("n_gaps") * col("mean_gap") * col("mean_gap")) /
+          (col("n_gaps") - 1))), 6))
+      .select(col("user_id"),
+              when(col("n_gaps") >= 2 && col("mean_gap") > 0,
+                r(col("sd_gap") / col("mean_gap"), 6)).as("cv_gap"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(us).as("min_us"), max(us).as("max_us"))
+      .withColumn("span_days",
+        (col("max_us") - col("min_us")).cast("double") / 86400000000.0)
+      .select(col("user_id"), col("n_events"),
+              when(col("span_days") > 0, r(col("n_events") / col("span_days"), 6))
+                .as("rate_per_day"))
+    val ent = Round6Ops.eventsTypeEntropyDf(ev)
+      .select(col("user_id"), col("entropy"))
+    spans.join(gaps, Seq("user_id"), "left")
+      .join(ent, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("rate_per_day"),
+              col("entropy"), col("cv_gap"),
+              (col("entropy") < BotEntropyMax && col("cv_gap") < BotCvMax)
+                .as("is_bot_like"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsBotScoreSql: String =
+    s"""WITH ent AS (${Round6Ops.eventsTypeEntropySql}),
+       |gaps AS (
+       |  SELECT user_id,
+       |         CAST(epoch_us(CAST(ts AS TIMESTAMP)) -
+       |              lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+       |                (PARTITION BY user_id
+       |                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+       |              AS DOUBLE) AS gap
+       |  FROM events),
+       |gm AS (
+       |  SELECT user_id, count(*) AS n_gaps,
+       |         ${sqlSum("gap")} AS sg, ${sqlSum("gap * gap")} AS sgg
+       |  FROM gaps WHERE gap IS NOT NULL GROUP BY 1),
+       |cv AS (
+       |  SELECT user_id,
+       |         CASE WHEN n_gaps >= 2 AND ${sqlR("sg / n_gaps", 6)} > 0
+       |              THEN ${sqlR(
+                        sqlR("sqrt(greatest(0.0, (sgg - n_gaps * (" +
+                          sqlR("sg / n_gaps", 6) + ") * (" + sqlR("sg / n_gaps", 6) +
+                          ")) / (n_gaps - 1)))", 6) + " / (" + sqlR("sg / n_gaps", 6) + ")", 6)}
+       |         END AS cv_gap
+       |  FROM gm),
+       |spans AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |         CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) -
+       |              min(epoch_us(CAST(ts AS TIMESTAMP))) AS DOUBLE) / 86400000000.0 AS span_days
+       |  FROM events GROUP BY 1)
+       |SELECT s.user_id, CAST(s.n_events AS BIGINT) AS n_events,
+       |       CASE WHEN s.span_days > 0
+       |            THEN ${sqlR("s.n_events / s.span_days", 6)} END AS rate_per_day,
+       |       e.entropy, c.cv_gap,
+       |       (e.entropy < $BotEntropyMax AND c.cv_gap < $BotCvMax) AS is_bot_like
+       |FROM spans s
+       |LEFT JOIN cv c USING (user_id)
+       |LEFT JOIN ent e USING (user_id)
+       |ORDER BY s.user_id""".stripMargin
 
   // -------------------------------------------- #134 ts_periodogram
 

@@ -36,9 +36,7 @@ object StreamingHolt {
     * (decimal sum → double, / count, r6), then the α=0.5/β=0.3 fold. */
   private[graft] def foldDays(days: Map[Int, (Long, Long)])
       : (Long, Double, Double) = {
-    val xs = days.toSeq.sortBy(_._1).map { case (_, (su, n)) =>
-      r6d(dec10ToDouble(su) / n)
-    }
+    val xs = dailySeries(days)
     var l = xs.head; var b = 0.0
     xs.tail.foreach { x =>
       val nl = r6d(0.5 * x + 0.5 * (l + b))
@@ -47,16 +45,33 @@ object StreamingHolt {
     (xs.length.toLong, l, b)
   }
 
-  private[graft] def foldHolt(uid: Long, rows: Iterator[HoltIn],
-                       state: GroupState[HoltState]): Iterator[HoltEmit] = {
+  /** Merge a micro-batch into the day→(decimal sum, count) partials —
+    * the shared state transition of every day-grain refold twin
+    * (#126 Holt, #143 CUSUM). Returns (sawNewRows, merged). */
+  private[graft] def mergeDays(prev: Option[HoltState], rows: Iterator[HoltIn])
+      : (Boolean, scala.collection.mutable.HashMap[Int, (Long, Long)]) = {
     val acc = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
-    state.getOption.foreach(st => acc ++= st.days)
+    prev.foreach(st => acc ++= st.days)
     var any = false
     rows.foreach { r =>
       any = true
       val (su, n) = acc.getOrElse(r.day, (0L, 0L))
       acc(r.day) = (su + dec10Unscaled(r.value), n + 1)
     }
+    (any, acc)
+  }
+
+  /** The sorted daily series (davg per day, 6dp) from the partials —
+    * the refold input both twins share. */
+  private[graft] def dailySeries(days: scala.collection.Map[Int, (Long, Long)])
+      : IndexedSeq[Double] =
+    days.toIndexedSeq.sortBy(_._1).map { case (_, (su, n)) =>
+      r6d(dec10ToDouble(su) / n)
+    }
+
+  private[graft] def foldHolt(uid: Long, rows: Iterator[HoltIn],
+                       state: GroupState[HoltState]): Iterator[HoltEmit] = {
+    val (any, acc) = mergeDays(state.getOption, rows)
     if (!any && acc.isEmpty) Iterator.empty
     else {
       val upd = state.getOption.map(_.upd).getOrElse(0) + 1

@@ -131,6 +131,30 @@ class FoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("foldCusum: final chart is chunking/order invariant (day partials commute)") {
+    import graft.streaming.{StreamingCusum, StreamingHolt}
+    val rng = new scala.util.Random(23)
+    (0 until 30).foreach { trial =>
+      val rows = Seq.tabulate(20 + rng.nextInt(150))(i =>
+        StreamingHolt.HoltIn(0L, 19000 + rng.nextInt(60), rng.nextDouble() * 50))
+      def drain(input: Seq[StreamingHolt.HoltIn], chunks: Int) = {
+        val bounds = (0 +: Seq.fill(chunks - 1)(rng.nextInt(input.size + 1)).sorted) :+ input.size
+        var state: Option[StreamingHolt.HoltState] = None
+        var last: Seq[StreamingCusum.CusumEmit] = Nil
+        bounds.zip(bounds.tail).foreach { case (a, b) =>
+          val g = gs(state)
+          val out = StreamingCusum.foldCusum(0L, input.slice(a, b).iterator, g).toList
+          if (out.nonEmpty) last = out
+          state = if (g.exists) Some(g.get) else None
+        }
+        last.map(e => (e.n_obs, e.mu, e.sigma, e.cusum_max, e.n_alarms))
+      }
+      val e1 = drain(rows, 1)
+      val e2 = drain(rng.shuffle(rows), 1 + rng.nextInt(5))
+      assert(e1 == e2, s"trial $trial diverged")
+    }
+  }
+
   test("foldPg: final periodogram sums are chunking/order invariant (decimal sums commute)") {
     val rng = new scala.util.Random(19)
     (0 until 30).foreach { trial =>

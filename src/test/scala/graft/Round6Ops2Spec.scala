@@ -233,6 +233,53 @@ class Round6Ops2Spec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------- stream_cusum
+
+  test("stream cusum: drained stream is bit-identical to the batch chart") {
+    val batch = Round6Ops2.tsCusumAlarm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+                 r.getDouble(4), r.getLong(5)))
+    val stream = streaming.StreamingCusum.streamCusum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+                 r.getDouble(4), r.getLong(5)))
+    assert(batch.toSeq == stream.toSeq)
+  }
+
+  // -------------------------------------------------------- dedup_tau_sweep
+
+  test("tau sweep: consistent with the single-tau audit; TP monotone non-increasing") {
+    val sweep = operators.LshDedup.dedupTauSweep(spark, sf)
+      .orderBy("tau").collect()
+    assert(sweep.map(_.getDouble(0)).toSeq == Seq(0.2, 0.3, 0.4, 0.6, 0.8))
+    // the 0.3 row's FP/FN must equal the #123 audit at its default tau
+    val audit = operators.LshDedup.dedupMinhashEval(spark, sf).collect()(0)
+    val at03 = sweep.find(_.getDouble(0) == 0.3).get
+    assert(at03.getLong(2) == audit.getLong(3)) // n_fp = n_false_pos
+    assert(at03.getLong(3) == audit.getLong(4)) // n_fn = n_false_neg
+    val tps = sweep.map(_.getLong(1))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+  }
+
+  // ------------------------------------------------------- events_bot_score
+
+  test("bot score: metronomic single-type user flagged; diverse user not") {
+    val base = java.time.LocalDateTime.of(2024, 5, 1, 0, 0)
+    def ev(uid: Long, rows: Seq[(Int, String)]) = rows.zipWithIndex.map {
+      case ((minuteOffset, typ), i) =>
+        (uid * 1000 + i, java.sql.Timestamp.valueOf(base.plusMinutes(minuteOffset)),
+         uid, typ, 1.0)
+    }
+    // bot: one type, exactly every 10 minutes; human: mixed types, jittery
+    val bot = ev(1L, (0 until 50).map(i => (i * 10, "ping")))
+    val human = ev(2L, (0 until 50).map(i =>
+      (i * 10 + (i * 37) % 23, Seq("view", "click", "purchase", "error")(i % 4))))
+    val df = (bot ++ human).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Round6Ops2.eventsBotScoreDf(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(1L), "metronomic single-type user should flag")
+    assert(!out(2L), "jittery multi-type user should not flag")
+  }
+
   // ---------------------------------------------------------- mm_audio_vad
 
   test("vad: segment accounting is internally consistent per asset") {
