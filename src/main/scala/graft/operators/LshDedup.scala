@@ -158,10 +158,19 @@ object LshDedup {
     * shortcuts: one extra |pairs|-bounded join over tables the dedup
     * operator already computes — no new scan, no new pair space. */
   /** Per-candidate-pair (est, exact) Jaccard table — the shared core of
-    * the #123 estimator audit and the #144 τ sweep. */
+    * the #123 estimator audit and the #144 τ sweep, persisted once per
+    * (session, corpus, params) so the two operators (and the bench's
+    * repeated passes) pay the signature build once. */
   private[graft] def minhashEvalPairs(s: SparkSession, dir: String,
                                       k: Int = 64, bands: Int = 32,
-                                      maxBucket: Int = 256): DataFrame = {
+                                      maxBucket: Int = 256): DataFrame =
+    graft.Caches.persisted(s, ("minhash_eval_pairs", dir, k, bands, maxBucket)) {
+      minhashEvalPairsUncached(s, dir, k, bands, maxBucket)
+    }
+
+  private def minhashEvalPairsUncached(s: SparkSession, dir: String,
+                                       k: Int, bands: Int,
+                                       maxBucket: Int): DataFrame = {
     val (docs, sigs, candidates) = minhashParts(Tables.documents(s, dir), k, bands, maxBucket)
     val agree = (0 until k).map(i =>
       when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
