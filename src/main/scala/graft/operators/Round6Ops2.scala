@@ -97,10 +97,11 @@ object Round6Ops2 {
     * Thresholds are exact doubles k/10 so the ≥ compare is
     * bit-deterministic cross-engine. */
   def corpusQualityCurve(s: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.textQuality(s, dir).select(col("doc_id"), col("quality"))
-    val sized = Tables.documents(s, dir)
-      .select(col("doc_id"), size(lowerTokens(col("text"))).cast("long").as("n_tok"))
-    q.join(sized, "doc_id")
+    // quality and token count come from the SAME scan (the factored #22
+    // score expression) — no second documents pass, no doc_id join
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.qualityCol.as("quality"),
+              size(lowerTokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("k", explode(sequence(lit(0), lit(CurveSteps - 1))))
       .withColumn("threshold", col("k").cast("double") / CurveSteps.toDouble)
       .groupBy(col("threshold"))

@@ -31,6 +31,19 @@ object TextOps {
       |  length(text) AS len
       |FROM documents""".stripMargin
 
+  /** The #22 combined quality score over a `text` column — ONE fixed
+    * IEEE formula, factored so composing operators (#132's curve) can
+    * evaluate it in their own scan instead of joining a second pass. */
+  private[graft] def qualityCol: org.apache.spark.sql.Column = {
+    val toks = lowerTokens(col("text"))
+    val len = length(col("text"))
+    val punct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val stop = markerCount(toks, stopwordsEn)
+    r(lit(0.4) * (stop / size(toks)) +
+      lit(0.3) * (lit(1.0) - punct / len) +
+      lit(0.3) * least(lit(1.0), len / lit(500.0)), 6)
+  }
+
   /** #22 quality scoring: length/punctuation/stopword ratios combined
     * into one fixed IEEE formula (identical on both engines). */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
@@ -44,9 +57,7 @@ object TextOps {
       r(punct / len, 6).as("punct_ratio"),
       r(stop / size(toks), 6).as("stop_ratio"),
       r(upper / len, 6).as("upper_ratio"),
-      r(lit(0.4) * (stop / size(toks)) +
-        lit(0.3) * (lit(1.0) - punct / len) +
-        lit(0.3) * least(lit(1.0), len / lit(500.0)), 6).as("quality"))
+      qualityCol.as("quality"))
   }
 
   val textQualitySql: String = {

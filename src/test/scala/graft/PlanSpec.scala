@@ -360,4 +360,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  // ------------------------------------------------ round-6 batch 4-7 pins
+
+  test("silhouette: centroid table broadcast to the corpus — never vector x vector") {
+    val p = plan(graft.operators.Similarity3.embSilhouette(spark, sf))
+    // the corpus x labels candidate scan is a broadcast nested loop of
+    // the model-sized centroid array table; any SortMergeJoin here would
+    // mean the corpus shuffled against itself
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("periodogram/cusum/backtest: plain aggregates — no window over events") {
+    Seq(graft.operators.Round6Ops2.tsPeriodogram(spark, sf),
+        graft.operators.Round6Ops2.tsCusumAlarm(spark, sf),
+        graft.operators.Round6Ops2.tsForecastBacktest(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("(Window"), p.take(2000))
+    }
+  }
+
+  test("quality curve: one scan, the grid is an explode, zero joins") {
+    val p = plan(graft.operators.Round6Ops2.corpusQualityCurve(spark, sf))
+    assert(p.contains("Generate"), p) // the literal-grid explode
+    assert(!p.contains("Join"), s"quality+tokens should share one scan:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single documents scan, got $scans:\n$p")
+  }
+
+  test("novelty: shingle index carries no self-join; novel counts re-group the index") {
+    val p = plan(graft.operators.Round6Ops2.textNgramNovelty(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ab lift + cuped: arm totals broadcast, no per-user window") {
+    Seq(graft.operators.Round6Ops2.eventsAbLift(spark, sf),
+        graft.operators.Round6Ops2.eventsCupedLift(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("(Window"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
 }
