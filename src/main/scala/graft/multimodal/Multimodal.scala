@@ -140,12 +140,15 @@ object Multimodal {
     * frames-per-asset, never a cross-asset window — then one bounded
     * per-asset rollup. Plan: decode-map → one per-asset window → agg.
     */
+  /** 16-bit luma-like projection of the frame fingerprint — the frame
+    * feature #130 cuts on and #147 selects keyframes from. */
+  private def frameLuma = conv(substring(col("frame_fp"), 1, 4), 16, 10).cast("int")
+
   def mmSceneCuts(s: SparkSession, dir: String, threshold: Int = 21845): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
-    val luma = conv(substring(col("frame_fp"), 1, 4), 16, 10).cast("int")
     mmFrames(s, dir)
-      .withColumn("luma", luma)
+      .withColumn("luma", frameLuma)
       .withColumn("cut",
         when(abs(col("luma") - lag(col("luma"), 1).over(w)) > threshold, 1)
           .otherwise(0))
@@ -172,6 +175,54 @@ object Multimodal {
        |       CAST(sum(cut) AS BIGINT) AS n_cuts,
        |       floor((CAST(sum(cut) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS cut_rate
        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #147 mm_keyframes: keyframe selection — compact the #130 cut
+    * flags into SCENES (cumulative cut count per asset) and emit one
+    * row per scene with its keyframe (the scene's first frame, the
+    * standard representative-frame rule) and length. This is the frame
+    * the caption/embedding stage actually processes: the step between
+    * shot detection and feature extraction in a video-curation
+    * pipeline. Same single decode pass and per-asset bounded windows
+    * as #130 (one extra cumulative sum on the same window), then one
+    * bounded per-scene rollup. */
+  def mmKeyframes(s: SparkSession, dir: String, threshold: Int = 21845): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    mmFrames(s, dir)
+      .withColumn("luma", frameLuma)
+      .withColumn("cut",
+        when(abs(col("luma") - lag(col("luma"), 1).over(w)) > threshold, 1)
+          .otherwise(0))
+      .withColumn("scene_id", sum(col("cut")).over(wCum))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("keyframe_idx"),
+           count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  def mmKeyframesSql(threshold: Int = 21845): String =
+    s"""WITH frames AS (
+       |  SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+       |         CAST(('0x' || substr(md5(md5(text) || ':' || CAST(f.f AS INT)), 1, 4)) AS INT) AS luma
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f),
+       |flagged AS (
+       |  SELECT doc_id, frame_idx,
+       |         CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > $threshold
+       |              THEN 1 ELSE 0 END AS cut
+       |  FROM frames),
+       |scenes AS (
+       |  SELECT doc_id, frame_idx,
+       |         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+       |  FROM flagged)
+       |SELECT doc_id, scene_id,
+       |       CAST(min(frame_idx) AS INT) AS keyframe_idx,
+       |       count(*) AS n_frames
+       |FROM scenes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** #138 mm_audio_vad: voice-activity segmentation over the decoded
     * frame stream — treat each payload as an audio clip whose frames

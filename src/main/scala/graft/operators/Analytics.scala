@@ -344,6 +344,29 @@ object Analytics {
     cur.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
+  /** #148 dedup_cluster_stats: the dedup REPORT over #42's connected
+    * components — cluster-size histogram (how many clusters of each
+    * size), plus the duplicate-document count each size class carries.
+    * This is the number a curation run publishes ("N docs in M near-dup
+    * clusters; largest cluster size K"); reading the histogram is how
+    * boilerplate storms (one giant cluster) are caught before a keep-
+    * first pass deletes half the corpus. Two bounded rollups over the
+    * doc-cardinality label table. */
+  def dedupClusterStats(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame =
+    dedupClusters(s, dir, tau)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("sz") - 1).as("n_redundant_docs"))
+      .orderBy(col("cluster_size"))
+
+  def dedupClusterStatsSql(tau: Double = 0.3): String =
+    s"""WITH cl AS (${dedupClustersSql(tau)}),
+       |sizes AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY 1)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |       CAST(sum(sz - 1) AS BIGINT) AS n_redundant_docs
+       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[dedupClusters]]: min label over the recursive
     * transitive closure of the same edge set. */
   def dedupClustersSql(tau: Double = 0.3): String =

@@ -383,6 +383,48 @@ object Similarity3 {
        |FROM m CROSS JOIN ks
        |GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------- #146 ann_recall_matrix
+
+  /** #146 ann_recall_matrix: the index BAKE-OFF — recall@k of each
+    * approximate retriever family against the exact top-k, one row per
+    * retriever (#142 sweeps k for ONE retriever; this sweeps
+    * retrievers at one k): the IVF cell-probe index (#31b) and the
+    * 1-bit Hamming sketch (#95). The table an infra team reads to pick
+    * which index backs the 100 TB corpus. Every input chain is the
+    * already-scale-shaped operator; the matrix adds only
+    * queries×k-row joins. */
+  def annRecallMatrix(s: SparkSession, dir: String, k: Int = 5,
+                      nQueries: Int = 5): DataFrame = {
+    val exact = Similarity.knnBrute(s, dir, k, nQueries)
+      .select(col("q_id"), col("vec_id"))
+    def recallOf(name: String, retrieved: DataFrame): DataFrame =
+      retrieved.select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("retriever"), col("n_hits"),
+                r(col("n_hits").cast("double") / (nQueries * k).toDouble, 6)
+                  .as("recall"))
+    recallOf("hamming", Similarity2.embHammingKnn(s, dir, k, nQueries))
+      .unionByName(recallOf("ivf", Similarity.annIvf(s, dir, k, nQueries)))
+      .orderBy(col("retriever"))
+  }
+
+  def annRecallMatrixSql(k: Int = 5, nQueries: Int = 5): String = {
+    def row(name: String, chain: String) =
+      s"""SELECT '$name' AS retriever,
+         |       CAST(count(*) AS BIGINT) AS n_hits,
+         |       ${sqlR(s"CAST(count(*) AS DOUBLE) / ${nQueries * k}.0", 6)} AS recall
+         |FROM (SELECT q_id, vec_id FROM ($chain)) r
+         |JOIN exact USING (q_id, vec_id)""".stripMargin
+    s"""WITH exact AS (
+       |  SELECT q_id, vec_id FROM (${Similarity.knnBruteSql(k, nQueries)}))
+       |SELECT * FROM (
+       |${row("hamming", Similarity2.embHammingKnnSql(k, nQueries))}
+       |UNION ALL
+       |${row("ivf", Similarity.annIvfSql(k, nQueries))})
+       |ORDER BY retriever""".stripMargin
+  }
+
   def knnLabelVoteSql(k: Int = 5): String = {
     val cosab = sqlR(sqlCosine("e.embedding", "t.t_emb"), 6)
     s"""WITH test AS (SELECT vec_id AS t_id, embedding AS t_emb,

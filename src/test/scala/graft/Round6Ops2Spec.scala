@@ -280,6 +280,49 @@ class Round6Ops2Spec extends AnyFunSuite {
     assert(!out(2L), "jittery multi-type user should not flag")
   }
 
+  // ------------------------------------------------------ ann_recall_matrix
+
+  test("recall matrix: one bounded row per retriever") {
+    val rows = operators.Similarity3.annRecallMatrix(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("hamming", "ivf"))
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 25L) // nQueries * k
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec == Parity.r6d(r.getLong(1).toDouble / 25.0))
+    }
+  }
+
+  // ---------------------------------------------------------- mm_keyframes
+
+  test("keyframes: scenes reconcile with the cut report; scene 0 starts at frame 0") {
+    val kf = graft.multimodal.Multimodal.mmKeyframes(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val cuts = graft.multimodal.Multimodal.mmSceneCuts(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kf.keySet == cuts.keySet)
+    kf.foreach { case (doc, scenes) =>
+      val (nFrames, nCuts) = cuts(doc)
+      assert(scenes.length == nCuts + 1, s"doc $doc")
+      assert(scenes.map(_.getLong(3)).sum == nFrames, s"doc $doc")
+      val first = scenes.minBy(_.getLong(1))
+      assert(first.getLong(1) == 0L && first.getInt(2) == 0, s"doc $doc")
+    }
+  }
+
+  // --------------------------------------------------- dedup_cluster_stats
+
+  test("cluster stats: histogram accounts for every document exactly once") {
+    val stats = operators.Analytics.dedupClusterStats(spark, sf).collect()
+    val docsInClusters = stats.map(r => r.getLong(0) * r.getLong(1)).sum
+    val clustered = operators.Analytics.dedupClusters(spark, sf).count()
+    assert(docsInClusters == clustered)
+    stats.foreach { r =>
+      // redundant docs per size class = (size - 1) per cluster
+      assert(r.getLong(2) == (r.getLong(0) - 1) * r.getLong(1))
+    }
+  }
+
   // ---------------------------------------------------------- mm_audio_vad
 
   test("vad: segment accounting is internally consistent per asset") {
