@@ -128,23 +128,16 @@ object Multimodal {
       |FROM documents
       |CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f""".stripMargin
 
-  /** #130 mm_scene_cuts: shot-boundary detection over the sampled
-    * frame stream — per asset, flag a SCENE CUT wherever the
-    * inter-frame feature distance jumps past a threshold, and report
-    * (n_frames, n_cuts, cut_rate). The video-curation primitive that
-    * decides which keyframes a training pipeline keeps. The per-frame
-    * feature is a deterministic 16-bit projection of the frame
-    * fingerprint (the decode stub's md5 — a real decoder would emit a
-    * luma histogram through the same seam); the comparison is a lag
-    * window ordered by frame index, partitioned per asset — bounded by
-    * frames-per-asset, never a cross-asset window — then one bounded
-    * per-asset rollup. Plan: decode-map → one per-asset window → agg.
-    */
   /** 16-bit luma-like projection of the frame fingerprint — the frame
     * feature #130 cuts on and #147 selects keyframes from. */
   private def frameLuma = conv(substring(col("frame_fp"), 1, 4), 16, 10).cast("int")
 
-  def mmSceneCuts(s: SparkSession, dir: String, threshold: Int = 21845): DataFrame = {
+  /** Per-frame cut flags (doc_id, frame_idx, cut) — the ONE shot-
+    * boundary rule #130 reports on and #147 compacts to scenes: the
+    * inter-frame luma jump past `threshold`, a lag window ordered by
+    * frame index and partitioned per asset (bounded by
+    * frames-per-asset, never cross-asset). */
+  private def cutFlags(s: SparkSession, dir: String, threshold: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
     mmFrames(s, dir)
@@ -152,25 +145,45 @@ object Multimodal {
       .withColumn("cut",
         when(abs(col("luma") - lag(col("luma"), 1).over(w)) > threshold, 1)
           .otherwise(0))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"),
-           sum(col("cut")).as("n_cuts"))
-      .withColumn("cut_rate",
-        graft.Parity.r(col("n_cuts").cast("double") / col("n_frames"), 6))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("frame_idx"), col("cut"))
   }
 
-  def mmSceneCutsSql(threshold: Int = 21845): String =
+  /** SQL twin of [[cutFlags]]: the frames + flagged CTE prefix shared
+    * by the #130 and #147 oracles. */
+  private def cutFlagsSql(threshold: Int): String =
     s"""WITH frames AS (
        |  SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
        |         CAST(('0x' || substr(md5(md5(text) || ':' || CAST(f.f AS INT)), 1, 4)) AS INT) AS luma
        |  FROM documents
        |  CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f),
        |flagged AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, frame_idx,
        |         CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > $threshold
        |              THEN 1 ELSE 0 END AS cut
-       |  FROM frames)
+       |  FROM frames)""".stripMargin
+
+  /** #130 mm_scene_cuts: shot-boundary detection over the sampled
+    * frame stream — per asset, flag a SCENE CUT wherever the
+    * inter-frame feature distance jumps past a threshold, and report
+    * (n_frames, n_cuts, cut_rate). The video-curation primitive that
+    * decides which keyframes a training pipeline keeps. The per-frame
+    * feature is a deterministic 16-bit projection of the frame
+    * fingerprint (the decode stub's md5 — a real decoder would emit a
+    * luma histogram through the same seam); the cut rule is the shared
+    * [[cutFlags]] core. Plan: decode-map → one per-asset window → agg.
+    */
+  def mmSceneCuts(s: SparkSession, dir: String, threshold: Int = 21845): DataFrame =
+    cutFlags(s, dir, threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(col("cut")).as("n_cuts"))
+      .withColumn("cut_rate",
+        graft.Parity.r(col("n_cuts").cast("double") / col("n_frames"), 6))
+      .orderBy(col("doc_id"))
+
+  def mmSceneCutsSql(threshold: Int = 21845): String =
+    cutFlagsSql(threshold) +
+    s"""
        |SELECT doc_id, count(*) AS n_frames,
        |       CAST(sum(cut) AS BIGINT) AS n_cuts,
        |       floor((CAST(sum(cut) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS cut_rate
@@ -186,16 +199,11 @@ object Multimodal {
     * as #130 (one extra cumulative sum on the same window), then one
     * bounded per-scene rollup. */
   def mmKeyframes(s: SparkSession, dir: String, threshold: Int = 21845): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
-    val wCum = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
-    mmFrames(s, dir)
-      .withColumn("luma", frameLuma)
-      .withColumn("cut",
-        when(abs(col("luma") - lag(col("luma"), 1).over(w)) > threshold, 1)
-          .otherwise(0))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    cutFlags(s, dir, threshold)
       .withColumn("scene_id", sum(col("cut")).over(wCum))
       .groupBy(col("doc_id"), col("scene_id"))
       .agg(min(col("frame_idx")).as("keyframe_idx"),
@@ -204,16 +212,8 @@ object Multimodal {
   }
 
   def mmKeyframesSql(threshold: Int = 21845): String =
-    s"""WITH frames AS (
-       |  SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
-       |         CAST(('0x' || substr(md5(md5(text) || ':' || CAST(f.f AS INT)), 1, 4)) AS INT) AS luma
-       |  FROM documents
-       |  CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f),
-       |flagged AS (
-       |  SELECT doc_id, frame_idx,
-       |         CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > $threshold
-       |              THEN 1 ELSE 0 END AS cut
-       |  FROM frames),
+    cutFlagsSql(threshold) +
+    s""",
        |scenes AS (
        |  SELECT doc_id, frame_idx,
        |         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx

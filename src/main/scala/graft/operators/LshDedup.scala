@@ -212,8 +212,9 @@ object LshDedup {
     * the near-dup cutoff for a 100 TB run; it costs one ×|τ| map-side
     * fan-out over the pairs-bounded table the audit already computes —
     * no new joins, no new hashing. */
-  def dedupTauSweep(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashEvalPairs(s, dir)
+  def dedupTauSweep(s: SparkSession, dir: String, k: Int = 64,
+                    bands: Int = 32, maxBucket: Int = 256): DataFrame = {
+    val pairs = minhashEvalPairs(s, dir, k, bands, maxBucket)
     val taus = {
       import s.implicits._
       SweepTaus.toDF("tau")

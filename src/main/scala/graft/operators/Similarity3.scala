@@ -393,37 +393,52 @@ object Similarity3 {
     * which index backs the 100 TB corpus. Every input chain is the
     * already-scale-shaped operator; the matrix adds only
     * queries×k-row joins. */
+  private val MatrixRetrievers = Seq("hamming", "ivf")
+
   def annRecallMatrix(s: SparkSession, dir: String, k: Int = 5,
                       nQueries: Int = 5): DataFrame = {
+    // union the (cheap) retrieved lists FIRST, join the expensive exact
+    // chain ONCE — not once per union branch
     val exact = Similarity.knnBrute(s, dir, k, nQueries)
       .select(col("q_id"), col("vec_id"))
-    def recallOf(name: String, retrieved: DataFrame): DataFrame =
-      retrieved.select(col("q_id"), col("vec_id"))
-        .join(exact, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(name).as("retriever"), col("n_hits"),
-                r(col("n_hits").cast("double") / (nQueries * k).toDouble, 6)
-                  .as("recall"))
-    recallOf("hamming", Similarity2.embHammingKnn(s, dir, k, nQueries))
-      .unionByName(recallOf("ivf", Similarity.annIvf(s, dir, k, nQueries)))
+    def tagged(name: String, retrieved: DataFrame): DataFrame =
+      retrieved.select(lit(name).as("retriever"), col("q_id"), col("vec_id"))
+    val retrieved =
+      tagged("hamming", Similarity2.embHammingKnn(s, dir, k, nQueries))
+        .unionByName(tagged("ivf", Similarity.annIvf(s, dir, k, nQueries)))
+    val hits = retrieved.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("retriever")).agg(count(lit(1)).as("n_hits"))
+    val names = {
+      import s.implicits._
+      MatrixRetrievers.toDF("retriever")
+    }
+    // zero-hit retrievers keep their row (the bake-off must show a
+    // failing index, not drop it)
+    names.join(hits, Seq("retriever"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall",
+        r(col("n_hits").cast("double") / (nQueries * k).toDouble, 6))
       .orderBy(col("retriever"))
   }
 
-  def annRecallMatrixSql(k: Int = 5, nQueries: Int = 5): String = {
-    def row(name: String, chain: String) =
-      s"""SELECT '$name' AS retriever,
-         |       CAST(count(*) AS BIGINT) AS n_hits,
-         |       ${sqlR(s"CAST(count(*) AS DOUBLE) / ${nQueries * k}.0", 6)} AS recall
-         |FROM (SELECT q_id, vec_id FROM ($chain)) r
-         |JOIN exact USING (q_id, vec_id)""".stripMargin
+  def annRecallMatrixSql(k: Int = 5, nQueries: Int = 5): String =
     s"""WITH exact AS (
-       |  SELECT q_id, vec_id FROM (${Similarity.knnBruteSql(k, nQueries)}))
-       |SELECT * FROM (
-       |${row("hamming", Similarity2.embHammingKnnSql(k, nQueries))}
-       |UNION ALL
-       |${row("ivf", Similarity.annIvfSql(k, nQueries))})
-       |ORDER BY retriever""".stripMargin
-  }
+       |  SELECT q_id, vec_id FROM (${Similarity.knnBruteSql(k, nQueries)})),
+       |retrieved AS (
+       |  SELECT 'hamming' AS retriever, q_id, vec_id
+       |  FROM (${Similarity2.embHammingKnnSql(k, nQueries)})
+       |  UNION ALL
+       |  SELECT 'ivf' AS retriever, q_id, vec_id
+       |  FROM (${Similarity.annIvfSql(k, nQueries)})),
+       |hits AS (
+       |  SELECT r.retriever, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM retrieved r JOIN exact USING (q_id, vec_id) GROUP BY 1),
+       |names AS (SELECT retriever
+       |          FROM (VALUES ${MatrixRetrievers.map(n => s"('$n')").mkString(", ")}) t(retriever))
+       |SELECT n.retriever, COALESCE(h.n_hits, 0) AS n_hits,
+       |       ${sqlR(s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${nQueries * k}.0", 6)} AS recall
+       |FROM names n LEFT JOIN hits h USING (retriever)
+       |ORDER BY n.retriever""".stripMargin
 
   def knnLabelVoteSql(k: Int = 5): String = {
     val cosab = sqlR(sqlCosine("e.embedding", "t.t_emb"), 6)

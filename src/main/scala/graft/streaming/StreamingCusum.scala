@@ -39,11 +39,18 @@ object StreamingCusum {
     val n = xs.length
     if (n < 2) None
     else {
-      // dsum ≡ decimal sum of the 6dp daily values / their squares
+      // dsum ≡ Decimal(38,10) accumulation of the daily values / their
+      // squares — BigDecimal, NOT a scale-10 unscaled Long: x² of a
+      // large daily mean overflows the Long encoding (> ~9.2e8 throws,
+      // larger sums wrap silently) where the batch decimal sum is exact
+      // (the StreamingMhw.decSum precedent)
       def dsumD(vs: Seq[Double]): Double = {
-        var acc = 0L
-        vs.foreach(v => acc += graft.Parity.dec10Unscaled(v))
-        graft.Parity.dec10ToDouble(acc)
+        var acc = java.math.BigDecimal.ZERO
+        vs.foreach { v =>
+          acc = acc.add(java.math.BigDecimal.valueOf(v)
+            .setScale(10, java.math.RoundingMode.HALF_UP))
+        }
+        acc.doubleValue
       }
       val sx = dsumD(xs)
       val sxx = dsumD(xs.map(x => x * x))

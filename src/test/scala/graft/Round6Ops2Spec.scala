@@ -245,6 +245,25 @@ class Round6Ops2Spec extends AnyFunSuite {
     assert(batch.toSeq == stream.toSeq)
   }
 
+  test("stream cusum: large-magnitude series still bit-matches batch (no Long overflow)") {
+    // daily means ~5e4: x² sums overflow a scale-10 unscaled Long
+    // encoding; the BigDecimal mirror must stay exact
+    val base = java.time.LocalDate.of(2023, 1, 1)
+    val vals = (0 until 80).map(i => 50000.0 + (i * 631) % 997)
+    val dl = vals.zipWithIndex.map { case (v, i) =>
+      (9L, java.sql.Date.valueOf(base.plusDays(i)), v)
+    }.toDF("user_id", "d", "sst")
+    val batch = Round6Ops2.tsCusumAlarmDf(dl).collect()(0)
+    val days = vals.zipWithIndex.map { case (v, i) =>
+      (19358 + i) -> (Parity.dec10Unscaled(v), 1L)
+    }.toMap
+    val Some((n, mu, sg, mx, al)) = streaming.StreamingCusum.chartOf(days)
+    assert(n == batch.getLong(1) && mu == batch.getDouble(2) &&
+           sg == batch.getDouble(3) && mx == batch.getDouble(4) &&
+           al == batch.getLong(5),
+      s"stream ($n,$mu,$sg,$mx,$al) vs batch $batch")
+  }
+
   // -------------------------------------------------------- dedup_tau_sweep
 
   test("tau sweep: consistent with the single-tau audit; TP monotone non-increasing") {
