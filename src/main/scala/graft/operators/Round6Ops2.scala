@@ -394,7 +394,9 @@ object Round6Ops2 {
     * rollup, and a broadcast of the two arm totals — no window, no
     * per-user state. z's sqrt is IEEE-exact; divisions are 6dp-rounded
     * at the edges only. */
-  def eventsAbLift(s: SparkSession, dir: String): DataFrame = {
+  /** The (type, arm sizes, conversion counts) cell table — the shared
+    * input of the #137 readout and the #149 design table. */
+  private def abCells(s: SparkSession, dir: String): DataFrame = {
     val users = Tables.events(s, dir).select(col("user_id")).distinct()
       .withColumn("arm", armExpr)
     // ONE aggregate row of conditional sums (the SQL sizes CTE): a
@@ -411,14 +413,20 @@ object Round6Ops2 {
       .groupBy(col("event_type"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("conv_a"),
            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("conv_b"))
-    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
-    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
-    val pp = (col("conv_a") + col("conv_b")).cast("double") /
-             (col("n_a") + col("n_b")).cast("double")
+    conv.crossJoin(broadcast(sizes))
+  }
+
+  private def abPa = col("conv_a").cast("double") / col("n_a").cast("double")
+  private def abPb = col("conv_b").cast("double") / col("n_b").cast("double")
+  private def abPp = (col("conv_a") + col("conv_b")).cast("double") /
+                     (col("n_a") + col("n_b")).cast("double")
+
+  def eventsAbLift(s: SparkSession, dir: String): DataFrame = {
+    val (pa, pb, pp) = (abPa, abPb, abPp)
     val se = sqrt(pp * (lit(1.0) - pp) *
       (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
     val bothArms = col("n_a") > 0 && col("n_b") > 0
-    conv.crossJoin(broadcast(sizes))
+    abCells(s, dir)
       .select(col("event_type"), col("n_a"), col("n_b"),
               col("conv_a"), col("conv_b"),
               when(col("n_a") > 0, r(pa, 6)).as("rate_a"),
@@ -428,11 +436,14 @@ object Round6Ops2 {
       .orderBy(col("event_type"))
   }
 
-  val eventsAbLiftSql: String = {
-    val pa = "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
-    val pb = "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
-    val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
-    val se = s"sqrt($pp * (1.0 - $pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+  private val abPaSql = "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+  private val abPbSql = "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+  private val abPpSql = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+
+  /** SQL twin of [[abCells]] — the CTE prefix (arm assignment, arm
+    * sizes, per-type conversion counts) shared by #137 and #149; ends
+    * with a `cells` CTE of the same shape as the Spark frame. */
+  private val abCellsSqlPrefix: String =
     s"""WITH $armSqlCte,
        |sizes AS (
        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -445,7 +456,14 @@ object Round6Ops2 {
        |  FROM (SELECT user_id, event_type FROM events
        |        GROUP BY 1, 2 HAVING count(*) >= $AbConvMin) e
        |  JOIN users u USING (user_id)
-       |  GROUP BY 1)
+       |  GROUP BY 1),
+       |cells AS (SELECT * FROM conv CROSS JOIN sizes)""".stripMargin
+
+  val eventsAbLiftSql: String = {
+    val (pa, pb, pp) = (abPaSql, abPbSql, abPpSql)
+    val se = s"sqrt($pp * (1.0 - $pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    abCellsSqlPrefix +
+    s"""
        |SELECT event_type, n_a, n_b, conv_a, conv_b,
        |       CASE WHEN n_a > 0 THEN ${sqlR(pa, 6)} END AS rate_a,
        |       CASE WHEN n_b > 0 THEN ${sqlR(pb, 6)} END AS rate_b,
@@ -454,7 +472,53 @@ object Round6Ops2 {
        |       CASE WHEN n_a > 0 AND n_b > 0
        |            THEN (CASE WHEN $se > 0.0
        |                       THEN ${sqlR(s"($pb - $pa) / $se", 6)} END) END AS z_score
-       |FROM conv CROSS JOIN sizes ORDER BY event_type""".stripMargin
+       |FROM cells ORDER BY event_type""".stripMargin
+  }
+
+  // --------------------------------------- #149 events_power_analysis
+
+  // z_{α/2} at 5% two-sided + z_β at 80% power — one Scala-computed
+  // constant interpolated into BOTH engines (identical double)
+  private val ZPower = 1.959964 + 0.841621
+
+  /** #149 events_power_analysis: the experiment DESIGN table that
+    * belongs next to the #137 readout — per metric event type, from
+    * the same cell table: the pooled base rate, the minimum detectable
+    * effect at 5%/80% (MDE = (z_{α/2}+z_β)·√(p(1−p)(1/n_a+1/n_b))),
+    * its relative form, the observed |Δ|, and whether the observed
+    * effect clears the MDE ("was this experiment even big enough?").
+    * Teams read this BEFORE trusting a flat #137 readout. Pure
+    * arithmetic over the broadcast cells — no new scan. */
+  def eventsPowerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val (pa, pb, pp) = (abPa, abPb, abPp)
+    val seUnit = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    val mde = r(lit(ZPower) * seUnit, 6)
+    abCells(s, dir)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+              when(ok, r(pp, 6)).as("p_pooled"),
+              when(ok, mde).as("mde_abs"),
+              when(ok && abPp > 0.0, r(mde / pp, 6)).as("mde_rel"),
+              when(ok, r(abs(pb - pa), 6)).as("observed_effect"),
+              when(ok, r(abs(pb - pa), 6) >= mde).as("detectable"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsPowerAnalysisSql: String = {
+    val (pa, pb, pp) = (abPaSql, abPbSql, abPpSql)
+    val seUnit = s"sqrt($pp * (1.0 - $pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    val mde = sqlR(s"$ZPower * $seUnit", 6)
+    val ok = "n_a > 0 AND n_b > 0"
+    abCellsSqlPrefix +
+    s"""
+       |SELECT event_type, n_a, n_b,
+       |       CASE WHEN $ok THEN ${sqlR(pp, 6)} END AS p_pooled,
+       |       CASE WHEN $ok THEN $mde END AS mde_abs,
+       |       CASE WHEN $ok AND $pp > 0.0 THEN ${sqlR(s"($mde) / $pp", 6)} END AS mde_rel,
+       |       CASE WHEN $ok THEN ${sqlR(s"abs($pb - $pa)", 6)} END AS observed_effect,
+       |       CASE WHEN $ok THEN ${sqlR(s"abs($pb - $pa)", 6)} >= $mde END AS detectable
+       |FROM cells ORDER BY event_type""".stripMargin
   }
 
   // -------------------------------------------- #141 events_cuped_lift

@@ -376,6 +376,109 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
   }
 
+  private[graft] val NprobeGrid = Seq(1, 2, 4, 8)
+
+  /** #150 ann_nprobe_curve: the IVF TUNING curve — recall@k against
+    * the exact top-k at each nProbe on a fixed grid, from ONE trained
+    * index: nProbe's candidate set is a prefix of the widest probe's
+    * (cells are probed in score order), so the k-means trains once,
+    * the corpus buckets once, candidates materialize once at
+    * max(nProbe) carrying their probe rank, and the grid is a bounded
+    * map-side fan-out + per-(probe, query) collect_top_k heaps. This
+    * is THE deployment knob for an IVF index (recall vs probe cost);
+    * sweeping it must not cost |grid| retrains. */
+  def annNprobeCurve(s: SparkSession, dir: String, k: Int = 5,
+                     nQueries: Int = 5, nCells: Int = 16,
+                     iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+    val centroids = trainCentroids(corpus, nCells, iters)
+    val bucketed = assignNearest(corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
+      .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
+    val qs = queries(s, dir, nQueries)
+    val qScored = centroids.map { case (cid, c) =>
+      struct(
+        (call_function("float_dot", col("q_emb"), lit(c)) - lit(halfNorm(c))).as("score"),
+        lit(cid).as("cluster"))
+    }
+    val pMax = NprobeGrid.max
+    val probed = qs
+      .withColumn("q_norm", norm(col("q_emb")))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+              posexplode(slice(reverse(array_sort(array(qScored: _*))), 1, pMax)))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+              (col("pos") + 1).cast("int").as("probe_rank"),
+              col("col.cluster").as("probe"))
+    val scored = bucketed.join(broadcast(probed), col("cluster") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("probe_rank"), col("vec_id"),
+              r(dotDec(col("q_emb"), col("embedding")) /
+                (col("q_norm") * col("e_norm")), 6).as("cosine"))
+    val topk = scored
+      .withColumn("np", explode(array(NprobeGrid.map(lit(_)): _*)))
+      .filter(col("probe_rank") <= col("np"))
+      .groupBy(col("np"), col("q_id"))
+      .agg(call_function("collect_top_k",
+        struct(col("cosine"), (-col("vec_id")).as("neg"), col("vec_id").as("v")),
+        lit(k), lit(false)).as("arr"))
+      .select(col("np"), explode(col("arr")).as("e"), col("q_id"))
+      .select(col("np"), col("q_id"), col("e.v").as("vec_id"))
+    val exact = knnBrute(s, dir, k, nQueries).select(col("q_id"), col("vec_id"))
+    val hits = topk.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("np")).agg(count(lit(1)).as("n_hits"))
+    val grid = {
+      import s.implicits._
+      NprobeGrid.toDF("np")
+    }
+    grid.join(hits, Seq("np"), "left")
+      .select(col("np").cast("int").as("n_probe"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              r(coalesce(col("n_hits"), lit(0L)).cast("double") /
+                (nQueries * k).toDouble, 6).as("recall"))
+      .orderBy(col("n_probe"))
+  }
+
+  def annNprobeCurveSql(k: Int = 5, nQueries: Int = 5,
+                        nCells: Int = 16, iters: Int = 3): String = {
+    val pMax = NprobeGrid.max
+    ivfChainSql(nCells, iters) +
+    s""",
+       |probed AS (
+       |  SELECT q_id, cl, CAST(rn AS INT) AS probe_rank FROM (
+       |    SELECT e.vec_id AS q_id, c.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${ivfScoreSql("e.embedding")} DESC, c.cl DESC) AS rn
+       |    FROM embeddings e CROSS JOIN c$iters c
+       |    WHERE e.vec_id < $nQueries)
+       |  WHERE rn <= $pMax
+       |),
+       |scored AS (
+       |  SELECT p.q_id, p.probe_rank, b.vec_id,
+       |         floor((${sqlCosine("q.embedding", "e.embedding")}) * 1e6 + 0.5) / 1e6 AS cosine
+       |  FROM bucketed b
+       |  JOIN probed p ON b.cl = p.cl AND b.vec_id <> p.q_id
+       |  JOIN embeddings q ON q.vec_id = p.q_id
+       |  JOIN embeddings e ON e.vec_id = b.vec_id
+       |),
+       |grid AS (SELECT np FROM (VALUES ${NprobeGrid.map(p => s"($p)").mkString(", ")}) t(np)),
+       |ranked AS (
+       |  SELECT g.np, s.q_id, s.vec_id,
+       |         row_number() OVER (PARTITION BY g.np, s.q_id
+       |           ORDER BY s.cosine DESC, s.vec_id) AS rnk
+       |  FROM scored s CROSS JOIN grid g
+       |  WHERE s.probe_rank <= g.np),
+       |topk AS (SELECT np, q_id, vec_id FROM ranked WHERE rnk <= $k),
+       |exact AS (SELECT q_id, vec_id FROM (${knnBruteSql(k, nQueries)})),
+       |hits AS (
+       |  SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM topk JOIN exact USING (q_id, vec_id) GROUP BY 1)
+       |SELECT CAST(g.np AS INT) AS n_probe,
+       |       COALESCE(h.n_hits, 0) AS n_hits,
+       |       ${sqlR(s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${nQueries * k}.0", 6)} AS recall
+       |FROM grid g LEFT JOIN hits h ON g.np = h.np
+       |ORDER BY 1""".stripMargin
+  }
+
   /** #32 cosine near-duplicate pairs: candidates from an LSH bucket
     * SELF-join (the same deterministic md5 hyperplanes as [[annLsh]] /
     * [[knnGraph]]), exact-cosine verified, label-blocked as a

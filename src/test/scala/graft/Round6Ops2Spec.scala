@@ -312,6 +312,39 @@ class Round6Ops2Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- ann_nprobe_curve
+
+  test("nprobe curve: recall monotone in probes; widest point dominates; np=4 equals the matrix's ivf row") {
+    val curve = operators.Similarity.annNprobeCurve(spark, sf)
+      .orderBy("n_probe").collect()
+    assert(curve.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    val recalls = curve.map(_.getDouble(2))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    // the np=4 point IS the default IVF retriever the bake-off scores
+    val matrixIvf = operators.Similarity3.annRecallMatrix(spark, sf)
+      .filter(col("retriever") === "ivf").collect()(0)
+    val at4 = curve.find(_.getInt(0) == 4).get
+    assert(at4.getLong(1) == matrixIvf.getLong(1),
+      s"np=4 hits ${at4.getLong(1)} vs matrix ivf ${matrixIvf.getLong(1)}")
+  }
+
+  // -------------------------------------------------- events_power_analysis
+
+  test("power analysis: detectable flag is exactly observed >= mde; cells match the readout") {
+    val power = Round6Ops2.eventsPowerAnalysis(spark, sf).collect()
+    val lift = Round6Ops2.eventsAbLift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(power.nonEmpty)
+    power.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == lift(r.getString(0)))
+      if (!r.isNullAt(4)) {
+        assert(r.getDouble(4) > 0.0) // mde_abs
+        assert(r.getBoolean(7) == (r.getDouble(6) >= r.getDouble(4)))
+      }
+    }
+  }
+
   // ---------------------------------------------------------- mm_keyframes
 
   test("keyframes: scenes reconcile with the cut report; scene 0 starts at frame 0") {
