@@ -343,6 +343,72 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** #155 mm_av_sync: audio/visual ALIGNMENT — the #130 scene
+    * segmentation and the #138 voice-activity flags reconciled on the
+    * same frame clock: per (asset, scene), the voiced-frame share and a
+    * speech/silent class. This is the table an A/V curation pipeline
+    * reads to route scenes (speech scenes → ASR/captioning, silent
+    * scenes → visual-only features) — the join of shot detection and
+    * VAD that neither produces alone.
+    *
+    * Scale shape: ONE decode pass computes BOTH per-frame features
+    * (16-bit luma for the cut rule, [0,1) energy for the VAD rule — a
+    * real decoder emits both through the same seam), the scene id is
+    * the same per-asset bounded cumulative window as #147, and the
+    * readout is one bounded (asset, scene) rollup. No join between the
+    * two chains — the alignment is free because both rules ride the
+    * same frame stream. */
+  def mmAvSync(s: SparkSession, dir: String, threshold: Int = 21845,
+               tau: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val energy = graft.Parity.r(
+      conv(substring(col("frame_fp"), 1, 8), 16, 10).cast("double") /
+        4294967296.0, 6)
+    mmFrames(s, dir)
+      .withColumn("luma", frameLuma)
+      .withColumn("voiced", (energy >= tau).cast("long"))
+      .withColumn("cut",
+        when(abs(col("luma") - lag(col("luma"), 1).over(w)) > threshold, 1)
+          .otherwise(0))
+      .withColumn("scene_id", sum(col("cut")).over(wCum).cast("long"))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("voiced")).as("n_voiced"))
+      .withColumn("speech_ratio",
+        graft.Parity.r(col("n_voiced").cast("double") / col("n_frames"), 6))
+      .withColumn("is_speech", col("speech_ratio") >= 0.5)
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  def mmAvSyncSql(threshold: Int = 21845, tau: Double = 0.5): String = {
+    val ratio = graft.Parity.sqlR("CAST(sum(voiced) AS DOUBLE) / count(*)", 6)
+    s"""WITH frames AS (
+       |  SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+       |         CAST(('0x' || substr(md5(md5(text) || ':' || CAST(f.f AS INT)), 1, 4)) AS INT) AS luma,
+       |         floor((CAST(('0x' || substr(md5(md5(text) || ':' || CAST(f.f AS INT)), 1, 8)) AS BIGINT) / 4294967296.0) * 1e6 + 0.5) / 1e6 AS energy
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 100)) AS f) f),
+       |flagged AS (
+       |  SELECT doc_id, frame_idx,
+       |         CASE WHEN energy >= $tau THEN 1 ELSE 0 END AS voiced,
+       |         CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > $threshold
+       |              THEN 1 ELSE 0 END AS cut
+       |  FROM frames),
+       |scenes AS (
+       |  SELECT doc_id, voiced,
+       |         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+       |  FROM flagged)
+       |SELECT doc_id, scene_id, count(*) AS n_frames,
+       |       CAST(sum(voiced) AS BIGINT) AS n_voiced,
+       |       $ratio AS speech_ratio,
+       |       ($ratio >= 0.5) AS is_speech
+       |FROM scenes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def mmPhashNearDupSql(tau: Double = 0.05): String = {
     val feats = (0 until 8).map { j =>
       s"floor((CAST(('0x' || substr(md5(md5(text) || ':$j'), 1, 8)) AS BIGINT) / 4294967296.0) * 1e6 + 0.5) / 1e6 AS f$j"

@@ -440,6 +440,91 @@ object Similarity3 {
        |FROM names n LEFT JOIN hits h USING (retriever)
        |ORDER BY n.retriever""".stripMargin
 
+  /** #151 emb_triplet_mining: HARD-TRIPLET mining over the labeled
+    * corpus — for each anchor (the #119 held-out sample), the hardest
+    * positive (same-label train vector with MINIMUM cosine) and the
+    * hardest negative (different-label train vector with MAXIMUM
+    * cosine), plus the triplet margin pos_sim − neg_sim. Margin < 0
+    * flags a VIOLATED triplet — the mining step of metric-learning /
+    * contrastive fine-tuning (Schroff et al. 2015, FaceNet): these are
+    * exactly the pairs the next training round should see.
+    *
+    * Scale shape: the anchor set broadcasts (bounded eval sample, the
+    * #119 contract); the train side streams ONE map-only scan through
+    * the knn_brute two-phase discipline — the codegen'd float_dot
+    * prefilter finds each anchor's conditional extremes (min-same fc,
+    * max-diff fc) in one bounded groupBy, only candidates within 2e-6
+    * of an extreme pay the decimal-exact cosine, and the final
+    * argmin/argmax is a struct-ordered min/max (score 6dp-rounded
+    * BEFORE the pick so ties break on vec_id identically in both
+    * engines). No ranking window, no pair materialization. */
+  def embTripletMining(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val emb = Tables.embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
+    val anchors = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+              col("nrm").as("a_norm"), col("label").as("a_label"))
+    val train = emb.filter(col("vec_id") % 5 =!= 0)
+    val fast = train.crossJoin(broadcast(anchors))
+      .withColumn("fc",
+        call_function("float_dot", col("embedding"), col("a_emb")) /
+          (col("nrm") * col("a_norm")))
+      .withColumn("same", col("label") === col("a_label"))
+    val th = fast.groupBy(col("a_id"))
+      .agg(min(when(col("same"), col("fc"))).as("pos_min"),
+           max(when(!col("same"), col("fc"))).as("neg_max"))
+    val survivors = fast.join(broadcast(th), "a_id")
+      .filter((col("same") && col("fc") <= col("pos_min") + 2e-6) ||
+              (!col("same") && col("fc") >= col("neg_max") - 2e-6))
+      .select(col("a_id"), col("a_label"), col("same"), col("vec_id"),
+              r(dotDec(col("embedding"), col("a_emb")) /
+                (col("nrm") * col("a_norm")), 6).as("score"))
+    survivors.groupBy(col("a_id"), col("a_label"))
+      // min(struct(score, vec_id)): min score, tie -> min vec_id;
+      // max(struct(score, -vec_id)): max score, tie -> min vec_id
+      .agg(min(when(col("same"), struct(col("score"), col("vec_id")))).as("pos"),
+           max(when(!col("same"),
+             struct(col("score"), (-col("vec_id")).as("nid")))).as("neg"))
+      .select(col("a_id").as("anchor_id"), col("a_label").as("label"),
+              col("pos.vec_id").as("pos_id"), col("pos.score").as("pos_sim"),
+              (-col("neg.nid")).as("neg_id"), col("neg.score").as("neg_sim"),
+              r(col("pos.score") - col("neg.score"), 6).as("margin"),
+              (col("pos.score") - col("neg.score") < 0.0).as("violated"))
+      .orderBy(col("anchor_id"))
+  }
+
+  def embTripletMiningSql(): String = {
+    val cosab = sqlR(sqlCosine("e.embedding", "a.a_emb"), 6)
+    s"""WITH anchors AS (SELECT vec_id AS a_id, embedding AS a_emb,
+       |                        label AS a_label
+       |                 FROM embeddings WHERE vec_id % 5 = 0),
+       |train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+       |scored AS (
+       |  SELECT a.a_id, a.a_label, e.vec_id,
+       |         e.label = a.a_label AS same, $cosab AS score
+       |  FROM train e CROSS JOIN anchors a),
+       |pos AS (
+       |  SELECT a_id, vec_id AS pos_id, score AS pos_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |                                 ORDER BY score, vec_id) AS rnk
+       |    FROM scored WHERE same)
+       |  WHERE rnk = 1),
+       |neg AS (
+       |  SELECT a_id, vec_id AS neg_id, score AS neg_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |                                 ORDER BY score DESC, vec_id) AS rnk
+       |    FROM scored WHERE NOT same)
+       |  WHERE rnk = 1)
+       |SELECT a.a_id AS anchor_id, a.a_label AS label,
+       |       p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+       |       ${sqlR("p.pos_sim - n.neg_sim", 6)} AS margin,
+       |       (p.pos_sim - n.neg_sim < 0.0) AS violated
+       |FROM anchors a
+       |LEFT JOIN pos p ON a.a_id = p.a_id
+       |LEFT JOIN neg n ON a.a_id = n.a_id
+       |ORDER BY 1""".stripMargin
+  }
+
   def knnLabelVoteSql(k: Int = 5): String = {
     val cosab = sqlR(sqlCosine("e.embedding", "t.t_emb"), 6)
     s"""WITH test AS (SELECT vec_id AS t_id, embedding AS t_emb,

@@ -176,4 +176,92 @@ object TextOps2 {
        |  FROM ids JOIN d da ON ids.id_a = da.doc_id
        |           JOIN d db ON ids.id_b = db.doc_id)
        |WHERE dist <= $maxDist ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------- #153 bpe_train_merges
+
+  /** BPE training rounds. Bounded by contract — the merge table, like
+    * any model artifact, is tiny; a real tokenizer run sets this to
+    * vocab_size − |alphabet| and pays one pair-count pass per round. */
+  private[graft] val BpeSteps = 3
+
+  /** #153 bpe_train_merges: BPE TRAINING, not just its inner statistic —
+    * [[bpePairCounts]] counts one round's pairs; this runs the actual
+    * merge loop (Sennrich et al. 2016): per round, the corpus-weighted
+    * most frequent adjacent symbol pair becomes a merge (ties lexical),
+    * the pair is fused greedily left-to-right in every vocabulary word,
+    * and counting repeats on the merged symbols. Output = the ordered
+    * merge table (step, sym_a, sym_b, n) — the artifact a tokenizer
+    * ships.
+    *
+    * Scale shape, per round: the corpus stays collapsed to the word
+    * VOCABULARY (the #112 contract — "the" counts once with weight n;
+    * the explode runs over vocab × word length, never corpus tokens);
+    * the winner is ONE collected row (model-sized, the IVF-centroid /
+    * MMR-round class); the merge application is a map-only string
+    * `replace` over the vocabulary — words are kept in a
+    * boundary-delimited encoding (`|a|b|c`) where fusing pair (a,b) IS
+    * `replace('|a|b' → '|ab')`: both engines' `replace` scans
+    * left-to-right non-overlapping, which is exactly BPE's greedy fuse
+    * rule, so parity holds by construction. Vocabulary is restricted to
+    * purely alphabetic words so the delimiter never collides. */
+  def bpeTrainMerges(s: SparkSession, dir: String,
+                     steps: Int = BpeSteps): DataFrame = {
+    import s.implicits._
+    var words = Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1").as("w"), col("freq"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to steps) {
+      val win = words
+        .select(col("freq"),
+                expr("slice(split(w, '\\\\|'), 2, size(split(w, '\\\\|')) - 1)").as("ss"))
+        .select(col("freq"), expr(
+          "explode(transform(sequence(1, size(ss) - 1), " +
+          "i -> struct(element_at(ss, i) AS sym_a, element_at(ss, i + 1) AS sym_b)))").as("p"))
+        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("sym_a"), col("sym_b"))
+        .limit(1).collect()(0)
+      val (a, b, n) = (win.getString(0), win.getString(1), win.getLong(2))
+      merges += ((step, a, b, n))
+      words = words.select(
+        expr(s"replace(w, '|$a|$b', '|$a$b')").as("w"), col("freq"))
+    }
+    merges.result().toDF("step", "sym_a", "sym_b", "n").orderBy(col("step"))
+  }
+
+  def bpeTrainMergesSql(steps: Int = BpeSteps): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH words0 AS (
+         |  SELECT regexp_replace(w, '(.)', '|\\1', 'g') AS w, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+         |        FROM documents)
+         |  WHERE length(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+         |  GROUP BY 1)""".stripMargin
+    for (k <- 1 to steps) {
+      sb ++=
+        s""",
+           |pairs$k AS (
+           |  SELECT ss[i.i] AS sym_a, ss[i.i + 1] AS sym_b, freq FROM (
+           |    SELECT string_split(w, '|')[2:] AS ss, freq FROM words${k - 1}) t
+           |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ss))) AS i) i),
+           |win$k AS (
+           |  SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM pairs$k GROUP BY 1, 2 ORDER BY n DESC, sym_a, sym_b LIMIT 1),
+           |words$k AS (
+           |  SELECT replace(w,
+           |           '|' || (SELECT sym_a FROM win$k) || '|' || (SELECT sym_b FROM win$k),
+           |           '|' || (SELECT sym_a FROM win$k) || (SELECT sym_b FROM win$k)) AS w,
+           |         freq
+           |  FROM words${k - 1})""".stripMargin
+    }
+    sb ++= "\n" + (1 to steps)
+      .map(k => s"SELECT CAST($k AS INT) AS step, sym_a, sym_b, n FROM win$k")
+      .mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY step"
+    sb.result()
+  }
 }

@@ -404,4 +404,26 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), p.take(2000))
     }
   }
+
+  test("triplet mining: anchors + thresholds broadcast; no sort-merge pair join, no ranking window") {
+    val p = plan(graft.operators.Similarity3.embTripletMining(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("(Window"), p.take(2000))
+  }
+
+  test("survival KM: the only windows ride the bounded grid or the per-user lead — never a global row window over events") {
+    val p = plan(graft.operators.Round6Ops3.eventsSurvivalKm(spark, sf))
+    // corpus-end scalar broadcast, no cartesian on the event side
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the per-user lead is the only window keyed by data cardinality
+    assert(p.contains("lead("), p.take(2000))
+  }
+
+  test("av sync: one decode pass — a single documents scan feeds both feature rules") {
+    val p = plan(graft.multimodal.Multimodal.mmAvSync(spark, sf))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single documents scan, got $scans:\n$p")
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }
