@@ -432,4 +432,52 @@ object Curation {
        |LEFT JOIN nd n ON d.doc_id = n.doc_id
        |LEFT JOIN sd s ON d.doc_id = s.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- #157 corpus_length_buckets
+
+  /** #157 corpus_length_buckets: the LENGTH-BUCKETED BATCHING table —
+    * documents assigned to power-of-two token-length buckets (the
+    * standard bucketing a training loader uses so sequences of similar
+    * length batch together), reporting per bucket the document count,
+    * real tokens, padded slots (bucket ceiling × docs) and the padding
+    * waste ratio. The sum over this table vs padding everything to the
+    * global max is the throughput case for bucketed batching — the
+    * padding-efficiency audit run before a tokenized corpus ships to
+    * the trainer.
+    *
+    * Scale shape: pure map-side arithmetic (the bucket ceiling is
+    * integer bit-math — length of the binary form, no float log2 whose
+    * last-ulp could flip a power-of-two boundary) into one bounded
+    * rollup (≤ log₂(max tokens) rows). One scan, one tiny shuffle. */
+  def corpusLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("n_tok"))
+    docs
+      .withColumn("bucket_max",
+        when(col("n_tok") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1)))")))
+      .groupBy(col("bucket_max"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .withColumn("padded_slots", col("bucket_max") * col("n_docs"))
+      .withColumn("waste_ratio",
+        r(lit(1.0) - col("total_tokens").cast("double") /
+          col("padded_slots").cast("double"), 6))
+      .orderBy(col("bucket_max"))
+  }
+
+  val corpusLengthBucketsSql: String =
+    s"""WITH docs AS (
+       |  SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT n_tok,
+       |         CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+       |              ELSE (CAST(1 AS BIGINT) << length(bin(n_tok - 1))) END AS bucket_max
+       |  FROM docs)
+       |SELECT bucket_max, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |       CAST(bucket_max * count(*) AS BIGINT) AS padded_slots,
+       |       ${sqlR("1.0 - CAST(sum(n_tok) AS DOUBLE) / CAST(bucket_max * count(*) AS DOUBLE)", 6)} AS waste_ratio
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 }

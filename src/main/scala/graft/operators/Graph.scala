@@ -238,4 +238,66 @@ object Graph {
        |FROM base b FULL OUTER JOIN upd u ON b.o_custkey = u.o_custkey
        |ORDER BY 1""".stripMargin
   }
+
+  // --------------------------------------------- #158 graph_link_predict
+
+  /** #158 graph_link_predict: common-neighbor LINK PREDICTION over the
+    * #95 kNN similarity graph — for every non-adjacent pair at
+    * distance 2, the shared-neighbor count and the Adamic–Adar score
+    * (Σ 1/ln deg(n) over shared neighbors — rare shared neighbors
+    * weigh more). On an embedding kNN graph these are exactly the
+    * "probably the same cluster, edge missed by the k cutoff" pairs —
+    * the candidate generator for dedup-cluster repair and
+    * recommendation alike (Liben-Nowell & Kleinberg 2003).
+    *
+    * Scale shape: the kNN graph is degree-bounded by construction
+    * (k out-edges per node), so the wedge self-join on the shared
+    * neighbor fans out ≤ deg² per node — linear in nodes, never a
+    * pair table; existing edges leave via an anti-join on the same
+    * symmetric edge set; degrees are a node-cardinality aggregate
+    * joined back on the bounded wedge table. The ln term is
+    * 6dp-rounded BEFORE the decimal sum (the #125 PMI discipline), so
+    * the per-pair score is order-independent and oracle-identical. */
+  def graphLinkPredict(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = Similarity.knnGraph(s, dir, k)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+    val und = e.union(e.select(col("dst"), col("src"))).distinct()
+      .transform(graft.Lineage.cut)
+    val deg = und.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    // wedges a—n—b with a < b; the shared neighbor carries its degree
+    val wedges = und.select(col("dst").as("n"), col("src").as("a"))
+      .join(und.select(col("src").as("n"), col("dst").as("b")), Seq("n"))
+      .filter(col("a") < col("b"))
+      .join(deg, Seq("n"))
+    val cand = wedges
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+           dsum(r(lit(1.0) / log(col("deg").cast("double")), 6), 6).as("aa_score"))
+    cand.join(und, cand("id_a") === und("src") && cand("id_b") === und("dst"),
+              "left_anti")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def graphLinkPredictSql(k: Int = 3): String =
+    s"""WITH g AS (SELECT q_id, vec_id FROM (${Similarity.knnGraphSql(k)})),
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT q_id AS src, vec_id AS dst FROM g
+       |    UNION ALL
+       |    SELECT vec_id AS src, q_id AS dst FROM g)),
+       |deg AS (SELECT src AS n, count(*) AS deg FROM und GROUP BY 1),
+       |wedges AS (
+       |  SELECT x.src AS a, y.dst AS b, d.deg
+       |  FROM und x
+       |  JOIN und y ON x.dst = y.src AND x.src < y.dst
+       |  JOIN deg d ON x.dst = d.n),
+       |cand AS (
+       |  SELECT a AS id_a, b AS id_b, count(*) AS n_common,
+       |         ${sqlSum(sqlR("1.0 / ln(CAST(deg AS DOUBLE))", 6), 6)} AS aa_score
+       |  FROM wedges GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, c.n_common, c.aa_score
+       |FROM cand c
+       |WHERE NOT EXISTS (SELECT 1 FROM und u
+       |                  WHERE u.src = c.id_a AND u.dst = c.id_b)
+       |ORDER BY 1, 2""".stripMargin
 }

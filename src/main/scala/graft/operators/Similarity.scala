@@ -307,7 +307,7 @@ object Similarity {
     * assignment) — init cells = first `nCells` vectors, assignment via
     * the sequential-fold FloatDot mirror, centroid means via the
     * decimal-exact 8dp average quantized to float. */
-  private def ivfChainSql(nCells: Int, iters: Int): String = {
+  private def ivfChainSql(nCells: Int, iters: Int, sfx: String = ""): String = {
     def score(emb: String) =
       s"(${sqlDotSeq(emb, "c.c")} - ${sqlHalfNormSeq("c.c")})"
     def assign(prev: String, out: String) =
@@ -329,13 +329,13 @@ object Similarity {
          |  GROUP BY cl
          |)"""
     val lloyd = (1 to iters).map(it =>
-      assign(s"c${it - 1}", s"a$it") + ",\n" + update(s"a$it", s"c$it"))
+      assign(s"c${it - 1}$sfx", s"a$it$sfx") + ",\n" + update(s"a$it$sfx", s"c$it$sfx"))
       .mkString(",\n")
-    s"""WITH c0 AS (
+    s"""WITH c0$sfx AS (
        |  SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < $nCells
        |),
        |$lloyd,
-       |${assign(s"c$iters", "bucketed")}""".stripMargin
+       |${assign(s"c$iters$sfx", s"bucketed$sfx")}""".stripMargin
   }
 
   /** Score fragment against a centroid table alias `c` (shared by the
@@ -374,6 +374,57 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  private[graft] val ElbowGrid = Seq(4, 8, 16, 32)
+
+  /** #156 emb_kmeans_elbow: the k-SELECTION curve for the IVF coarse
+    * quantizer — within-cluster inertia (Σ‖x − c(x)‖²) at each cell
+    * count on a fixed grid, from the SAME deterministic Lloyd trainer
+    * the #31b index uses. The elbow of this curve is how nCells gets
+    * chosen before building the index (#150 then tunes nProbe on the
+    * built index — this operator sits one step earlier in the same
+    * deployment workflow). Also reports live cell count (cells that
+    * kept members) — a flat inertia with dying cells means k overshot.
+    *
+    * Scale shape: per grid point, the trainer's iters+1 bounded scans
+    * (centroids are plan literals / a model-sized broadcast, the #31b
+    * contract) plus ONE decimal-exact distance scan — grid × (iters+2)
+    * corpus passes total, never a pairwise table. Inertia accumulates
+    * in DECIMAL (order-independent) and rounds at 6dp. */
+  def embKmeansElbow(s: SparkSession, dir: String,
+                     iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+    ElbowGrid.map { k =>
+      val centroids = trainCentroids(corpus, k, iters)
+      val centDf = s.createDataFrame(centroids.toSeq).toDF("cluster", "c")
+      assignNearest(corpus, centroids)
+        .join(broadcast(centDf), "cluster")
+        .select(col("cluster"), distSqDec(col("embedding"), col("c")).as("d2"))
+        .agg(countDistinct(col("cluster")).as("n_cells_used"),
+             count(lit(1)).as("n_vectors"),
+             dsum(col("d2"), 6).as("inertia"))
+        .select(lit(k).as("n_cells"), col("n_cells_used"),
+                col("n_vectors"), col("inertia"),
+                r(col("inertia") / col("n_vectors"), 6).as("mean_sq_dist"))
+    }.reduce(_ unionByName _).orderBy(col("n_cells"))
+  }
+
+  def embKmeansElbowSql(iters: Int = 3): String = {
+    val chains = ElbowGrid.zipWithIndex.map { case (k, i) =>
+      val c = ivfChainSql(k, iters, s"_k$k")
+      if (i == 0) c else "," + c.stripPrefix("WITH ")
+    }.mkString("\n")
+    val rows = ElbowGrid.map { k =>
+      s"""SELECT $k AS n_cells,
+         |       count(DISTINCT b.cl) AS n_cells_used,
+         |       count(*) AS n_vectors,
+         |       ${sqlSum(sqlDistSqDec("b.embedding", "c.c"), 6)} AS inertia,
+         |       ${sqlR(s"(${sqlSum(sqlDistSqDec("b.embedding", "c.c"), 6)}) / count(*)", 6)} AS mean_sq_dist
+         |FROM bucketed_k$k b JOIN c${iters}_k$k c ON b.cl = c.cl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$chains\n$rows\nORDER BY n_cells"
   }
 
   private[graft] val NprobeGrid = Seq(1, 2, 4, 8)

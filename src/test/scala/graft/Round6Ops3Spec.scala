@@ -101,6 +101,58 @@ class Round6Ops3Spec extends AnyFunSuite {
     assert(merges.map(_.getInt(0)).toSeq == (1 to TextOps2.BpeSteps))
   }
 
+  // ------------------------------------------------------ emb_kmeans_elbow
+
+  test("kmeans elbow: inertia non-increasing in k; live cells bounded; mean is the rounded ratio") {
+    val rows = operators.Similarity.embKmeansElbow(spark, sf)
+      .orderBy("n_cells").collect()
+    assert(rows.map(_.getInt(0)).toSeq == operators.Similarity.ElbowGrid)
+    val inert = rows.map(_.getDouble(3))
+    assert(inert.zip(inert.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"inertia not non-increasing: ${inert.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getInt(0)) // live cells <= k
+      assert(r.getDouble(4) ==
+        math.floor(r.getDouble(3) / r.getLong(2) * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  // ------------------------------------------------- corpus_length_buckets
+
+  test("length buckets: power-of-two ceilings; docs partition; each bucket at least half full") {
+    val rows = operators.Curation.corpusLengthBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val (bm, n, tok, pad) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((bm & (bm - 1)) == 0, s"not a power of two: $bm")
+      assert(pad == bm * n)
+      assert(tok <= pad)
+      // every doc in a bucket has n_tok > bucket_max/2 (tightest pow2)
+      assert(bm == 1L || tok > pad / 2, s"bucket $bm under half full")
+    }
+  }
+
+  // ---------------------------------------------------- graph_link_predict
+
+  test("link predict: no predicted pair is an existing edge; wedge counts positive; AA consistent") {
+    val pred = operators.Graph.graphLinkPredict(spark, sf).collect()
+    assert(pred.nonEmpty)
+    val edges = operators.Similarity.knnGraph(spark, sf, 3)
+      .select(col("q_id"), col("vec_id")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    pred.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b)
+      assert(!edges.contains((a, b)), s"($a,$b) is an edge")
+      assert(r.getLong(2) >= 1)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
   // ------------------------------------------------------------ mm_av_sync
 
   test("av sync: scenes reconcile with mm_keyframes; voiced totals reconcile with mm_audio_vad") {
