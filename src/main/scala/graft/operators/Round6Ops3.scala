@@ -144,4 +144,162 @@ object Round6Ops3 {
        |FROM fac2 f CROSS JOIN folded fl
        |ORDER BY f.hour""".stripMargin
   }
+
+  // ------------------------------------------ #159 events_markov_attribution
+
+  private[graft] val ConvType = "purchase"
+  private[graft] val MarkovSolveIters = 50
+
+  /** #159 events_markov_attribution: Markov REMOVAL-EFFECT attribution
+    * (Anderl et al. 2014) — the channel-attribution model that replaces
+    * last-touch heuristics: user journeys (event sequences cut at the
+    * first conversion) become a first-order Markov chain with START /
+    * CONV / NULL states; a channel's credit is how much the chain's
+    * conversion probability drops when that channel is removed (its
+    * transitions absorbed into NULL), normalized across channels.
+    *
+    * Scale shape: the corpus-scale work — per-user ordered path
+    * assembly (one sorted-struct collect per user, the #63 contract)
+    * and transition counting — is one groupBy + HOF pipeline; the
+    * transition matrix is |states|² ≤ ~50 rows, a MODEL artifact that
+    * collects (the IVF-centroid / BPE-winner class), and the absorbing
+    * fixed-point solve (`MarkovSolveIters` simultaneous rounds, one per
+    * removal scenario) runs on that matrix with the Parity decimal
+    * discipline: each term enters DECIMAL(38,10) (order-independent
+    * sum), each state value rounds at 6dp per round — so the oracle's
+    * recursive-CTE replay (list-state vector, decimal list_sum) lands
+    * on identical bits. */
+  def eventsMarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val paths = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x("event_type")).as("arr"))
+    val cut = paths
+      .select(expr(s"array_position(arr, '$ConvType')").as("pos"), col("arr"))
+      .select(
+        when(col("pos") > 0, expr("slice(arr, 1, CAST(pos AS INT) - 1)"))
+          .otherwise(col("arr")).as("channels"),
+        when(col("pos") > 0, lit("CONV")).otherwise(lit("NULL")).as("absorb"))
+    val trans = cut
+      .withColumn("prevs", concat(array(lit("START")), col("channels")))
+      .withColumn("nexts", concat(col("channels"), array(col("absorb"))))
+      .select(explode(arrays_zip(col("prevs"), col("nexts"))).as("t"))
+      .select(col("t.prevs").as("prev"), col("t.nexts").as("next"))
+    val tp = trans.groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", r(col("n") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prev"))), 6))
+      .select(col("prev"), col("next"), col("prob"))
+    // model-sized collect: |states|² transition rows
+    val rows = tp.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2)))
+    val states = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    val mat: Map[(String, String), Double] =
+      rows.map { case (p, n, pr) => (p, n) -> pr }.toMap.withDefaultValue(0.0)
+    // simultaneous fixed-point with the SQL-identical decimal discipline
+    def solve(removed: Option[String]): Double = {
+      var p: Map[String, Double] =
+        states.map(st => st -> (if (st == "CONV") 1.0 else 0.0)).toMap
+      for (_ <- 1 to MarkovSolveIters) {
+        p = states.map { st =>
+          st -> (st match {
+            case "CONV" => 1.0
+            case "NULL" => 0.0
+            case c if removed.contains(c) => 0.0
+            case c => graft.Parity.r6d(graft.Parity.dec10ToDouble(
+              states.map(nx => graft.Parity.dec10Unscaled(mat((c, nx)) * p(nx))).sum))
+          })
+        }.toMap
+      }
+      p.getOrElse("START", 0.0)
+    }
+    val channels = rows.map(_._1).filter(_ != "START").distinct.sorted
+    val pFull = solve(None)
+    val res = channels.map { c =>
+      val pc = solve(Some(c))
+      val re = if (pFull > 0.0) graft.Parity.r6d(1.0 - pc / pFull) else 0.0
+      (c, pFull, pc, re)
+    }
+    val totRe = graft.Parity.dec10ToDouble(
+      res.map(t => graft.Parity.dec10Unscaled(t._4)).sum)
+    import s.implicits._
+    res.toSeq.map { case (c, pf, pc, re) =>
+      (c, pf, pc, re,
+       if (totRe > 0.0) graft.Parity.r6d(re / totRe) else 0.0)
+    }.toDF("channel", "p_full", "p_removed", "removal_effect", "attribution")
+      .orderBy(col("channel"))
+  }
+
+  val eventsMarkovAttributionSql: String = {
+    val r6 = (x: String) => sqlR(x, 6)
+    val decSumIJ = "CAST(list_sum(list_transform(range(1, len(m.states) + 1), " +
+      "j -> CAST(m.mat[i][j] * it.ps[j] AS DECIMAL(38,10)))) AS DOUBLE)"
+    s"""WITH RECURSIVE paths AS (
+       |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS arr
+       |  FROM events GROUP BY 1),
+       |cut AS (
+       |  SELECT CASE WHEN pos IS NOT NULL THEN arr[1:pos-1] ELSE arr END AS channels,
+       |         CASE WHEN pos IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS absorb
+       |  FROM (SELECT arr, list_position(arr, '$ConvType') AS pos FROM paths)),
+       |trans AS (
+       |  SELECT t.prevs[i.i] AS prev, t.nexts[i.i] AS next FROM (
+       |    SELECT list_prepend('START', channels) AS prevs,
+       |           list_append(channels, absorb) AS nexts
+       |    FROM cut) t
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.prevs) + 1)) AS i) i),
+       |tc AS (SELECT prev, next, count(*) AS n FROM trans GROUP BY 1, 2),
+       |tp AS (SELECT prev, next,
+       |              ${r6("n / (sum(n) OVER (PARTITION BY prev))")} AS prob
+       |       FROM tc),
+       |sts AS (SELECT list(DISTINCT s ORDER BY s) AS states FROM
+       |          (SELECT prev AS s FROM tp UNION SELECT next FROM tp)),
+       |grid AS (
+       |  SELECT a.s AS a, b.s AS b, COALESCE(tp.prob, 0.0) AS prob
+       |  FROM (SELECT unnest(states) AS s FROM sts) a
+       |  CROSS JOIN (SELECT unnest(states) AS s FROM sts) b
+       |  LEFT JOIN tp ON tp.prev = a.s AND tp.next = b.s),
+       |mrows AS (SELECT a, list(prob ORDER BY b) AS prow FROM grid GROUP BY a),
+       |m AS (
+       |  SELECT s.states,
+       |         (SELECT list(prow ORDER BY a) FROM mrows) AS mat
+       |  FROM sts s),
+       |scen AS (SELECT 'FULL' AS removed
+       |         UNION ALL
+       |         SELECT DISTINCT prev FROM tp WHERE prev <> 'START'),
+       |it AS (
+       |  SELECT 0 AS k, sc.removed,
+       |         list_transform(m.states, x ->
+       |           CASE WHEN x = 'CONV' THEN CAST(1.0 AS DOUBLE)
+       |                ELSE CAST(0.0 AS DOUBLE) END) AS ps
+       |  FROM scen sc CROSS JOIN m
+       |  UNION ALL
+       |  SELECT it.k + 1, it.removed,
+       |         list_transform(range(1, len(m.states) + 1), i ->
+       |           CASE WHEN m.states[i] = 'CONV' THEN CAST(1.0 AS DOUBLE)
+       |                WHEN m.states[i] = 'NULL' THEN CAST(0.0 AS DOUBLE)
+       |                WHEN it.removed <> 'FULL' AND m.states[i] = it.removed
+       |                  THEN CAST(0.0 AS DOUBLE)
+       |                ELSE ${r6(decSumIJ)} END) AS ps
+       |  FROM it CROSS JOIN m WHERE it.k < $MarkovSolveIters),
+       |fin AS (
+       |  SELECT it.removed,
+       |         it.ps[list_position(m.states, 'START')] AS p_start
+       |  FROM it CROSS JOIN m WHERE it.k = $MarkovSolveIters),
+       |pf AS (SELECT p_start AS p_full FROM fin WHERE removed = 'FULL'),
+       |res AS (
+       |  SELECT f.removed AS channel, pf.p_full, f.p_start AS p_removed,
+       |         CASE WHEN pf.p_full > 0.0
+       |              THEN ${r6("1.0 - f.p_start / pf.p_full")}
+       |              ELSE 0.0 END AS removal_effect
+       |  FROM fin f CROSS JOIN pf WHERE f.removed <> 'FULL'),
+       |tot AS (SELECT CAST(sum(CAST(removal_effect AS DECIMAL(38,10))) AS DOUBLE)
+       |          AS tot_re FROM res)
+       |SELECT channel, p_full, p_removed, removal_effect,
+       |       CASE WHEN tot_re > 0.0 THEN ${r6("removal_effect / tot_re")}
+       |            ELSE 0.0 END AS attribution
+       |FROM res CROSS JOIN tot
+       |ORDER BY channel""".stripMargin
+  }
 }

@@ -168,8 +168,12 @@ object SimilarityPq {
     * sequential-fold FloatDot mirror with code-DESC tiebreak, update via
     * decimal-exact 8dp means quantized to float), then the same
     * encode → LUT → ADC → shortlist → exact re-rank. */
-  def annPqSql(k: Int = 5, nQueries: Int = 5, iters: Int = 2,
-               shortlist: Int = 32): String = {
+  /** Shared chained-CTE replay of the per-subspace deterministic
+    * k-means: defines `ms`/`subs`/`pc0..pc{iters}` (codebooks) and
+    * `codes` (final per-(vector, subspace) assignment with its
+    * sub-slice) — the common prefix of the #31g retriever oracle and
+    * the #160 distortion oracle. */
+  private def pqChainSql(iters: Int): String = {
     def score(sub: String) = s"(${sqlDotSeq(sub, "c.c")} - ${sqlHalfNormSeq("c.c")})"
     def assign(prev: String, out: String) =
       s"""$out AS (
@@ -199,7 +203,13 @@ object SimilarityPq {
        |pc0 AS (
        |  SELECT m, CAST(vec_id AS INT) AS code, sub AS c FROM subs WHERE vec_id < $Codes),
        |$lloyd,
-       |${assign(s"pc$iters", "codes")},
+       |${assign(s"pc$iters", "codes")}""".stripMargin
+  }
+
+  def annPqSql(k: Int = 5, nQueries: Int = 5, iters: Int = 2,
+               shortlist: Int = 32): String = {
+    pqChainSql(iters) +
+    s""",
        |lut AS (
        |  SELECT q.vec_id AS q_id, c.m, c.code,
        |         CAST(${sqlR(sqlDotDec(subSliceSql("q.embedding", "c.m"), "c.c"), 6)}
@@ -227,5 +237,91 @@ object SimilarityPq {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
        |  FROM rer)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  // ----------------------------------------------- #160 emb_pq_distortion
+
+  /** #160 emb_pq_distortion: the QUANTIZER bake-off — reconstruction
+    * error of the two compression codecs this engine ships, side by
+    * side: the #31g product quantizer (8 bytes/vector: concat of
+    * selected sub-centroids) vs the #68 int8 scalar quantizer
+    * (64 bytes/vector). Per codec: per-dimension mean squared error
+    * and the worst single vector — the memory-vs-fidelity table that
+    * decides which index codec a 100 TB vector corpus deploys
+    * (#146/#150 measure recall after the codec choice; this measures
+    * the codec itself).
+    *
+    * Scale shape: both codecs are map-only over one corpus scan each —
+    * PQ reconstruction joins the code table against the model-sized
+    * broadcast codebook; int8 against a broadcast max-abs scalar.
+    * Squared errors accumulate decimal-exact per vector (8dp), the
+    * two-row readout is a global rollup. */
+  def embPqDistortion(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+    // PQ path: encode, reconstruct from the broadcast codebook
+    val cb = trainCodebooks(corpus, iters)
+    val cbDf = s.createDataFrame(cb.toSeq.map { case ((m, code), c) => (m, code, c) })
+      .toDF("m", "code", "c")
+    val structCols = (0 until SubSpaces).map(m =>
+      struct(lit(m).as("m"), col(s"code_$m").as("code"),
+             subSlice(col("embedding"), m).as("sub")))
+    val pqVec = withCodes(corpus, cb)
+      .select(col("vec_id"), explode(array(structCols: _*)).as("a"))
+      .select(col("vec_id"), col("a.m").as("m"), col("a.code").as("code"),
+              col("a.sub").as("sub"))
+      .join(broadcast(cbDf), Seq("m", "code"))
+      .select(col("vec_id"), distSqDec(col("sub"), col("c")).as("t"))
+      .groupBy(col("vec_id")).agg(dsum(col("t"), 8).as("sqerr"))
+    // int8 path: the #68 dequantization error, squared
+    val maxAbs = corpus.select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .agg(max(abs(col("v").cast("double"))).as("max_abs"))
+    val x = col("xr").cast("double")
+    val q = floor(x * lit(127.0) / col("max_abs") + 0.5)
+    val qc = least(greatest(q, lit(-127.0)), lit(127.0))
+    val e = x - qc * col("max_abs") / lit(127.0)
+    val i8Vec = corpus.crossJoin(broadcast(maxAbs))
+      .select(col("vec_id"), col("max_abs"),
+              posexplode(col("embedding")).as(Seq("p", "xr")))
+      .select(col("vec_id"), (e * e).as("t"))
+      .groupBy(col("vec_id")).agg(dsum(col("t"), 8).as("sqerr"))
+    def rollup(vecs: DataFrame, name: String, bytes: Long): DataFrame =
+      vecs.agg(count(lit(1)).as("n_vectors"),
+               r(dsum(col("sqerr")) / (count(lit(1)) * lit(64L)), 8).as("mse_per_dim"),
+               r(max(col("sqerr")), 8).as("max_vec_sqerr"))
+        .select(lit(name).as("quantizer"), lit(bytes).as("bytes_per_vec"),
+                col("n_vectors"), col("mse_per_dim"), col("max_vec_sqerr"))
+    rollup(pqVec, "pq8x16", 8L)
+      .unionByName(rollup(i8Vec, "int8", 64L))
+      .orderBy(col("quantizer"))
+  }
+
+  def embPqDistortionSql(iters: Int = 2): String = {
+    def roll(src: String, name: String, bytes: Int) =
+      s"""SELECT '$name' AS quantizer, CAST($bytes AS BIGINT) AS bytes_per_vec,
+         |       count(*) AS n_vectors,
+         |       ${sqlR(s"${sqlSum("sqerr")} / (count(*) * 64)", 8)} AS mse_per_dim,
+         |       ${sqlR("max(sqerr)", 8)} AS max_vec_sqerr
+         |FROM $src""".stripMargin
+    pqChainSql(iters) +
+    s""",
+       |recon AS (
+       |  SELECT co.vec_id, ${sqlDistSqDec("co.sub", "c.c")} AS t
+       |  FROM codes co JOIN pc$iters c ON c.m = co.m AND c.code = co.code),
+       |pqv AS (SELECT vec_id, ${sqlSum("t", 8)} AS sqerr FROM recon GROUP BY 1),
+       |mx AS (
+       |  SELECT max(abs(CAST(v.v AS DOUBLE))) AS max_abs
+       |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS v) v),
+       |i8e AS (
+       |  SELECT vec_id,
+       |         (CAST(v.v AS DOUBLE) -
+       |          LEAST(GREATEST(floor(CAST(v.v AS DOUBLE) * 127.0 / max_abs + 0.5), -127.0), 127.0)
+       |            * max_abs / 127.0) AS e
+       |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS v) v, mx),
+       |i8v AS (SELECT vec_id, ${sqlSum("e * e", 8)} AS sqerr FROM i8e GROUP BY 1)
+       |${roll("pqv", "pq8x16", 8)}
+       |UNION ALL
+       |${roll("i8v", "int8", 64)}
+       |ORDER BY quantizer""".stripMargin
   }
 }

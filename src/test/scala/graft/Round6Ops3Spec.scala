@@ -153,6 +153,42 @@ class Round6Ops3Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- events_markov_attribution
+
+  test("markov attribution: channels are the non-conversion types; removal can only hurt; shares sum to 1") {
+    val rows = operators.Round6Ops3.eventsMarkovAttribution(spark, sf)
+      .orderBy("channel").collect()
+    val types = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == types - operators.Round6Ops3.ConvType)
+    val pFull = rows.head.getDouble(1)
+    assert(pFull > 0.0 && pFull <= 1.0)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == pFull)            // one chain, one p_full
+      assert(r.getDouble(2) <= pFull + 1e-12)    // removal can't help
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5, s"shares sum to $shareSum")
+  }
+
+  // ------------------------------------------------------ emb_pq_distortion
+
+  test("pq distortion: 8x more bytes buys strictly lower error; max dominates the mean") {
+    val rows = operators.SimilarityPq.embPqDistortion(spark, sf)
+      .orderBy("quantizer").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("int8", "pq8x16"))
+    val byQ = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byQ("int8")._1 == 64L && byQ("pq8x16")._1 == 8L)
+    assert(byQ("int8")._2 < byQ("pq8x16")._2, "int8 should beat pq on fidelity")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)
+      // max per-vector sq error dominates the mean per-vector sq error
+      assert(r.getDouble(4) >= r.getDouble(3) * 64 - 1e-6)
+    }
+  }
+
   // ------------------------------------------------------------ mm_av_sync
 
   test("av sync: scenes reconcile with mm_keyframes; voiced totals reconcile with mm_audio_vad") {
