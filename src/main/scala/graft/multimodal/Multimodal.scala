@@ -424,4 +424,93 @@ object Multimodal {
        |  FROM coded a JOIN coded b ON a.code = b.code AND a.doc_id < b.doc_id)
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ------------------------------------------------- #165 mm_integrity
+
+  /** Declared container formats and their 4-byte magic sentinels (stub
+    * formats — a real deployment swaps the sentinel table for PNG/JPEG/
+    * RIFF signatures; the audit logic is format-agnostic). */
+  private[graft] val MediaFormats: Seq[(String, String)] = Seq(
+    "image/png" -> "PNG!", "image/jpeg" -> "JPG!", "audio/wav" -> "WAV!")
+
+  /** Every 17th payload is written with the NEXT format's magic — the
+    * deterministic corruption the audit must catch. */
+  private[graft] val CorruptEvery = 17L
+  private[graft] val TruncatedBelowBytes = 16L
+
+  /** #165 mm_integrity: binary-payload INTEGRITY audit — the quarantine
+    * gate a multimodal ingest runs before any decode is attempted: sniff
+    * the payload's leading magic bytes against the declared mime,
+    * flag truncated (< 16 B) and magic-mismatched payloads, and roll up
+    * a per-(source, mime) quarantine report. The ingest stage here
+    * builds the payloads itself (mime by doc_id mod 3; every 17th
+    * payload deliberately mis-labeled), so the audit has known ground
+    * truth end-to-end while the decode stays stubbed.
+    *
+    * Scale shape: construction and audit are ONE map-only pass over a
+    * genuine `binary` column (sniff = slice of the first 4 bytes — no
+    * decode, no shuffle), then a |sources|×|mimes|-key rollup. At
+    * 100 TB this is the cheap pass that keeps codec workers from
+    * choking on garbage. */
+  def mmIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val mimeIdx = (col("doc_id") % 3).cast("int")
+    val magicIdx = when(col("doc_id") % CorruptEvery === 0,
+      ((col("doc_id") + 1) % 3).cast("int")).otherwise(mimeIdx)
+    val mimes = array(MediaFormats.map(f => lit(f._1)): _*)
+    val magics = array(MediaFormats.map(f => lit(f._2)): _*)
+    val withPayload = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      element_at(mimes, mimeIdx + 1).as("mime"),
+      concat(element_at(magics, magicIdx + 1), col("text")).cast("binary")
+        .as("payload"))
+    val audited = withPayload.select(
+      col("source"), col("mime"),
+      octet_length(col("payload")).as("n_bytes"),
+      substring(col("payload"), 1, 4).cast("string").as("sniffed"),
+      element_at(magics,
+        array_position(mimes, col("mime")).cast("int")).as("expected"))
+      .withColumn("status",
+        when(col("n_bytes") < TruncatedBelowBytes, lit("truncated"))
+          .when(col("sniffed") =!= col("expected"), lit("magic_mismatch"))
+          .otherwise(lit("ok")))
+    audited.groupBy(col("source"), col("mime"))
+      .agg(count(lit(1)).as("n_payloads"),
+           sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+           sum(when(col("status") === "magic_mismatch", 1L).otherwise(0L))
+             .as("n_magic_mismatch"),
+           sum(when(col("status") === "truncated", 1L).otherwise(0L))
+             .as("n_truncated"))
+      .withColumn("quarantine_rate",
+        graft.Parity.r((col("n_payloads") - col("n_ok")) / col("n_payloads"), 6))
+      .orderBy(col("source"), col("mime"))
+  }
+
+  val mmIntegritySql: String = {
+    val mimeCase = MediaFormats.zipWithIndex
+      .map { case ((m, _), i) => s"WHEN $i THEN '$m'" }.mkString(" ")
+    val magicCase = MediaFormats.zipWithIndex
+      .map { case ((_, g), i) => s"WHEN $i THEN '$g'" }.mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id, source,
+       |         CASE doc_id % 3 $mimeCase END AS mime,
+       |         (CASE (CASE WHEN doc_id % $CorruptEvery = 0
+       |                     THEN (doc_id + 1) % 3 ELSE doc_id % 3 END)
+       |          $magicCase END) || text AS payload_str
+       |  FROM documents),
+       |a AS (
+       |  SELECT source, mime,
+       |         CASE WHEN octet_length(encode(payload_str)) < $TruncatedBelowBytes
+       |                THEN 'truncated'
+       |              WHEN substr(payload_str, 1, 4) <>
+       |                   (CASE mime ${MediaFormats.map { case (m, g) => s"WHEN '$m' THEN '$g'" }.mkString(" ")} END)
+       |                THEN 'magic_mismatch'
+       |              ELSE 'ok' END AS status
+       |  FROM p)
+       |SELECT source, mime, count(*) AS n_payloads,
+       |       CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       |       CAST(sum(CASE WHEN status = 'magic_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_magic_mismatch,
+       |       CAST(sum(CASE WHEN status = 'truncated' THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       |       ${graft.Parity.sqlR("(count(*) - sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)) / count(*)", 6)} AS quarantine_rate
+       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -355,4 +355,90 @@ object Similarity2 {
               |ORDER BY rank""".stripMargin
     sb.toString
   }
+
+  // ------------------------------------------------- #162 emb_anisotropy
+
+  /** #162 emb_anisotropy: embedding-space isotropy diagnostics
+    * (Ethayarajh 2019) — per label cluster and for the whole corpus:
+    * the EXACT mean pairwise cosine between distinct unit-normalized
+    * vectors and the centroid norm. High anisotropy (mean cosine ≫ 0)
+    * means the embedding model wastes its space in a narrow cone —
+    * cosine thresholds for dedup (#31f/#32) and retrieval (#30) stop
+    * discriminating; this is the health check run BEFORE tuning them.
+    *
+    * Scale shape: the naive statistic is an all-pairs O(n²) scan, but
+    * over unit vectors it collapses to the algebraic identity
+    * mean_{i≠j} cos(i,j) = (‖Σu‖² − Σ‖u‖²) / (n(n−1)) — ONE map-only
+    * pass: per-(label, dimension) decimal partial sums (Σu_c, Σu_c²),
+    * re-aggregated per label and (exactly, decimal partials summing
+    * losslessly) corpus-wide on a |labels|×dim model table. The
+    * quadratic object is never materialized at any scale. */
+  def embAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.embeddings(s, dir)
+      .select(col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")),
+              col("nrm"))
+      .select(col("label"), col("p"),
+              (col("x").cast("double") / col("nrm")).as("u"))
+    val part = u.groupBy(col("label"), col("p"))
+      .agg(sum(col("u").cast("decimal(18,10)")).as("s_dec"),
+           sum((col("u") * col("u")).cast("decimal(18,10)")).as("q_dec"),
+           count(lit(1)).as("n"))
+    val both = part
+      .select(col("label").cast("string").as("scope"),
+              col("p"), col("s_dec").cast("decimal(38,10)").as("s_dec"),
+              col("q_dec").cast("decimal(38,10)").as("q_dec"), col("n"))
+      .unionByName(part.groupBy(col("p"))
+        .agg(sum(col("s_dec")).as("s_dec"), sum(col("q_dec")).as("q_dec"),
+             sum(col("n")).as("n"))
+        .select(lit("ALL").as("scope"), col("p"),
+                col("s_dec").cast("decimal(38,10)").as("s_dec"),
+                col("q_dec").cast("decimal(38,10)").as("q_dec"), col("n")))
+    both.groupBy(col("scope"))
+      .agg(max(col("n")).cast("long").as("n_vectors"),
+           sum((col("s_dec").cast("double") * col("s_dec").cast("double"))
+             .cast("decimal(28,10)")).cast("double").as("s2"),
+           sum(col("q_dec")).cast("double").as("u2"))
+      .select(col("scope"), col("n_vectors"),
+              when(col("n_vectors") > 1,
+                r((col("s2") - col("u2")) /
+                  (col("n_vectors") * (col("n_vectors") - 1)), 6))
+                .as("mean_pairwise_cosine"),
+              r(sqrt(col("s2")) / col("n_vectors"), 6).as("centroid_norm"))
+      .orderBy(col("scope"))
+  }
+
+  val embAnisotropySql: String =
+    s"""WITH base AS (
+       |  SELECT label, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |u AS (
+       |  SELECT label, i.i AS p, CAST(embedding[i.i] AS DOUBLE) / nrm AS u
+       |  FROM base, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) i
+       |  WHERE nrm > 0),
+       |part AS (
+       |  SELECT label, p, sum(CAST(u AS DECIMAL(18,10))) AS s_dec,
+       |         sum(CAST(u * u AS DECIMAL(18,10))) AS q_dec, count(*) AS n
+       |  FROM u GROUP BY 1, 2),
+       |uni AS (
+       |  SELECT CAST(label AS VARCHAR) AS scope, p,
+       |         CAST(s_dec AS DECIMAL(38,10)) AS s_dec,
+       |         CAST(q_dec AS DECIMAL(38,10)) AS q_dec, n
+       |  FROM part
+       |  UNION ALL
+       |  SELECT 'ALL', p, CAST(sum(s_dec) AS DECIMAL(38,10)),
+       |         CAST(sum(q_dec) AS DECIMAL(38,10)), sum(n)
+       |  FROM part GROUP BY p),
+       |fin AS (
+       |  SELECT scope, CAST(max(n) AS BIGINT) AS n_vectors,
+       |         CAST(sum(CAST(CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE)
+       |           AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+       |         CAST(sum(q_dec) AS DOUBLE) AS u2
+       |  FROM uni GROUP BY 1)
+       |SELECT scope, n_vectors,
+       |       CASE WHEN n_vectors > 1
+       |            THEN ${sqlR("(s2 - u2) / (n_vectors * (n_vectors - 1))", 6)}
+       |       END AS mean_pairwise_cosine,
+       |       ${sqlR("sqrt(s2) / n_vectors", 6)} AS centroid_norm
+       |FROM fin ORDER BY scope""".stripMargin
 }

@@ -264,4 +264,53 @@ object TextOps2 {
     sb ++= "\nORDER BY step"
     sb.result()
   }
+
+  // ------------------------------------- #163 corpus_tokenizer_fertility
+
+  /** #163 corpus_tokenizer_fertility: per-language tokenizer-economics
+    * table — docs, chars, UTF-8 bytes, whitespace tokens, word-regex
+    * tokens (#21's two tokenizations, rolled up), and the ratios that
+    * drive tokenizer and mixture decisions: chars/token and bytes/token
+    * (FERTILITY — how many units one token buys per language; the
+    * metric that exposes a tokenizer starving non-Latin scripts) and
+    * tokens/doc. Read next to #77's token budget: budget says how much
+    * to take, fertility says what a "token" costs per language.
+    *
+    * Scale shape: one map-only scan computing per-doc counters (the
+    * codegen'd regexes), one |langs|-key rollup of integer-exact sums;
+    * ratios are computed on the model-sized rollup. */
+  def corpusTokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), length(col("text")).as("chars"),
+              octet_length(col("text")).as("bytes"),
+              size(graft.functions.TextFunctions.tokens(col("text"))).as("ws_toks"),
+              regexp_count(col("text"), lit("[a-z0-9]+")).as("word_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("chars")).as("n_chars"), sum(col("bytes")).as("n_bytes"),
+           sum(col("ws_toks")).as("n_ws_tokens"),
+           sum(col("word_toks")).as("n_word_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bytes"),
+              col("n_ws_tokens"), col("n_word_tokens"),
+              r(col("n_chars") / col("n_ws_tokens"), 6).as("chars_per_token"),
+              r(col("n_bytes") / col("n_ws_tokens"), 6).as("bytes_per_token"),
+              r(col("n_ws_tokens") / col("n_docs"), 6).as("tokens_per_doc"))
+      .orderBy(col("lang"))
+
+  val corpusTokenizerFertilitySql: String =
+    s"""WITH d AS (
+       |  SELECT lang, length(text) AS chars,
+       |         octet_length(encode(text)) AS bytes,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS ws_toks,
+       |         len(regexp_extract_all(text, '[a-z0-9]+')) AS word_toks
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(bytes) AS BIGINT) AS n_bytes,
+       |       CAST(sum(ws_toks) AS BIGINT) AS n_ws_tokens,
+       |       CAST(sum(word_toks) AS BIGINT) AS n_word_tokens,
+       |       ${sqlR("CAST(sum(chars) AS DOUBLE) / sum(ws_toks)", 6)} AS chars_per_token,
+       |       ${sqlR("CAST(sum(bytes) AS DOUBLE) / sum(ws_toks)", 6)} AS bytes_per_token,
+       |       ${sqlR("CAST(sum(ws_toks) AS DOUBLE) / count(*)", 6)} AS tokens_per_doc
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -306,6 +306,39 @@ object Streaming {
       graft.operators.Sketches.bloomProbeReport(s, dir, s.table(name)))
   }
 
+  /** #168 stream_benford: the #161 Benford first-digit audit as a
+    * CONTINUOUS data-quality monitor over the event stream — the shape
+    * a feed-health deployment actually runs (a corrupted upstream shows
+    * up as digit drift long before a downstream model does). The O(9)
+    * digit registers ARE the streaming state (count is the merge
+    * operator), so the incrementally-maintained registers are
+    * bit-identical to a batch build over the same events and the batch
+    * oracle checks the full report exactly; the spine join + shares +
+    * chi-square finalize runs batch-side over the 9-row sink. Same
+    * mergeable-register contract as [[streamHll]]/[[streamCms]]. */
+  def streamBenford(s: SparkSession, dir: String): DataFrame = {
+    val name = s"benford_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Round6Ops4.benfordDigitCounts(
+          eventsStream(s, dir)
+            .select(floor(col("value") * 100 + 0.5).cast("long").as("cents")))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Round6Ops4.benfordReport(s, s.table(name)))
+  }
+
+  val streamBenfordSql: String = graft.operators.Round6Ops4.benfordReportSql(
+    """
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |         count(*) AS n
+      |  FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |        FROM events)
+      |  WHERE cents >= 1 GROUP BY 1""".stripMargin)
+
   /** #83b stream_quantile: the histogram-quantile sketch maintained
     * incrementally — per-(type, bin) counts ARE the streaming state
     * (sum is the merge operator), so the drained registers are

@@ -163,6 +163,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream_benford: digit registers merge across micro-batches; report equals batch audit") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.Round6Ops4
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_benford").toString
+    val schema = stageSplit(dir, Seq(
+      "b=0" -> ev.filter(unix_micros(col("ts")) <= cut),
+      "b=1" -> ev.filter(unix_micros(col("ts")) > cut)))
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val cents = floor(col("value") * 100 + 0.5).cast("long").as("cents")
+    val q = Round6Ops4.benfordDigitCounts(events.select(cents))
+      .writeStream.format("memory").queryName("benford_batches")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2)
+    val streamed = Round6Ops4.benfordReport(spark, spark.table("benford_batches"))
+      .collect().map(_.toSeq).toSet
+    val batch = Round6Ops4.benfordReport(spark,
+      Round6Ops4.benfordDigitCounts(ev.select(cents)))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("stream_quantile: histogram registers merge across micro-batches; estimates equal batch sketch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.operators.Sketches
