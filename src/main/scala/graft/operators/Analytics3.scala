@@ -372,4 +372,66 @@ object Analytics3 {
        |            ELSE ${sqlR(s"($k * $sxy - $sx * $sy) * ($k * $sxy - $sx * $sy) / (($k * $sxx - $sx * $sx) * ($k * $syy - $sy * $sy))", 6)} END AS r2
        |FROM xy GROUP BY 1 HAVING count(*) >= 2 ORDER BY source""".stripMargin
   }
+
+  // ------------------------------------------ #172 supplier_herfindahl
+
+  /** #172 supplier_herfindahl: supply-chain CONCENTRATION per region —
+    * the Herfindahl–Hirschman index (Σ share², ×10000) of supplier
+    * revenue within each region, plus the top supplier's share. The
+    * procurement-risk readout next to #105's customer Pareto: HHI
+    * < 1500 is competitive, > 2500 says one supplier failure takes the
+    * region down. Revenue = Σ extendedprice·(1−discount), the #12
+    * pricing convention.
+    *
+    * Scale shape: per-supplier revenue is ONE lineitem groupBy (the
+    * supplier key-equi join shuffles; nation/region are fixed 25/5-row
+    * broadcast dims); region totals are a 5-row broadcast joined back —
+    * never a window over supplier-cardinality rows; shares and the HHI
+    * rollup are decimal-exact with 6dp stage rounding. */
+  def supplierHerfindahl(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+      .groupBy(col("l_suppkey")).agg(dsum(col("v")).as("rev"))
+    val suppRegion = rev
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("l_suppkey"), col("rev"))
+    val totals = suppRegion.groupBy(col("region"))
+      .agg(dsum(col("rev")).as("tot"))
+    suppRegion.join(broadcast(totals), Seq("region"))
+      .withColumn("share", r(col("rev") / col("tot"), 6))
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           r(first(col("tot")), 2).as("total_revenue"),
+           r(dsum(col("share") * col("share")) * 10000, 6).as("hhi"),
+           max(col("share")).as("top_share"))
+      .orderBy(col("region"))
+  }
+
+  val supplierHerfindahlSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, ${sqlSum("l_extendedprice * (1 - l_discount)")} AS rev
+       |  FROM lineitem GROUP BY 1),
+       |sr AS (
+       |  SELECT r.r_name AS region, v.l_suppkey, v.rev
+       |  FROM rev v
+       |  JOIN supplier s ON v.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+       |tot AS (SELECT region, ${sqlSum("rev")} AS tot FROM sr GROUP BY 1),
+       |sh AS (
+       |  SELECT sr.region, ${sqlR("sr.rev / t.tot", 6)} AS share, t.tot
+       |  FROM sr JOIN tot t ON sr.region = t.region)
+       |SELECT region, count(*) AS n_suppliers,
+       |       ${sqlR("any_value(tot)", 2)} AS total_revenue,
+       |       ${sqlR(s"${sqlSum("share * share")} * 10000", 6)} AS hhi,
+       |       max(share) AS top_share
+       |FROM sh GROUP BY region ORDER BY region""".stripMargin
 }

@@ -278,6 +278,66 @@ object Graph {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** #171 graph_cluster_coeff: per-node LOCAL clustering coefficient
+    * over the #95 kNN graph (Watts–Strogatz 1998): for each node, the
+    * fraction of its neighbor pairs that are themselves connected —
+    * 2T(v)/(deg(v)(deg(v)−1)). The node-level tightness readout the
+    * dedup-cluster repair loop (#158 predicts missing edges, #42
+    * propagates labels) uses to tell dense near-dup cliques (coeff→1)
+    * from hub-and-spoke false neighborhoods (coeff→0); #80b counts
+    * triangles globally, this attributes them per node.
+    *
+    * Scale shape: the same degree-bounded wedge self-join as #158
+    * (≤ deg² per node, linear in nodes for the fixed-k graph); closure
+    * testing is a semi-join of wedges against the edge set — no pair
+    * set beyond the wedges ever materializes; the coefficient divides
+    * two integers per node, map-only after the rollup. */
+  def graphClusterCoeff(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = Similarity.knnGraph(s, dir, k)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+    val und = e.union(e.select(col("dst"), col("src"))).distinct()
+      .transform(graft.Lineage.cut)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("dst").as("n"), col("src").as("a"))
+      .join(und.select(col("src").as("n"), col("dst").as("b")), Seq("n"))
+      .filter(col("a") < col("b"))
+    val closed = wedges.join(und,
+        wedges("a") === und("src") && wedges("b") === und("dst"), "left_semi")
+      .groupBy(col("n").as("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(closed, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+              coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when(col("deg") > 1,
+          r(lit(2) * col("n_triangles") / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("node"))
+  }
+
+  def graphClusterCoeffSql(k: Int = 3): String =
+    s"""WITH g AS (SELECT q_id, vec_id FROM (${Similarity.knnGraphSql(k)})),
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT q_id AS src, vec_id AS dst FROM g
+       |    UNION ALL
+       |    SELECT vec_id AS src, q_id AS dst FROM g)),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+       |wedges AS (
+       |  SELECT x.dst AS n, x.src AS a, y.dst AS b
+       |  FROM und x JOIN und y ON x.dst = y.src AND x.src < y.dst),
+       |closed AS (
+       |  SELECT w.n AS node, count(*) AS n_triangles
+       |  FROM wedges w
+       |  WHERE EXISTS (SELECT 1 FROM und u WHERE u.src = w.a AND u.dst = w.b)
+       |  GROUP BY 1)
+       |SELECT d.node, d.deg,
+       |       CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |       CASE WHEN d.deg > 1
+       |            THEN ${sqlR("2 * COALESCE(c.n_triangles, 0) / (d.deg * (d.deg - 1))", 6)}
+       |            ELSE 0.0 END AS clustering_coeff
+       |FROM deg d LEFT JOIN closed c ON c.node = d.node
+       |ORDER BY d.node""".stripMargin
+
   def graphLinkPredictSql(k: Int = 3): String =
     s"""WITH g AS (SELECT q_id, vec_id FROM (${Similarity.knnGraphSql(k)})),
        |und AS (

@@ -369,6 +369,184 @@ object LshDedup {
        |            THEN ${sqlR("CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE)", 6)} END AS recall
        |FROM cls ORDER BY tau""".stripMargin
 
+  /** (bands, rowsPerBand) configurations for the #169 curve. All three
+    * nest inside the default 32×2 banding (a full match on a 4- or
+    * 8-row band implies full matches on its aligned 2-row sub-bands),
+    * so the 32×2 candidate set CONTAINS every pair the coarser configs
+    * would catch — empirical catch rates computed on it are exact, not
+    * banding-biased. */
+  private[graft] val BandConfigs = Seq((32, 2), (16, 4), (8, 8))
+
+  /** Analytic LSH S-curve P(caught | J) = 1 − (1 − J^r)^b at the bin
+    * midpoint, 6dp driver-side literals (no pow() in either engine's
+    * compared path). */
+  private[graft] def bandAnalytic(bin: Int, b: Int, r0: Int): Double =
+    graft.Parity.r6d(1.0 - math.pow(1.0 - math.pow(bin / 10.0 + 0.05, r0), b))
+
+  /** #169 dedup_minhash_band_curve: the LSH BANDING tuning table — for
+    * each (bands × rows) split of the k=64 signature, the empirical
+    * catch rate per exact-Jaccard decile bin against the analytic
+    * S-curve 1−(1−J^r)^b (Leskovec/Rajaraman/Ullman ch.3). #144 tunes
+    * the verify threshold τ AFTER candidates exist; this tunes the
+    * banding that decides WHO becomes a candidate — the knob that
+    * trades recall at low J against bucket-join fan-out at 100 TB.
+    *
+    * Scale shape: one signature build (shared CTE/frames with #27/
+    * #123/#144), candidate pairs bounded by the capped bucket join;
+    * per-pair band-collision flags for ALL configs come from one
+    * map-only pass over the joined signatures (the nesting argument
+    * above makes them exact); the readout is a ≤ configs×10-row model
+    * table with driver-side analytic literals. */
+  def dedupMinhashBandCurve(s: SparkSession, dir: String, k: Int = 64,
+                            maxBucket: Int = 256): DataFrame = {
+    val (docs, sigs, candidates) = minhashParts(Tables.documents(s, dir), k, 32, maxBucket)
+    val ex = candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("exact",
+        r(col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .select(col("id_a"), col("id_b"), col("exact"))
+    val caughtCols = BandConfigs.map { case (b, r0) =>
+      (0 until b).map(j =>
+        (0 until r0).map(i => col(s"a.m${j * r0 + i}") === col(s"b.m${j * r0 + i}"))
+          .reduce(_ && _)).reduce(_ || _)
+        .cast("int").as(s"caught_$b")
+    }
+    val flags = candidates
+      .join(sigs.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
+      .select(Seq(col("id_a"), col("id_b")) ++ caughtCols: _*)
+      .join(ex, Seq("id_a", "id_b"))
+      .withColumn("bin", least(floor(col("exact") * 10).cast("int"), lit(9)))
+    val melted = flags.select(col("bin"),
+      explode(array(BandConfigs.map { case (b, r0) =>
+        struct(lit(b).as("bands"), lit(r0).as("rows_per_band"),
+               col(s"caught_$b").as("caught"))
+      }: _*)).as("c"))
+      .select(col("c.bands"), col("c.rows_per_band"), col("bin"), col("c.caught"))
+    val analytic = BandConfigs.foldLeft(lit(null).cast("double")) {
+      case (acc, (b, r0)) =>
+        when(col("bands") === b,
+          element_at(array((0 to 9).map(m => lit(bandAnalytic(m, b, r0))): _*),
+                     col("bin") + 1)).otherwise(acc)
+    }
+    melted.groupBy(col("bands"), col("rows_per_band"), col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"))
+      .withColumn("catch_rate", r(col("n_caught") / col("n_pairs"), 6))
+      .withColumn("analytic_p", analytic)
+      .withColumn("deviation", r(col("catch_rate") - col("analytic_p"), 6))
+      .select(col("bands"), col("rows_per_band"), col("bin"), col("n_pairs"),
+              col("n_caught"), col("catch_rate"), col("analytic_p"),
+              col("deviation"))
+      .orderBy(col("rows_per_band"), col("bin"))
+  }
+
+  /** #173 dedup_band_cost: the COST side of the #169 banding tradeoff —
+    * per (bands × rows) config, the bucket-population profile of the
+    * band-key space: buckets, collision buckets (size ≥ 2), the largest
+    * bucket, and the candidate-pair volume Σ C(size, 2) the bucket join
+    * would generate, both raw and under the [[minhashParts]] hot-bucket
+    * cap (capped buckets contribute their size−1 successor-chain pairs).
+    * #169 says what recall a banding buys; this says what the bucket
+    * join PAYS for it — the two tables together are the (b, r)
+    * decision.
+    *
+    * Scale shape: one shared signature build, then per config one
+    * map-side band-key fan-out + a groupBy(bucket) count and an
+    * integer-exact rollup over bucket SIZES (never pairs — the
+    * quadratic volume is computed arithmetically from counts, not
+    * materialized). */
+  def dedupBandCost(s: SparkSession, dir: String, k: Int = 64,
+                    maxBucket: Int = 256): DataFrame = {
+    val (_, sigs, _) = minhashParts(Tables.documents(s, dir), k, 32, maxBucket)
+    val keyed = BandConfigs.map { case (b, r0) =>
+      sigs.select(lit(b).as("bands"), lit(r0).as("rows_per_band"),
+        explode(array((0 until b).map { j =>
+          concat_ws(":", (lit(j) +: (0 until r0).map(i =>
+            col(s"m${j * r0 + i}"))).map(_.cast("string")): _*)
+        }: _*)).as("band_key"))
+    }.reduce(_ unionByName _)
+    keyed.groupBy(col("bands"), col("rows_per_band"), col("band_key"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_collision_buckets"),
+           max(col("sz")).as("max_bucket"),
+           sum(expr("sz * (sz - 1) div 2")).as("n_raw_pairs"),
+           sum(when(col("sz") <= maxBucket, expr("sz * (sz - 1) div 2"))
+             .otherwise(col("sz") - 1)).as("n_capped_pairs"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  def dedupBandCostSql(k: Int = 64, maxBucket: Int = 256): String = {
+    val perConfig = BandConfigs.map { case (b, r0) =>
+      val bandExprs = (0 until b).map { j =>
+        val ms = (0 until r0).map(i => s"m${j * r0 + i}").mkString(", ")
+        s"concat_ws(':', $j, $ms)"
+      }.mkString(", ")
+      s"""SELECT $b AS bands, $r0 AS rows_per_band,
+         |       unnest([$bandExprs]) AS band_key
+         |FROM sig""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    minhashSqlPrefix(k, 32, maxBucket) +
+    s""", keyed AS (
+       |$perConfig
+       |),
+       |buckets AS (
+       |  SELECT bands, rows_per_band, band_key, count(*) AS sz
+       |  FROM keyed GROUP BY 1, 2, 3)
+       |SELECT bands, rows_per_band, count(*) AS n_buckets,
+       |       CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_collision_buckets,
+       |       CAST(max(sz) AS BIGINT) AS max_bucket,
+       |       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_raw_pairs,
+       |       CAST(sum(CASE WHEN sz <= $maxBucket THEN sz * (sz - 1) // 2
+       |                     ELSE sz - 1 END) AS BIGINT) AS n_capped_pairs
+       |FROM buckets GROUP BY 1, 2 ORDER BY rows_per_band""".stripMargin
+  }
+
+  def dedupMinhashBandCurveSql(k: Int = 64, maxBucket: Int = 256): String = {
+    val flagExprs = BandConfigs.map { case (b, r0) =>
+      val bandsOr = (0 until b).map(j =>
+        "(" + (0 until r0).map(i => s"a.m${j * r0 + i} = b.m${j * r0 + i}")
+          .mkString(" AND ") + ")").mkString(" OR ")
+      s"CASE WHEN $bandsOr THEN 1 ELSE 0 END AS caught_$b"
+    }.mkString(",\n         ")
+    val perConfig = BandConfigs.map { case (b, r0) =>
+      val litCase = (0 to 9).map(m =>
+        s"WHEN $m THEN CAST(${bandAnalytic(m, b, r0)} AS DOUBLE)").mkString(" ")
+      val rate = sqlR(s"CAST(sum(caught_$b) AS DOUBLE) / count(*)", 6)
+      s"""SELECT $b AS bands, $r0 AS rows_per_band, bin,
+         |       count(*) AS n_pairs,
+         |       CAST(sum(caught_$b) AS BIGINT) AS n_caught,
+         |       $rate AS catch_rate,
+         |       (CASE bin $litCase END) AS analytic_p,
+         |       ${sqlR(s"($rate) - (CASE bin $litCase END)", 6)} AS deviation
+         |FROM binned GROUP BY bin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    minhashSqlPrefix(k, 32, maxBucket) +
+    s""", fl AS (
+       |  SELECT c.id_a, c.id_b,
+       |         $flagExprs
+       |  FROM cand c JOIN sig a ON c.id_a = a.doc_id
+       |              JOIN sig b ON c.id_b = b.doc_id
+       |),
+       |ex AS (
+       |  SELECT s.id_a, s.id_b,
+       |         floor((s.shared / (c1.n + c2.n - s.shared)) * 1e6 + 0.5) / 1e6 AS exact
+       |  FROM shared s JOIN cnt c1 ON s.id_a = c1.doc_id
+       |                JOIN cnt c2 ON s.id_b = c2.doc_id
+       |),
+       |binned AS (
+       |  SELECT LEAST(CAST(floor(COALESCE(x.exact, 0.0) * 10) AS INT), 9) AS bin,
+       |         f.caught_32, f.caught_16, f.caught_8
+       |  FROM fl f LEFT JOIN ex x ON f.id_a = x.id_a AND f.id_b = x.id_b
+       |)
+       |$perConfig
+       |ORDER BY rows_per_band, bin""".stripMargin
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64 signed bit-sums over the token stream: each token's md5 yields a

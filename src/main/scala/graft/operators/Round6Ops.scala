@@ -102,6 +102,101 @@ object Round6Ops {
        |FROM folded""".stripMargin
   }
 
+  // ------------------------------------------------ #174 ts_holt_winters
+
+  private[graft] val HwAlpha = 0.5
+  private[graft] val HwBeta = 0.3
+  private[graft] val HwGamma = 0.2
+  private[graft] val HwSeason = 7
+
+  /** #174 ts_holt_winters: additive Holt–Winters triple-exponential
+    * smoothing per series (season m = 7, the weekly cycle #166 shows
+    * the event stream has) — #115's level/trend recursion plus a
+    * rotating seasonal register:
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+    * classic init (l₀ = first-week mean, b₀ = 0, s_i = x_i − l₀),
+    * output = the state plus the next full week of seasonal forecasts
+    * l + h·b + s_{t+h−m}. The short-horizon forecaster to use once
+    * #134/#135 has shown a real weekly line in the spectrum — #139
+    * backtests Holt WITHOUT seasonality; this is the model that
+    * removes the weekly residual it leaves.
+    *
+    * Scale shape: identical to #115 — one bounded sorted-array fold
+    * per series (state = 9 doubles), every step 6dp-rounded so the
+    * oracle's list_reduce replay (9-element LIST state — the DuckDB
+    * struct-accumulator bug workaround) is bit-identical; series are
+    * independent, one shuffle, nothing key-proportional. */
+  def tsHoltWinters(s: SparkSession, dir: String): DataFrame =
+    tsHoltWintersDf(Mhw.daily(s, dir))
+
+  def tsHoltWintersDf(dl: DataFrame): DataFrame = {
+    val r6 = (x: String) => sqlR(x, 6)
+    val m = HwSeason
+    val l0 = r6(s"aggregate(slice(xs, 1, $m), CAST(0.0 AS DOUBLE), (a, x) -> a + x) / $m")
+    val sInit = (1 to m).map(i => r6(s"element_at(xs, $i) - l0")).mkString(", ")
+    val newL = r6(s"$HwAlpha * (x - element_at(acc, 3)) + ${1 - HwAlpha} * (element_at(acc, 1) + element_at(acc, 2))")
+    val newB = r6(s"$HwBeta * (($newL) - element_at(acc, 1)) + ${1 - HwBeta} * element_at(acc, 2)")
+    val newS = r6(s"$HwGamma * (x - ($newL)) + ${1 - HwGamma} * element_at(acc, 3)")
+    val fold =
+      s"""aggregate(
+         |  slice(xs, ${m + 1}, size(xs) - $m),
+         |  concat(array(l0, CAST(0.0 AS DOUBLE)), array($sInit)),
+         |  (acc, x) -> concat(
+         |    array($newL, $newB), slice(acc, 4, ${m - 1}), array($newS)))"""
+        .stripMargin.replace('\n', ' ')
+    val fc = (1 to m).map(h =>
+      r6(s"element_at(st, 1) + $h * element_at(st, 2) + element_at(st, ${2 + h})"))
+      .mkString(", ")
+    dl.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"),
+           transform(sort_array(collect_list(struct(col("d"), col("sst")))),
+                     p => p("sst")).as("xs"))
+      .filter(col("n_obs") >= m + 1)
+      .withColumn("l0", expr(l0))
+      .withColumn("st", expr(fold))
+      .select(col("user_id"), col("n_obs"),
+              col("st")(0).as("level"), col("st")(1).as("trend"),
+              posexplode(expr(s"array($fc)")))
+      .select(col("user_id"), col("n_obs"), col("level"), col("trend"),
+              (col("pos") + 1).cast("int").as("h"), col("col").as("forecast"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  val tsHoltWintersSql: String = {
+    val r6 = (x: String) => sqlR(x, 6)
+    val m = HwSeason
+    val l0 = r6(s"list_reduce(xs[1:$m], (a, x) -> a + x) / $m")
+    val sInit = (1 to m).map(i => r6(s"xs[$i] - l0")).mkString(", ")
+    val pad = (1 to m + 1).map(_ => "CAST(0.0 AS DOUBLE)").mkString(", ")
+    val newL = r6(s"$HwAlpha * (e[1] - acc[3]) + ${1 - HwAlpha} * (acc[1] + acc[2])")
+    val newB = r6(s"$HwBeta * (($newL) - acc[1]) + ${1 - HwBeta} * acc[2]")
+    val newS = r6(s"$HwGamma * (e[1] - ($newL)) + ${1 - HwGamma} * acc[3]")
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, ${sqlAvg("value", 6)} AS sst
+       |  FROM events GROUP BY 1, 2),
+       |series AS (
+       |  SELECT user_id, count(*) AS n_obs, list(sst ORDER BY d) AS xs
+       |  FROM daily GROUP BY 1 HAVING count(*) >= ${m + 1}),
+       |init AS (
+       |  SELECT user_id, n_obs, xs, $l0 AS l0 FROM series),
+       |folded AS (
+       |  SELECT user_id, n_obs,
+       |    list_reduce(
+       |      list_prepend(list_append([l0, CAST(0.0 AS DOUBLE), $sInit], CAST(0.0 AS DOUBLE)),
+       |        list_transform(xs[${m + 1}:], x -> [x, $pad])),
+       |      (acc, e) -> [
+       |        $newL, $newB, acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+       |        $newS, CAST(0.0 AS DOUBLE)]) AS st
+       |  FROM init)
+       |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+       |       st[1] AS level, st[2] AS trend, CAST(h.h AS INT) AS h,
+       |       ${r6("st[1] + h.h * st[2] + st[2 + h.h]")} AS forecast
+       |FROM folded CROSS JOIN (SELECT unnest(range(1, ${m + 1})) AS h) h
+       |ORDER BY user_id, h""".stripMargin
+  }
+
   // ------------------------------------------------- #116 events_ks_2samp
 
   private[graft] val KsBins = 64

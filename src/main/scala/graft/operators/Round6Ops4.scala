@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.Parity._
 import graft.sources.Tables
 
-/** Round-6 batch-13 pipeline-audit analytics (SURVEY §2 #161, #164):
-  * a Benford first-digit conformance check over order totals (the
-  * data-quality screen a warehouse runs before trusting a new feed)
-  * and a reliability/Brier calibration table for the behavioral
-  * propensity score (the eval every score-producing pipeline owes its
-  * consumers).
+/** Round-6 batch-13/14 pipeline-audit analytics (SURVEY §2 #161,
+  * #164, #166, #167): a Benford first-digit conformance check over
+  * order totals (the data-quality screen a warehouse runs before
+  * trusting a new feed), a reliability/Brier calibration table for the
+  * behavioral propensity score (the eval every score-producing
+  * pipeline owes its consumers), an hour×weekday independence test,
+  * and a duplicate-payment screen.
   */
 object Round6Ops4 {
 

@@ -554,4 +554,211 @@ object Similarity3 {
        |       ${sqlR("CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
        |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ------------------------------- #170 emb_centroid_classifier_eval
+
+  /** #170 emb_centroid_classifier_eval: nearest-CENTROID classifier
+    * confusion matrix (Rocchio) — train per-label centroids on the
+    * even-id cohort (#113's split rule), classify the held-out odd-id
+    * cohort by nearest centroid (decimal-exact squared distance, 6dp
+    * before the argmin, label-asc tiebreak), and report the full
+    * true×predicted matrix with per-true-label shares and overall
+    * accuracy. The cheapest label-quality probe there is: where #119's
+    * kNN vote needs a neighbor search, this needs |labels| distance
+    * evaluations per vector — the first screen run on a freshly
+    * labeled corpus, and the confusion matrix that says WHICH label
+    * pairs the embedding space confounds.
+    *
+    * Scale shape: centroids are label-count × dim aggregates (map-side
+    * combinable); the classify pass is one map-only scan against the
+    * broadcast |labels|×dim centroid table; the readout (≤|labels|²
+    * rows) carries the window sums. Nothing is ever collected. */
+  def embCentroidClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cent = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy(col("label"), col("p"))
+      .agg(davg(col("x").cast("double"), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("p"), col("c")))),
+                     t => t("c")).as("carr"))
+      .select(col("label").as("cand_label"), col("carr"))
+    val scored = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("label").as("true_label"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", r(distSqDec(col("embedding"), col("carr")), 6))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(min(struct(col("dist"), col("cand_label"))).as("m"))
+      .select(col("true_label"), col("m.cand_label").as("pred_label"))
+    val wTrue = org.apache.spark.sql.expressions.Window.partitionBy(col("true_label"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    scored.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_of_true", r(col("n") / sum(col("n")).over(wTrue), 6))
+      .withColumn("accuracy",
+        r(sum(when(col("true_label") === col("pred_label"), col("n"))
+            .otherwise(0L)).over(wAll) / sum(col("n")).over(wAll), 6))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  val embCentroidClassifierEvalSql: String = {
+    val davg6 =
+      "floor((CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(x)) * 1e6 + 0.5) / 1e6"
+    val d = "(CAST(t.embedding[i] AS DOUBLE) - c.carr[i])"
+    s"""WITH tr AS (
+       |  SELECT label, u.i AS p, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN LATERAL
+       |    (SELECT unnest(range(0, len(embedding))) AS i) u
+       |  WHERE vec_id % 2 = 0),
+       |cp AS (SELECT label, p, $davg6 AS c FROM tr GROUP BY 1, 2),
+       |cent AS (SELECT label AS cand_label, list(c ORDER BY p) AS carr
+       |         FROM cp GROUP BY 1),
+       |sc AS (
+       |  SELECT t.vec_id, t.label AS true_label, c.cand_label,
+       |         ${sqlR(s"CAST(list_sum(list_transform(range(1, len(t.embedding) + 1), i -> CAST($d * $d AS DECIMAL(18,10)))) AS DOUBLE)", 6)} AS dist
+       |  FROM embeddings t CROSS JOIN cent c
+       |  WHERE t.vec_id % 2 = 1),
+       |pick AS (
+       |  SELECT true_label, cand_label AS pred_label,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY dist, cand_label) AS rk
+       |  FROM sc),
+       |cm AS (SELECT true_label, pred_label, count(*) AS n
+       |       FROM pick WHERE rk = 1 GROUP BY 1, 2)
+       |SELECT true_label, pred_label, n,
+       |       ${sqlR("n / (sum(n) OVER (PARTITION BY true_label))", 6)} AS share_of_true,
+       |       ${sqlR("(sum(CASE WHEN true_label = pred_label THEN n ELSE 0 END) OVER ()) / (sum(n) OVER ())", 6)} AS accuracy
+       |FROM cm ORDER BY true_label, pred_label""".stripMargin
+  }
+
+  // ----------------------------------------- #176 knn_exposure_bias
+
+  /** #176 knn_exposure_bias: retrieval EXPOSURE audit — for the #30
+    * brute-force top-k results, each label's share of retrieved slots
+    * vs its corpus base rate, with the exposure lift. The fairness
+    * readout every retrieval stack owes its consumers: lift ≫ 1 labels
+    * dominate result pages beyond their prevalence (a skewed-centroid
+    * or hubness symptom — #162's anisotropy check is the usual
+    * culprit), lift ≪ 1 labels are starved. Evaluated per label over
+    * ALL labels (zero-retrieval labels included via the label spine).
+    *
+    * Scale shape: rides #30's scoring scan (broadcast queries, bounded
+    * top-k heaps — the retrieved set is queries×k rows); base rates
+    * are one |labels|-key count; the audit itself is a model-sized
+    * join. */
+  def knnExposureBias(s: SparkSession, dir: String, k: Int = 5,
+                      nQueries: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val retrieved = Similarity.knnBrute(s, dir, k, nQueries)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_retrieved"))
+    val base = emb.groupBy(col("label")).agg(count(lit(1)).as("n_corpus"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    base.join(retrieved, Seq("label"), "left")
+      .select(col("label"), col("n_corpus"),
+              coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"))
+      .withColumn("base_rate", r(col("n_corpus") / sum(col("n_corpus")).over(wAll), 6))
+      .withColumn("exposure", r(col("n_retrieved") / sum(col("n_retrieved")).over(wAll), 6))
+      .withColumn("lift",
+        when(col("base_rate") > 0, r(col("exposure") / col("base_rate"), 6)))
+      .orderBy(col("label"))
+  }
+
+  def knnExposureBiasSql(k: Int = 5, nQueries: Int = 5): String =
+    s"""WITH res AS (SELECT vec_id FROM (${Similarity.knnBruteSql(k, nQueries)})),
+       |ret AS (
+       |  SELECT e.label, count(*) AS n_retrieved
+       |  FROM res r JOIN embeddings e ON r.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |base AS (SELECT label, count(*) AS n_corpus FROM embeddings GROUP BY 1),
+       |j AS (
+       |  SELECT b.label, b.n_corpus,
+       |         CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved
+       |  FROM base b LEFT JOIN ret r ON b.label = r.label)
+       |SELECT label, n_corpus, n_retrieved,
+       |       ${sqlR("n_corpus / (sum(n_corpus) OVER ())", 6)} AS base_rate,
+       |       ${sqlR("n_retrieved / (sum(n_retrieved) OVER ())", 6)} AS exposure,
+       |       CASE WHEN ${sqlR("n_corpus / (sum(n_corpus) OVER ())", 6)} > 0
+       |            THEN ${sqlR(s"(${sqlR("n_retrieved / (sum(n_retrieved) OVER ())", 6)}) / (${sqlR("n_corpus / (sum(n_corpus) OVER ())", 6)})", 6)}
+       |       END AS lift
+       |FROM j ORDER BY label""".stripMargin
+
+  // ------------------------------------------------- #181 emb_hubness
+
+  /** #181 emb_hubness: the k-OCCURRENCE distribution over the #31d kNN
+    * graph (Radovanović 2010) — for each vector, how many OTHER
+    * vectors' k-nearest lists it appears in (its in-degree N_k), rolled
+    * up into the N_k histogram plus the distribution's skewness. THE
+    * high-dimensional retrieval pathology check: positive skew means a
+    * few hub vectors dominate everyone's neighbor lists (the root cause
+    * behind #176's exposure lift and SemDeDup over-pruning around
+    * hubs); N_k = 0 rows are the anti-hubs retrieval can never reach.
+    *
+    * Scale shape: in-degrees are one groupBy over the kNN edge list
+    * (k·n rows), the spine join keeps zero-degree vectors, the
+    * histogram is a ≤max(N_k)-row rollup and the skewness moments are
+    * integer-exact sums over vector-cardinality rows — no new pair
+    * space anywhere. */
+  def embHubness(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val indeg = Similarity.knnGraph(s, dir, k)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("nk"))
+    val perVec = Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("nk"), lit(0L)).as("nk"))
+    val mom = perVec.agg(
+      count(lit(1)).as("n"), sum(col("nk")).as("s1"),
+      sum(col("nk") * col("nk")).as("s2"),
+      sum(col("nk") * col("nk") * col("nk")).as("s3"))
+      .select(col("n"),
+              r(col("s1") / col("n"), 6).as("mu"),
+              r(col("s2") / col("n"), 6).as("ex2"),
+              r(col("s3") / col("n"), 6).as("ex3"))
+      .select(col("n"), col("mu"), col("ex2"), col("ex3"),
+              (col("ex2") - col("mu") * col("mu")).as("vr"))
+      .select(col("n"),
+              when(col("vr") > 0,
+                r((col("ex3") - lit(3) * col("mu") * col("ex2")
+                   + lit(2) * col("mu") * col("mu") * col("mu")) /
+                  (sqrt(col("vr")) * sqrt(col("vr")) * sqrt(col("vr"))), 6))
+                .as("skewness"))
+    perVec.groupBy(col("nk").as("k_occurrence"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(mom))
+      .select(col("k_occurrence"), col("n_vectors"),
+              r(col("n_vectors") / col("n"), 6).as("share"),
+              col("skewness"))
+      .orderBy(col("k_occurrence"))
+  }
+
+  def embHubnessSql(k: Int = 3): String = {
+    val mu = sqlR("s1 / n", 6)
+    val ex2 = sqlR("s2 / n", 6)
+    val ex3 = sqlR("s3 / n", 6)
+    s"""WITH g AS (SELECT vec_id FROM (${Similarity.knnGraphSql(k)})),
+       |indeg AS (SELECT vec_id, count(*) AS nk FROM g GROUP BY 1),
+       |pv AS (
+       |  SELECT CAST(COALESCE(i.nk, 0) AS BIGINT) AS nk
+       |  FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.vec_id),
+       |rawm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(nk) AS BIGINT) AS s1,
+       |         CAST(sum(nk * nk) AS BIGINT) AS s2,
+       |         CAST(sum(nk * nk * nk) AS BIGINT) AS s3
+       |  FROM pv),
+       |mom AS (
+       |  SELECT n, $mu AS mu, $ex2 AS ex2, $ex3 AS ex3,
+       |         ($ex2) - ($mu) * ($mu) AS vr
+       |  FROM rawm),
+       |sk AS (
+       |  SELECT n,
+       |         CASE WHEN vr > 0
+       |              THEN ${sqlR("(ex3 - 3 * mu * ex2 + 2 * mu * mu * mu) / (sqrt(vr) * sqrt(vr) * sqrt(vr))", 6)}
+       |         END AS skewness
+       |  FROM mom)
+       |SELECT h.nk AS k_occurrence, h.n_vectors,
+       |       ${sqlR("h.n_vectors / s.n", 6)} AS share, s.skewness
+       |FROM (SELECT nk, count(*) AS n_vectors FROM pv GROUP BY 1) h
+       |CROSS JOIN sk s
+       |ORDER BY k_occurrence""".stripMargin
+  }
 }

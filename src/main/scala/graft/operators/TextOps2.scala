@@ -313,4 +313,97 @@ object TextOps2 {
        |       ${sqlR("CAST(sum(bytes) AS DOUBLE) / sum(ws_toks)", 6)} AS bytes_per_token,
        |       ${sqlR("CAST(sum(ws_toks) AS DOUBLE) / count(*)", 6)} AS tokens_per_doc
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------- #175 text_readability
+
+  /** #175 text_readability: Flesch reading ease + Flesch–Kincaid grade
+    * per document, with the standard proxy counters (words =
+    * whitespace tokens, sentences = terminal-punctuation runs floored
+    * at 1, syllables = vowel-group runs — the classic implementable
+    * stand-in for dictionary syllabification). The readability axis of
+    * the quality battery: #22/#24j gate on surface ratios, #24g on LM
+    * fit; curation mixes (textbook-style vs web-style corpora) select
+    * on THIS. Constants (206.835, 1.015, 84.6 / 0.39, 11.8, 15.59) are
+    * the published Flesch/Kincaid coefficients, inlined as literals in
+    * both engines.
+    *
+    * Scale shape: one map-only scan of codegen'd regex counters; no
+    * joins, no shuffle. */
+  def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(graft.functions.TextFunctions.tokens(col("text")))
+    val sentences = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
+              syllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+              r(lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences"))
+                - lit(84.6) * (col("n_syllables") / col("n_words")), 6)
+                .as("flesch_ease"),
+              r(lit(0.39) * (col("n_words") / col("n_sentences"))
+                + lit(11.8) * (col("n_syllables") / col("n_words")) - lit(15.59), 6)
+                .as("fk_grade"))
+  }
+
+  val textReadabilitySql: String = {
+    val w = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val se = "GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))"
+    val sy = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+    s"""WITH c AS (
+       |  SELECT doc_id, $w AS n_words, $se AS n_sentences, $sy AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |       ${sqlR("206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words)", 6)} AS flesch_ease,
+       |       ${sqlR("0.39 * (n_words / n_sentences) + 11.8 * (n_syllables / n_words) - 15.59", 6)} AS fk_grade
+       |FROM c WHERE n_words > 0""".stripMargin
+  }
+
+  // ------------------------------------- #184 text_boilerplate_share
+
+  private[graft] val BoilerplateMinDf = 4
+
+  /** #184 text_boilerplate_share: per-document COMMONNESS attribution —
+    * the fraction of a doc's distinct 3-gram shingles that are
+    * corpus-frequent (document frequency ≥ 4): headers, footers,
+    * license blocks, navigation chrome. The mirror of #131 (novelty
+    * credits a doc for shingles it introduced FIRST; this debits it for
+    * shingles everyone has — a late copy of a template scores low
+    * novelty AND high boilerplate, original-but-quoted text scores high
+    * novelty and high boilerplate). Curation drops or trims high-share
+    * docs before token budgeting so chrome doesn't spend the budget.
+    *
+    * Scale shape: the #131 contract — a DF aggregate over the inverted
+    * index (never a self-join, so no stop-shingle cap is needed), one
+    * membership join back, one per-doc rollup. */
+  def textBoilerplateShare(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleTable(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("df") >= BoilerplateMinDf, 1L).otherwise(0L))
+             .as("n_common"))
+      .withColumn("boilerplate_share", r(col("n_common") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val textBoilerplateShareSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |           unnest(CASE WHEN len(t) >= 3 THEN
+       |             list_transform(range(1, len(t) - 1),
+       |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |           ELSE [] END) AS s
+       |    FROM toks)),
+       |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT sh.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN d.df >= $BoilerplateMinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |       ${sqlR(s"sum(CASE WHEN d.df >= $BoilerplateMinDf THEN 1 ELSE 0 END) / count(*)", 6)} AS boilerplate_share
+       |FROM sh JOIN dfc d ON sh.s = d.s
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }
