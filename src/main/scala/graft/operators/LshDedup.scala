@@ -104,6 +104,24 @@ object LshDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** THE band-key construction ("b:m_i:...:m_j" over consecutive
+    * signature rows) as an array column — the single definition shared
+    * by the #27 bucket join and the #173 cost profile (and mirrored by
+    * [[sqlBandKeys]]); a drift between copies would silently split the
+    * "shared bucketing" contract. */
+  private[graft] def bandKeyArray(bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws(":", (lit(b) +: (0 until rows).map(j =>
+        col(s"m${b * rows + j}"))).map(_.cast("string")): _*)
+    }: _*)
+
+  /** DuckDB mirror of [[bandKeyArray]] (a bracketed list literal). */
+  private[graft] def sqlBandKeys(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val ms = (0 until rows).map(j => s"m${b * rows + j}").mkString(", ")
+      s"concat_ws(':', $b, $ms)"
+    }.mkString(",\n           ")
+
   /** The shared MinHash machinery: (shingled docs, k-component
     * signature table, banded candidate pairs). Extracted so the #123
     * estimator-error eval consumes the IDENTICAL sketch and candidate
@@ -126,10 +144,7 @@ object LshDedup {
       .agg(min(col("h0")).as("m0"),
            (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
     val bandKeys = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        concat_ws(":", (lit(b) +: (0 until rows).map(j =>
-          col(s"m${b * rows + j}"))).map(_.cast("string")): _*)
-      }: _*)).as("band_key"))
+      explode(bandKeyArray(bands, rows)).as("band_key"))
     // bucket cardinality + successor in one band_key exchange (count
     // needs no sort; lead shares the partitioning)
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
@@ -180,15 +195,22 @@ object LshDedup {
       .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
       .select(col("id_a"), col("id_b"),
               (agree.cast("double") / k).as("est"))
-    est
+    exactJaccard(est, docs).select(col("id_a"), col("id_b"),
+                                   col("est"), col("exact"))
+  }
+
+  /** Exact 6dp shingle-set Jaccard appended to an (id_a, id_b, ...)
+    * pair frame — the ONE verify expression shared by the #123/#144
+    * eval pipeline and the #169 band curve. */
+  private def exactJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
+    pairs
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("exact",
         r(col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-      .select(col("id_a"), col("id_b"), col("est"), col("exact"))
-  }
+      .drop("sh_a", "sh_b", "inter")
 
   def dedupMinhashEval(s: SparkSession, dir: String, tau: Double = 0.3,
                        k: Int = 64, bands: Int = 32,
@@ -256,10 +278,7 @@ object LshDedup {
     val mins = (0 until k).map { i =>
       val (a, b) = coef(i); s"min(($a * sm + $b) % $P) AS m$i"
     }.mkString(",\n         ")
-    val bandExprs = (0 until bands).map { b =>
-      val ms = (0 until rows).map(j => s"m${b * rows + j}").mkString(", ")
-      s"concat_ws(':', $b, $ms)"
-    }.mkString(",\n           ")
+    val bandExprs = sqlBandKeys(bands, rows)
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
        |),
@@ -400,13 +419,7 @@ object LshDedup {
   def dedupMinhashBandCurve(s: SparkSession, dir: String, k: Int = 64,
                             maxBucket: Int = 256): DataFrame = {
     val (docs, sigs, candidates) = minhashParts(Tables.documents(s, dir), k, 32, maxBucket)
-    val ex = candidates
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("exact",
-        r(col("inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+    val ex = exactJaccard(candidates, docs)
       .select(col("id_a"), col("id_b"), col("exact"))
     val caughtCols = BandConfigs.map { case (b, r0) =>
       (0 until b).map(j =>
@@ -463,10 +476,7 @@ object LshDedup {
     val (_, sigs, _) = minhashParts(Tables.documents(s, dir), k, 32, maxBucket)
     val keyed = BandConfigs.map { case (b, r0) =>
       sigs.select(lit(b).as("bands"), lit(r0).as("rows_per_band"),
-        explode(array((0 until b).map { j =>
-          concat_ws(":", (lit(j) +: (0 until r0).map(i =>
-            col(s"m${j * r0 + i}"))).map(_.cast("string")): _*)
-        }: _*)).as("band_key"))
+        explode(bandKeyArray(b, r0)).as("band_key"))
     }.reduce(_ unionByName _)
     keyed.groupBy(col("bands"), col("rows_per_band"), col("band_key"))
       .agg(count(lit(1)).as("sz"))
@@ -482,12 +492,8 @@ object LshDedup {
 
   def dedupBandCostSql(k: Int = 64, maxBucket: Int = 256): String = {
     val perConfig = BandConfigs.map { case (b, r0) =>
-      val bandExprs = (0 until b).map { j =>
-        val ms = (0 until r0).map(i => s"m${j * r0 + i}").mkString(", ")
-        s"concat_ws(':', $j, $ms)"
-      }.mkString(", ")
       s"""SELECT $b AS bands, $r0 AS rows_per_band,
-         |       unnest([$bandExprs]) AS band_key
+         |       unnest([${sqlBandKeys(b, r0)}]) AS band_key
          |FROM sig""".stripMargin
     }.mkString("\nUNION ALL\n")
     minhashSqlPrefix(k, 32, maxBucket) +

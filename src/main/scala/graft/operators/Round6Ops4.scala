@@ -98,11 +98,16 @@ object Round6Ops4 {
        |FROM x ORDER BY digit""".stripMargin
   }
 
+  // the same cents >= 1 guard as the Spark twin and the streaming
+  // oracle: a negative/zero total (refund rows) would otherwise make
+  // the oracle CAST a '-' leading character and abort
   val ordersBenfordSql: String = benfordReportSql(
     """
-      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-      |           AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS n
-      |  FROM orders GROUP BY 1""".stripMargin)
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |         count(*) AS n
+      |  FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |        FROM orders)
+      |  WHERE cents >= 1 GROUP BY 1""".stripMargin)
 
   // --------------------------------------- #164 events_brier_calibration
 
@@ -215,8 +220,12 @@ object Round6Ops4 {
     val wAll = Window.partitionBy()
     val wDow = Window.partitionBy(col("dow"))
     val wHod = Window.partitionBy(col("hod"))
-    val expd = sum(col("n")).over(wDow) * sum(col("n")).over(wHod) /
-      sum(col("n")).over(wAll)
+    // margins multiply as DOUBLE: a long×long product of two margins
+    // overflows int64 around N ≈ 4e10 events (Spark would wrap silently
+    // where DuckDB's HUGEINT keeps going — a silent parity break)
+    val expd = sum(col("n")).over(wDow).cast("double") *
+      sum(col("n")).over(wHod).cast("double") /
+      sum(col("n")).over(wAll).cast("double")
     full
       .withColumn("expected", r(expd, 6))
       .withColumn("chi2_term",
@@ -247,7 +256,7 @@ object Round6Ops4 {
        |  LEFT JOIN o ON o.dow = s.dow AND o.hod = s.hod),
        |x AS (
        |  SELECT dow, hod, n,
-       |         ${sqlR("(sum(n) OVER (PARTITION BY dow)) * (sum(n) OVER (PARTITION BY hod)) / (sum(n) OVER ())", 6)} AS expected
+       |         ${sqlR("CAST(sum(n) OVER (PARTITION BY dow) AS DOUBLE) * CAST(sum(n) OVER (PARTITION BY hod) AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)", 6)} AS expected
        |  FROM f),
        |y AS (
        |  SELECT dow, hod, n, expected,

@@ -123,10 +123,15 @@ object Round6Ops5 {
               coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("n_tokens_cum", sum(col("n_occ")).over(wCum))
       .withColumn("vocab_cum", sum(col("n_new")).over(wCum))
-      .withColumn("x", r(log(col("n_tokens_cum").cast("double")), 6))
-      .withColumn("y", r(log(col("vocab_cum").cast("double")), 6))
+      // empty leading deciles guard: ln(0) is NULL in Spark but an
+      // ERROR in DuckDB — gate both engines identically and fit the
+      // OLS on the valid-point count, not the spine size
+      .withColumn("x", when(col("n_tokens_cum") > 0 && col("vocab_cum") > 0,
+        r(log(col("n_tokens_cum").cast("double")), 6)))
+      .withColumn("y", when(col("n_tokens_cum") > 0 && col("vocab_cum") > 0,
+        r(log(col("vocab_cum").cast("double")), 6)))
     val w = Window.partitionBy()
-    val n = count(lit(1)).over(w).cast("double")
+    val n = count(col("x")).over(w).cast("double")
     val sx = sum(col("x").cast("decimal(38,10)")).over(w).cast("double")
     val sy = sum(col("y").cast("decimal(38,10)")).over(w).cast("double")
     val sxy = sum((col("x") * col("y")).cast("decimal(38,10)")).over(w).cast("double")
@@ -161,14 +166,16 @@ object Round6Ops5 {
        |  LEFT JOIN fs f ON f.decile = s.decile),
        |xy AS (
        |  SELECT decile, n_tokens_cum, vocab_cum,
-       |         ${sqlR("ln(CAST(n_tokens_cum AS DOUBLE))", 6)} AS x,
-       |         ${sqlR("ln(CAST(vocab_cum AS DOUBLE))", 6)} AS y
+       |         CASE WHEN n_tokens_cum > 0 AND vocab_cum > 0
+       |              THEN ${sqlR("ln(CAST(n_tokens_cum AS DOUBLE))", 6)} END AS x,
+       |         CASE WHEN n_tokens_cum > 0 AND vocab_cum > 0
+       |              THEN ${sqlR("ln(CAST(vocab_cum AS DOUBLE))", 6)} END AS y
        |  FROM curve)
        |SELECT decile, CAST(n_tokens_cum AS BIGINT) AS n_tokens_cum,
        |       CAST(vocab_cum AS BIGINT) AS vocab_cum,
        |       ${sqlR(
-      s"(${dsumW("x * y")} - ${dsumW("x")} * ${dsumW("y")} / (CAST(count(*) OVER () AS DOUBLE)))" +
-      s" / (${dsumW("x * x")} - ${dsumW("x")} * ${dsumW("x")} / (CAST(count(*) OVER () AS DOUBLE)))", 6)} AS heaps_beta
+      s"(${dsumW("x * y")} - ${dsumW("x")} * ${dsumW("y")} / (CAST(count(x) OVER () AS DOUBLE)))" +
+      s" / (${dsumW("x * x")} - ${dsumW("x")} * ${dsumW("x")} / (CAST(count(x) OVER () AS DOUBLE)))", 6)} AS heaps_beta
        |FROM xy ORDER BY decile""".stripMargin
   }
 
@@ -309,11 +316,15 @@ object Round6Ops5 {
     * typed-path cardinality is tiny (≤ |types|³). */
   def eventsSessionPaths(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // THE #16 gap rule verbatim: truncated-second timestamps, break on
+    // gap > 1800 s — so these sessions reconcile 1:1 with the #16
+    // session table (a µs-precision rule would cut sub-second edges
+    // differently)
+    val secs = unix_timestamp(col("ts").cast("timestamp"))
     val sess = Tables.events(s, dir)
-      .withColumn("prev_us", lag(epochUs(col("ts")), 1).over(w))
+      .withColumn("prev_s", lag(secs, 1).over(w))
       .withColumn("brk",
-        when(col("prev_us").isNull ||
-             epochUs(col("ts")) - col("prev_us") > SessionGapS * 1000000L, 1)
+        when(col("prev_s").isNull || secs - col("prev_s") > SessionGapS, 1)
           .otherwise(0))
       .withColumn("session_id",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
@@ -336,9 +347,9 @@ object Round6Ops5 {
   val eventsSessionPathsSql: String =
     s"""WITH flagged AS (
        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
-       |         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
-       |                OR epoch_us(CAST(ts AS TIMESTAMP)) -
-       |                   lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > ${SessionGapS * 1000000L}
+       |         CASE WHEN lag(floor(epoch(CAST(ts AS TIMESTAMP)))) OVER w IS NULL
+       |                OR floor(epoch(CAST(ts AS TIMESTAMP))) -
+       |                   lag(floor(epoch(CAST(ts AS TIMESTAMP)))) OVER w > $SessionGapS
        |              THEN 1 ELSE 0 END AS brk
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -397,8 +397,11 @@ object Similarity2 {
                 col("q_dec").cast("decimal(38,10)").as("q_dec"), col("n")))
     both.groupBy(col("scope"))
       .agg(max(col("n")).cast("long").as("n_vectors"),
+           // s² terms at (38,10): s_dec ≤ n, so s² needs ≥ 2·log10(n)
+           // integer digits — (28,10) would overflow (NULL in Spark,
+           // error in DuckDB) past ~1e9 vectors in an anisotropic space
            sum((col("s_dec").cast("double") * col("s_dec").cast("double"))
-             .cast("decimal(28,10)")).cast("double").as("s2"),
+             .cast("decimal(38,10)")).cast("double").as("s2"),
            sum(col("q_dec")).cast("double").as("u2"))
       .select(col("scope"), col("n_vectors"),
               when(col("n_vectors") > 1,
@@ -432,7 +435,7 @@ object Similarity2 {
        |fin AS (
        |  SELECT scope, CAST(max(n) AS BIGINT) AS n_vectors,
        |         CAST(sum(CAST(CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE)
-       |           AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+       |           AS DECIMAL(38,10))) AS DOUBLE) AS s2,
        |         CAST(sum(q_dec) AS DOUBLE) AS u2
        |  FROM uni GROUP BY 1)
        |SELECT scope, n_vectors,

@@ -705,10 +705,14 @@ object Similarity3 {
     val perVec = Tables.embeddings(s, dir).select(col("vec_id"))
       .join(indeg, Seq("vec_id"), "left")
       .select(coalesce(col("nk"), lit(0L)).as("nk"))
+    // moments as decimal sums of DOUBLE powers: integer nk³ would wrap
+    // int64 for a hub with nk ≥ 2^21 (Spark wraps silently, DuckDB
+    // raises — exactly the regime a hubness audit exists to measure)
+    val nkd = col("nk").cast("double")
     val mom = perVec.agg(
-      count(lit(1)).as("n"), sum(col("nk")).as("s1"),
-      sum(col("nk") * col("nk")).as("s2"),
-      sum(col("nk") * col("nk") * col("nk")).as("s3"))
+      count(lit(1)).as("n"), dsum(nkd).as("s1"),
+      dsum(nkd * nkd).as("s2"),
+      dsum(nkd * nkd * nkd).as("s3"))
       .select(col("n"),
               r(col("s1") / col("n"), 6).as("mu"),
               r(col("s2") / col("n"), 6).as("ex2"),
@@ -741,9 +745,9 @@ object Similarity3 {
        |  FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.vec_id),
        |rawm AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
-       |         CAST(sum(nk) AS BIGINT) AS s1,
-       |         CAST(sum(nk * nk) AS BIGINT) AS s2,
-       |         CAST(sum(nk * nk * nk) AS BIGINT) AS s3
+       |         ${sqlSum("CAST(nk AS DOUBLE)")} AS s1,
+       |         ${sqlSum("CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE)")} AS s2,
+       |         ${sqlSum("CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE)")} AS s3
        |  FROM pv),
        |mom AS (
        |  SELECT n, $mu AS mu, $ex2 AS ex2, $ex3 AS ex3,
