@@ -253,4 +253,180 @@ object Round6Ops6 {
        |SELECT CAST(m AS INT) AS month, n_years, mean_rev,
        |       ${sqlR("mean_rev / grand_mean", 6)} AS seasonal_index
        |FROM g ORDER BY month""".stripMargin
+
+  // ------------------------------------------------ #192 doc_vocab_drift
+
+  private[graft] val VocabDriftTopK = 200
+
+  /** #192 doc_vocab_drift: token-distribution DRIFT between two corpus
+    * halves (deterministic doc-id hash split — the stand-in for
+    * yesterday's crawl vs today's): per top-K token the two
+    * frequencies, shares, and Jensen–Shannon contribution, tail mass
+    * folded into one `__other__` bucket, plus the total JS divergence.
+    * The TEXT twin of #113's embedding centroid drift — the monitor
+    * that catches an upstream scraper change (new boilerplate, a lost
+    * domain, a language shift) from raw token statistics before any
+    * model sees the data.
+    *
+    * Scale shape: two half-tagged token counts in ONE scan (conditional
+    * aggregation, no join of halves); the top-K vocabulary is a
+    * sort+limit (TakeOrdered — bounded, never a ranking window); the
+    * JS table is K+1 model rows; ln terms are 6dp-rounded before the
+    * decimal window sum (#125). */
+  def docVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val half = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+                     16, 10).cast("long") % 2).cast("int")
+    val toks = Tables.documents(s, dir)
+      .select(half.as("h"), explode(graft.functions.TextFunctions.lowerTokens(col("text")))
+        .as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy(col("tok"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_a"),
+           sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_b"))
+    val top = counts
+      .orderBy((col("n_a") + col("n_b")).desc, col("tok"))
+      .limit(VocabDriftTopK)
+    val wAll = Window.partitionBy()
+    val tot = counts.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    val withOther = top
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("n_a"), col("n_b"), col("tot_a"), col("tot_b"))
+      .unionByName(
+        top.agg(sum(col("n_a")).as("sa"), sum(col("n_b")).as("sb"))
+          .crossJoin(broadcast(tot))
+          .select(lit("__other__").as("tok"),
+                  (col("tot_a") - col("sa")).as("n_a"),
+                  (col("tot_b") - col("sb")).as("n_b"),
+                  col("tot_a"), col("tot_b")))
+    val pa = r(col("n_a") / col("tot_a"), 6)
+    val pb = r(col("n_b") / col("tot_b"), 6)
+    val withShares = withOther
+      .withColumn("p_a", pa).withColumn("p_b", pb)
+      .withColumn("m2", (col("p_a") + col("p_b")) / 2)
+    val term = (p: org.apache.spark.sql.Column) =>
+      when(p > 0, r(p * r(log(p / col("m2")), 6), 6)).otherwise(lit(0.0))
+    withShares
+      .withColumn("js_term",
+        r((term(col("p_a")) + term(col("p_b"))) / 2, 6))
+      .withColumn("js_total",
+        r(sum(col("js_term").cast("decimal(38,10)")).over(Window.partitionBy())
+          .cast("double"), 6))
+      .select(col("tok"), col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+              col("js_term"), col("js_total"))
+      .orderBy(col("js_term").desc, col("tok"))
+  }
+
+  val docVocabDriftSql: String = {
+    def term(p: String) =
+      s"CASE WHEN $p > 0 THEN ${sqlR(s"$p * (${sqlR(s"ln($p / m2)", 6)})", 6)} ELSE 0.0 END"
+    s"""WITH toks AS (
+       |  SELECT CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 2 AS INT) AS h,
+       |         t.t AS tok
+       |  FROM documents, LATERAL (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t) t
+       |  WHERE length(t.t) > 0),
+       |counts AS (
+       |  SELECT tok,
+       |         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+       |               CAST(sum(n_b) AS BIGINT) AS tot_b FROM counts),
+       |top AS (SELECT * FROM counts
+       |        ORDER BY n_a + n_b DESC, tok LIMIT $VocabDriftTopK),
+       |uni AS (
+       |  SELECT t.tok, t.n_a, t.n_b, x.tot_a, x.tot_b
+       |  FROM top t CROSS JOIN tot x
+       |  UNION ALL
+       |  SELECT '__other__', x.tot_a - s.sa, x.tot_b - s.sb, x.tot_a, x.tot_b
+       |  FROM (SELECT CAST(sum(n_a) AS BIGINT) AS sa,
+       |               CAST(sum(n_b) AS BIGINT) AS sb FROM top) s
+       |  CROSS JOIN tot x),
+       |sh AS (
+       |  SELECT tok, n_a, n_b,
+       |         ${sqlR("n_a / tot_a", 6)} AS p_a, ${sqlR("n_b / tot_b", 6)} AS p_b,
+       |         ((${sqlR("n_a / tot_a", 6)}) + (${sqlR("n_b / tot_b", 6)})) / 2 AS m2
+       |  FROM uni),
+       |js AS (
+       |  SELECT tok, n_a, n_b, p_a, p_b,
+       |         ${sqlR(s"((${term("p_a")}) + (${term("p_b")})) / 2", 6)} AS js_term
+       |  FROM sh)
+       |SELECT tok, n_a, n_b, p_a, p_b, js_term,
+       |       ${sqlR("CAST(sum(CAST(js_term AS DECIMAL(38,10))) OVER () AS DOUBLE)", 6)} AS js_total
+       |FROM js ORDER BY js_term DESC, tok""".stripMargin
+  }
+
+  // --------------------------------------------- #193 events_activity_gini
+
+  /** #193 events_activity_gini: the LORENZ CURVE + Gini coefficient of
+    * per-user event activity — what share of total activity the
+    * most-active users carry, and the single inequality number. The
+    * user-axis complement of #105 (customer revenue Pareto) and #172
+    * (supplier HHI): an abuse review reads it next to #145/#186
+    * (a Gini drifting toward 1 means a shrinking cohort generates the
+    * traffic — bot farms or power-user capture).
+    *
+    * Scale shape: the classic Gini needs a full rank over users — a
+    * key-proportional window, banned here. Activity counts are SMALL
+    * INTEGERS, so the computation VALUE-BUCKETS instead: one groupBy
+    * per user, one groupBy per distinct activity level (≤ max-events-
+    * per-user rows — a model table), then the exact grouped-data
+    * trapezoidal Lorenz identity G = 1 − Σ s_i(V_{i−1} + V_i) with
+    * integer-exact cumulative masses. */
+  def eventsActivityGini(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+    val buckets = perUser.groupBy(col("n_ev"))
+      .agg(count(lit(1)).as("n_users"))
+    val wCum = Window.partitionBy().orderBy(col("n_ev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val enriched = buckets
+      .withColumn("mass", col("n_ev") * col("n_users"))
+      .withColumn("cum_users", sum(col("n_users")).over(wCum))
+      .withColumn("cum_mass", sum(col("mass")).over(wCum))
+      .withColumn("tot_users", sum(col("n_users")).over(wAll))
+      .withColumn("tot_mass", sum(col("mass")).over(wAll))
+    val vi = col("cum_mass").cast("double") / col("tot_mass")
+    val viPrev = (col("cum_mass") - col("mass")).cast("double") / col("tot_mass")
+    val si = col("n_users").cast("double") / col("tot_users")
+    enriched
+      .withColumn("pop_share", r(si, 6))
+      .withColumn("cum_pop_share", r(col("cum_users") / col("tot_users"), 6))
+      .withColumn("cum_mass_share", r(vi, 6))
+      .withColumn("gini_term", r(si * (viPrev + vi), 6))
+      .withColumn("gini",
+        r(lit(1.0) - sum(col("gini_term").cast("decimal(38,10)")).over(wAll)
+          .cast("double"), 6))
+      .select(col("n_ev").as("events_per_user"), col("n_users"),
+              col("pop_share"), col("cum_pop_share"), col("cum_mass_share"),
+              col("gini"))
+      .orderBy(col("events_per_user"))
+  }
+
+  val eventsActivityGiniSql: String = {
+    val vi = "CAST(cum_mass AS DOUBLE) / tot_mass"
+    val viPrev = "CAST(cum_mass - mass AS DOUBLE) / tot_mass"
+    val si = "CAST(n_users AS DOUBLE) / tot_users"
+    s"""WITH pu AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY 1),
+       |b AS (SELECT n_ev, count(*) AS n_users FROM pu GROUP BY 1),
+       |e AS (
+       |  SELECT n_ev, n_users, n_ev * n_users AS mass,
+       |         sum(n_users) OVER (ORDER BY n_ev) AS cum_users,
+       |         sum(n_ev * n_users) OVER (ORDER BY n_ev) AS cum_mass,
+       |         sum(n_users) OVER () AS tot_users,
+       |         sum(n_ev * n_users) OVER () AS tot_mass
+       |  FROM b),
+       |g AS (
+       |  SELECT n_ev, n_users, cum_users, tot_users, cum_mass, tot_mass,
+       |         ${sqlR(si, 6)} AS pop_share,
+       |         ${sqlR("CAST(cum_users AS DOUBLE) / tot_users", 6)} AS cum_pop_share,
+       |         ${sqlR(vi, 6)} AS cum_mass_share,
+       |         ${sqlR(s"($si) * (($viPrev) + ($vi))", 6)} AS gini_term
+       |  FROM e)
+       |SELECT CAST(n_ev AS BIGINT) AS events_per_user,
+       |       CAST(n_users AS BIGINT) AS n_users,
+       |       pop_share, cum_pop_share, cum_mass_share,
+       |       ${sqlR("1.0 - CAST(sum(CAST(gini_term AS DECIMAL(38,10))) OVER () AS DOUBLE)", 6)} AS gini
+       |FROM g ORDER BY events_per_user""".stripMargin
+  }
 }

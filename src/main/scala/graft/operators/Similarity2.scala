@@ -7,8 +7,9 @@ import graft.Parity._
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
-/** Round-5 batch-3 similarity ops (SURVEY §2 #95-#96): binary Hamming
-  * sketch kNN and maximal-marginal-relevance diversity selection.
+/** Similarity ops (SURVEY §2 #95-#96, #113, #162): binary Hamming
+  * sketch kNN, maximal-marginal-relevance diversity selection, centroid
+  * drift monitoring, and the anisotropy health check.
   */
 object Similarity2 {
 

@@ -7,12 +7,12 @@ import graft.Parity._
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
-/** Round-6 similarity/evaluation operators (SURVEY §2 #117, #119):
-  * Matryoshka prefix-dimension retrieval evaluation and a kNN
-  * majority-vote label-quality probe — the evaluation harnesses a
-  * vector-curation pipeline runs NEXT TO its retrieval operators (does
-  * a truncated embedding retrieve the same neighbors? do embedding
-  * neighborhoods predict labels?).
+/** Round-6 similarity/evaluation operators (SURVEY §2 #117, #119,
+  * #133, #170, #176, #181): Matryoshka prefix-dimension retrieval
+  * evaluation, kNN label voting, silhouette, the nearest-centroid
+  * confusion matrix, retrieval exposure bias, and hubness — the
+  * evaluation harnesses a vector-curation pipeline runs NEXT TO its
+  * retrieval operators.
   */
 object Similarity3 {
 

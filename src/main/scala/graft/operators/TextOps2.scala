@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.Parity.{r, sqlR}
 import graft.sources.Tables
 
-/** Round-5 batch-4 text operators (SURVEY §2 #101+). */
+/** Text operators beyond the core battery (SURVEY §2 #101, #112,
+  * #114, #153, #163, #175, #184): fuzzy matching, BPE statistics and
+  * training, OOV rates, tokenizer fertility, readability, and
+  * boilerplate attribution. */
 object TextOps2 {
 
   /** Candidate blocks with document frequency above this are dropped

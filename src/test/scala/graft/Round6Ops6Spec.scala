@@ -88,4 +88,58 @@ class Round6Ops6Spec extends AnyFunSuite {
       assert(r.getDouble(3) > 0)
     }
   }
+
+  // ----------------------------------------------------- doc_vocab_drift
+
+  test("vocab drift: top-K + residual cover both halves exactly; JS bounded by ln 2") {
+    val rows = Round6Ops6.docVocabDrift(spark, sf).collect()
+    assert(rows.length <= Round6Ops6.VocabDriftTopK + 1)
+    assert(rows.count(_.getString(0) == "__other__") == 1)
+    // full-mass accounting on both sides
+    val totalToks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(rows.map(_.getLong(1)).sum + rows.map(_.getLong(2)).sum == totalToks)
+    val js = rows.head.getDouble(6)
+    assert(rows.forall(_.getDouble(6) == js))
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-6)
+    // each pair term is >= 0 analytically; the 6dp ln/share rounding
+    // can push a stored term one ulp-of-rounding below zero
+    rows.foreach(r => assert(r.getDouble(5) >= -2e-6))
+    // identical halves would give 0; hash halves of one corpus stay small
+    assert(js < 0.2, s"suspicious drift $js between random halves")
+  }
+
+  // ------------------------------------------------- events_activity_gini
+
+  test("activity gini: Lorenz curve is convex-consistent; gini replayed from user counts") {
+    val rows = Round6Ops6.eventsActivityGini(spark, sf)
+      .orderBy("events_per_user").collect()
+    assert(rows.nonEmpty)
+    val gini = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == gini))
+    assert(gini >= 0.0 && gini < 1.0)
+    // cumulative shares are nondecreasing and end at 1
+    val cp = rows.map(_.getDouble(3)); val cm = rows.map(_.getDouble(4))
+    assert(cp.zip(cp.tail).forall { case (a, b) => b >= a })
+    assert(cm.zip(cm.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(cp.last - 1.0) < 1e-4 && math.abs(cm.last - 1.0) < 1e-4)
+    // Lorenz below diagonal: cumulative mass share <= cumulative pop share
+    rows.foreach(r => assert(r.getDouble(4) <= r.getDouble(3) + 1e-9))
+    // exact driver-side replay from raw per-user counts
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").count().collect().map(_.getLong(1)).sorted
+    val n = counts.length.toDouble
+    val tot = counts.sum.toDouble
+    // trapezoidal grouped Gini over value buckets (same identity)
+    val byVal = counts.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (v, g) => (v, g.length) }
+    var cumMass = 0L
+    val terms = byVal.map { case (v, cnt) =>
+      val prev = cumMass; cumMass += v * cnt
+      Parity.r6d((cnt / n) * (prev / tot + cumMass / tot))
+    }
+    val dec = terms.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(gini == Parity.r6d(1.0 - dec.toDouble))
+  }
 }
