@@ -429,4 +429,270 @@ object Round6Ops6 {
        |       ${sqlR("1.0 - CAST(sum(CAST(gini_term AS DECIMAL(38,10))) OVER () AS DOUBLE)", 6)} AS gini
        |FROM g ORDER BY events_per_user""".stripMargin
   }
+
+  // ------------------------------------------- #194 events_burstiness
+
+  /** #194 events_burstiness: per-user temporal BURSTINESS over the
+    * active span — Fano factor (variance/mean of hourly counts, dense
+    * grid including silent hours) and the Goh–Barabási burstiness
+    * index B = (σ−μ)/(σ+μ) ∈ (−1, 1): B → −1 is a metronome, B ≈ 0
+    * Poisson, B → 1 bursty. The temporal fingerprint BETWEEN #145
+    * (cadence regularity via gap CV) and #186 (peak rate): a scraper
+    * shows B ≈ −1 at high rate, a human B > 0.
+    *
+    * Scale shape: one (user, hour) count + one per-user moment rollup
+    * (silent hours enter via span arithmetic, never materialized:
+    * Σc over dense grid = n_events, Σc² = Σ over nonzero hours);
+    * everything integer-exact until the final IEEE moments. */
+  def eventsBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val hour = expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+    val perHour = Tables.events(s, dir)
+      .select(col("user_id"), hour.as("h"))
+      .groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("c"))
+    val mu = col("n_events").cast("double") / col("n_hours")
+    val ex2 = col("sum_c2").cast("double") / col("n_hours")
+    val vr = ex2 - mu * mu
+    perHour.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+           sum(col("c") * col("c")).as("sum_c2"),
+           (max(col("h")) - min(col("h")) + 1).as("n_hours"))
+      .filter(col("n_hours") >= 2)
+      .withColumn("mean_per_hour", r(mu, 6))
+      .withColumn("fano", r(vr / mu, 6))
+      .withColumn("burstiness",
+        when(sqrt(greatest(vr, lit(0.0))) + mu > 0,
+          r((sqrt(greatest(vr, lit(0.0))) - mu) /
+            (sqrt(greatest(vr, lit(0.0))) + mu), 6)))
+      .select(col("user_id"), col("n_events"), col("n_hours"),
+              col("mean_per_hour"), col("fano"), col("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsBurstinessSql: String = {
+    val mu = "CAST(n_events AS DOUBLE) / n_hours"
+    val ex2 = "CAST(sum_c2 AS DOUBLE) / n_hours"
+    val vr = s"(($ex2) - ($mu) * ($mu))"
+    val sd = s"sqrt(greatest($vr, 0.0))"
+    s"""WITH ph AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+       |         count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+       |         CAST(sum(c * c) AS BIGINT) AS sum_c2,
+       |         CAST(max(h) - min(h) + 1 AS BIGINT) AS n_hours
+       |  FROM ph GROUP BY 1 HAVING max(h) - min(h) + 1 >= 2)
+       |SELECT user_id, n_events, n_hours,
+       |       ${sqlR(mu, 6)} AS mean_per_hour,
+       |       ${sqlR(s"$vr / ($mu)", 6)} AS fano,
+       |       CASE WHEN ($sd) + ($mu) > 0
+       |            THEN ${sqlR(s"(($sd) - ($mu)) / (($sd) + ($mu))", 6)}
+       |       END AS burstiness
+       |FROM m ORDER BY user_id""".stripMargin
+  }
+
+  // -------------------------------------------- #195 corpus_epoch_plan
+
+  private[graft] val EpochBudgetMultiple = 2L
+  private[graft] val MaxEpochs = 4L
+
+  /** #195 corpus_epoch_plan: the SAMPLING PLAN that turns the #185
+    * temperature weights into an executable allocation — with a token
+    * budget of 2× the corpus under the τ = 0.5 mixture, per (lang,
+    * source): available tokens, natural share, mixture weight, the
+    * weight's target allocation, epochs needed, and the grant after
+    * the ≤4-epoch repetition cap (Muennighoff 2023: repeating data
+    * past ~4 epochs stops buying loss) — `capped` rows are the groups
+    * whose boost the budget CANNOT realize, the number the mixture
+    * owner must reconcile before launch. #77 allocates within one
+    * corpus by quality; this allocates across corpora by weight.
+    *
+    * Scale shape: one token count per group, then pure model-table
+    * algebra (the τ grid point is the IEEE-exact dyadic sqrt); targets
+    * are integer tokens (floor + 0.5 on identical doubles). */
+  def corpusEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+              size(graft.functions.TextFunctions.tokens(col("text")))
+                .cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val wAll = Window.partitionBy()
+    val share = col("n_tokens").cast("double") /
+      sum(col("n_tokens")).over(wAll).cast("double")
+    val planned = g
+      .withColumn("share", r(share, 6))
+      .withColumn("w10", r(sqrt(share), 10).cast("decimal(18,10)"))
+      .withColumn("weight",
+        r(col("w10").cast("double") / sum(col("w10")).over(wAll).cast("double"), 6))
+      .withColumn("budget",
+        (sum(col("n_tokens")).over(wAll) * EpochBudgetMultiple))
+      .withColumn("target_tokens",
+        floor(col("budget").cast("double") * col("weight") + 0.5).cast("long"))
+      .withColumn("granted_tokens",
+        least(col("target_tokens"), col("n_tokens") * MaxEpochs))
+    planned
+      .withColumn("epochs_needed",
+        r(col("target_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn("capped", col("target_tokens") > col("n_tokens") * MaxEpochs)
+      .select(col("lang"), col("source"), col("n_tokens"), col("share"),
+              col("weight"), col("target_tokens"), col("epochs_needed"),
+              col("granted_tokens"), col("capped"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val corpusEpochPlanSql: String =
+    s"""WITH g AS (
+       |  SELECT lang, source,
+       |         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT lang, source, n_tokens,
+       |         CAST(n_tokens AS DOUBLE) /
+       |           CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE) AS p,
+       |         CAST(CAST(sum(n_tokens) OVER () AS BIGINT) * $EpochBudgetMultiple AS BIGINT) AS budget
+       |  FROM g),
+       |wt AS (
+       |  SELECT lang, source, n_tokens, budget, ${sqlR("p", 6)} AS share,
+       |         CAST(${sqlR("sqrt(p)", 10)} AS DECIMAL(18,10)) AS w10
+       |  FROM sh),
+       |pl AS (
+       |  SELECT lang, source, n_tokens, share,
+       |         ${sqlR("CAST(w10 AS DOUBLE) / CAST(sum(w10) OVER () AS DOUBLE)", 6)} AS weight,
+       |         CAST(floor(CAST(budget AS DOUBLE) *
+       |           (${sqlR("CAST(w10 AS DOUBLE) / CAST(sum(w10) OVER () AS DOUBLE)", 6)}) + 0.5) AS BIGINT) AS target_tokens
+       |  FROM wt)
+       |SELECT lang, source, n_tokens, share, weight, target_tokens,
+       |       ${sqlR("CAST(target_tokens AS DOUBLE) / n_tokens", 6)} AS epochs_needed,
+       |       LEAST(target_tokens, n_tokens * $MaxEpochs) AS granted_tokens,
+       |       target_tokens > n_tokens * $MaxEpochs AS capped
+       |FROM pl ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------- #196 events_conversion_lag
+
+  /** #196 events_conversion_lag: FIRST-TOUCH → first-conversion lag —
+    * per converting user the whole hours from their first event of any
+    * kind to their first purchase, rolled up into an hour-bucket
+    * histogram with counts and mean lag. The funnel-velocity readout
+    * between #20b (did the ordered steps happen) and #152 (return-time
+    * survival): how long the product takes to convert a fresh user,
+    * the number an onboarding experiment moves.
+    *
+    * Scale shape: two conditional min-aggregates in ONE per-user pass
+    * (no self-join of the event stream), map-only bucketing, a ≤4-row
+    * rollup with a decimal-exact mean. */
+  def eventsConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val us = epochUs(col("ts"))
+    val lags = Tables.events(s, dir)
+      .select(col("user_id"), us.as("us"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"),
+           min(when(col("event_type") === Round6Ops3.ConvType, col("us")))
+             .as("first_conv_us"))
+      .filter(col("first_conv_us").isNotNull)
+      .withColumn("lag_hours",
+        expr("(first_conv_us - first_us) div 3600000000"))
+    val bucket = when(col("lag_hours") === 0, lit("a_under_1h"))
+      .when(col("lag_hours") <= 6, lit("b_1_6h"))
+      .when(col("lag_hours") <= 24, lit("c_7_24h"))
+      .otherwise(lit("d_over_24h"))
+    lags.select(col("lag_hours"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+           davg(col("lag_hours").cast("double"), 6).as("mean_lag_hours"))
+      .orderBy(col("bucket"))
+  }
+
+  val eventsConversionLagSql: String =
+    s"""WITH lags AS (
+       |  SELECT user_id,
+       |         (min(CASE WHEN event_type = '${Round6Ops3.ConvType}'
+       |                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) -
+       |          min(epoch_us(CAST(ts AS TIMESTAMP)))) // 3600000000 AS lag_hours
+       |  FROM events GROUP BY 1
+       |  HAVING min(CASE WHEN event_type = '${Round6Ops3.ConvType}'
+       |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) IS NOT NULL),
+       |b AS (
+       |  SELECT lag_hours,
+       |         CASE WHEN lag_hours = 0 THEN 'a_under_1h'
+       |              WHEN lag_hours <= 6 THEN 'b_1_6h'
+       |              WHEN lag_hours <= 24 THEN 'c_7_24h'
+       |              ELSE 'd_over_24h' END AS bucket
+       |  FROM lags)
+       |SELECT bucket, count(*) AS n_users,
+       |       ${sqlAvg("CAST(lag_hours AS DOUBLE)", 6)} AS mean_lag_hours
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------- #197 graph_assortativity
+
+  /** #197 graph_assortativity: DEGREE assortativity of the #31d kNN
+    * graph (Newman 2002) — the Pearson correlation of endpoint degrees
+    * over the symmetric edge list, plus node/edge counts and mean
+    * degree. The last panel of the graph-health battery: #181 finds
+    * hubs, #171 measures local closure, this says whether hubs link to
+    * hubs (assortative, r > 0 — near-dup clique cores) or to leaves
+    * (disassortative, r < 0 — hub-and-spoke false neighborhoods).
+    *
+    * Scale shape: degrees are one groupBy over the edge list; the
+    * correlation joins each edge to its two endpoint degrees (two
+    * key-equi joins against a node-cardinality table) and reduces to
+    * decimal-exact moment sums — no pair space beyond the edges. */
+  def graphAssortativity(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = Similarity.knnGraph(s, dir, k)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+    val und = e.union(e.select(col("dst"), col("src"))).distinct()
+      .transform(graft.Lineage.cut)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val joined = und
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .select(col("dx").cast("double").as("x"), col("dy").cast("double").as("y"))
+    val m = joined.agg(
+      count(lit(1)).cast("double").as("m"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val cxy = col("sxy") - col("sx") * col("sy") / col("m")
+    val cxx = col("sxx") - col("sx") * col("sx") / col("m")
+    val cyy = col("syy") - col("sy") * col("sy") / col("m")
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+                        dsum(col("deg").cast("double")).as("sum_deg"))
+    m.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"),
+              (col("m") / 2).cast("long").as("n_edges"),
+              r(col("sum_deg") / col("n_nodes"), 6).as("mean_degree"),
+              when(cxx > 0 && cyy > 0,
+                r(cxy / (sqrt(cxx) * sqrt(cyy)), 6)).as("assortativity"))
+  }
+
+  def graphAssortativitySql(k: Int = 3): String = {
+    val cxy = "(sxy - sx * sy / m)"
+    val cxx = "(sxx - sx * sx / m)"
+    val cyy = "(syy - sy * sy / m)"
+    s"""WITH g AS (SELECT q_id, vec_id FROM (${Similarity.knnGraphSql(k)})),
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT q_id AS src, vec_id AS dst FROM g
+       |    UNION ALL
+       |    SELECT vec_id AS src, q_id AS dst FROM g)),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+       |xy AS (
+       |  SELECT CAST(a.deg AS DOUBLE) AS x, CAST(b.deg AS DOUBLE) AS y
+       |  FROM und u JOIN deg a ON u.src = a.node JOIN deg b ON u.dst = b.node),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS m,
+       |         ${sqlSum("x")} AS sx, ${sqlSum("y")} AS sy,
+       |         ${sqlSum("x * y")} AS sxy, ${sqlSum("x * x")} AS sxx,
+       |         ${sqlSum("y * y")} AS syy
+       |  FROM xy),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |              ${sqlSum("CAST(deg AS DOUBLE)")} AS sum_deg FROM deg)
+       |SELECT nd.n_nodes, CAST(m.m / 2 AS BIGINT) AS n_edges,
+       |       ${sqlR("nd.sum_deg / nd.n_nodes", 6)} AS mean_degree,
+       |       CASE WHEN $cxx > 0 AND $cyy > 0
+       |            THEN ${sqlR(s"$cxy / (sqrt($cxx) * sqrt($cyy))", 6)}
+       |       END AS assortativity
+       |FROM m CROSS JOIN nd""".stripMargin
+  }
 }

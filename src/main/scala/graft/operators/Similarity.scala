@@ -228,8 +228,11 @@ object Similarity {
     * assignments every run); only the k×dim centroid table is ever
     * collected (the "model" — tiny). */
   private def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
+    // init = the first k vectors BY ID of the given corpus (identical to
+    // `vec_id < k` on the contiguous full corpus; well-defined for
+    // training subsets — the #198 stability probe trains on a half)
     var centroids: Array[(Int, Array[Float])] =
-      corpus.filter(col("vec_id") < k).orderBy("vec_id")
+      corpus.orderBy("vec_id").limit(k)
         .select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
@@ -307,16 +310,24 @@ object Similarity {
     * assignment) — init cells = first `nCells` vectors, assignment via
     * the sequential-fold FloatDot mirror, centroid means via the
     * decimal-exact 8dp average quantized to float. */
-  private def ivfChainSql(nCells: Int, iters: Int, sfx: String = ""): String = {
+  private def ivfChainSql(nCells: Int, iters: Int, sfx: String = ""): String =
+    "WITH " + ivfChainBody(nCells, iters, sfx)
+
+  /** The k-means CTE chain WITHOUT the leading WITH, so two chains (the
+    * #198 stability probe trains full + half) can share one WITH list.
+    * `trainWhere` restricts the TRAINING rows (init + Lloyd updates);
+    * the final `bucketed$sfx` assignment always covers the full corpus. */
+  private def ivfChainBody(nCells: Int, iters: Int, sfx: String = "",
+                           trainWhere: String = "TRUE"): String = {
     def score(emb: String) =
       s"(${sqlDotSeq(emb, "c.c")} - ${sqlHalfNormSeq("c.c")})"
-    def assign(prev: String, out: String) =
+    def assign(prev: String, out: String, where: String) =
       s"""$out AS (
          |  SELECT vec_id, embedding, cl FROM (
          |    SELECT e.vec_id, e.embedding, c.cl,
          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |             ${score("e.embedding")} DESC, c.cl DESC) AS rn
-         |    FROM embeddings e CROSS JOIN $prev c)
+         |    FROM embeddings e CROSS JOIN $prev c WHERE $where)
          |  WHERE rn = 1
          |)"""
     def update(prevAssign: String, out: String) =
@@ -329,13 +340,16 @@ object Similarity {
          |  GROUP BY cl
          |)"""
     val lloyd = (1 to iters).map(it =>
-      assign(s"c${it - 1}$sfx", s"a$it$sfx") + ",\n" + update(s"a$it$sfx", s"c$it$sfx"))
+      assign(s"c${it - 1}$sfx", s"a$it$sfx", trainWhere) + ",\n" +
+        update(s"a$it$sfx", s"c$it$sfx"))
       .mkString(",\n")
-    s"""WITH c0$sfx AS (
-       |  SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < $nCells
+    s"""c0$sfx AS (
+       |  SELECT vec_id AS cl, embedding AS c FROM (
+       |    SELECT vec_id, embedding FROM embeddings WHERE $trainWhere
+       |    ORDER BY vec_id LIMIT $nCells)
        |),
        |$lloyd,
-       |${assign(s"c$iters$sfx", s"bucketed$sfx")}""".stripMargin
+       |${assign(s"c$iters$sfx", s"bucketed$sfx", "TRUE")}""".stripMargin
   }
 
   /** Score fragment against a centroid table alias `c` (shared by the

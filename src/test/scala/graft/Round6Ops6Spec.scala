@@ -142,4 +142,101 @@ class Round6Ops6Spec extends AnyFunSuite {
     val dec = terms.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
     assert(gini == Parity.r6d(1.0 - dec.toDouble))
   }
+
+  // -------------------------------------------------- events_burstiness
+
+  test("burstiness: bounded in (-1, 1); Fano consistent; driver-side replay for one user") {
+    val rows = Round6Ops6.eventsBurstiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 2)
+      assert(r.getDouble(3) > 0)
+      assert(r.getDouble(4) >= -1e-9) // Fano nonnegative
+      if (!r.isNullAt(5))
+        assert(r.getDouble(5) > -1.0 - 1e-9 && r.getDouble(5) < 1.0 + 1e-9)
+    }
+    val uid = rows.head.getLong(0)
+    val hs = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .collect().map(_.getLong(0))
+    val span = hs.max - hs.min + 1
+    val counts = hs.groupBy(identity).map(_._2.length.toLong)
+    val mu = hs.length.toDouble / span
+    val ex2 = counts.map(c => c * c).sum.toDouble / span
+    assert(rows.head.getLong(2) == span)
+    assert(rows.head.getDouble(4) == Parity.r6d((ex2 - mu * mu) / mu))
+  }
+
+  // -------------------------------------------------- corpus_epoch_plan
+
+  test("epoch plan: grants never exceed targets or the repetition cap; capped flag consistent") {
+    val rows = Round6Ops6.corpusEpochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (avail, target, granted) = (r.getLong(2), r.getLong(5), r.getLong(7))
+      assert(granted <= target)
+      assert(granted <= avail * Round6Ops6.MaxEpochs)
+      assert(r.getBoolean(8) == (target > avail * Round6Ops6.MaxEpochs))
+      assert(math.abs(r.getDouble(6) - Parity.r6d(target.toDouble / avail)) < 1e-9)
+    }
+    // targets approximately exhaust the 2x budget
+    val budget = totalTokens * Round6Ops6.EpochBudgetMultiple
+    val tgt = rows.map(_.getLong(5)).sum
+    assert(math.abs(tgt - budget).toDouble / budget < 1e-3)
+    // temperature flattening: under-represented groups get epochs > multiple
+    assert(rows.exists(_.getDouble(6) > Round6Ops6.EpochBudgetMultiple))
+  }
+
+  // ---------------------------------------------- events_conversion_lag
+
+  test("conversion lag: buckets respect ranges; converters reconcile") {
+    val rows = Round6Ops6.eventsConversionLag(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val valid = Set("a_under_1h", "b_1_6h", "c_7_24h", "d_over_24h")
+    rows.foreach { r =>
+      assert(valid.contains(r.getString(0)))
+      val m = r.getDouble(2)
+      r.getString(0) match {
+        case "a_under_1h" => assert(m == 0.0)
+        case "b_1_6h"     => assert(m >= 1 && m <= 6)
+        case "c_7_24h"    => assert(m >= 7 && m <= 24)
+        case _            => assert(m > 24)
+      }
+    }
+    val converters = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == converters)
+  }
+
+  // ---------------------------------------------- graph_assortativity
+
+  test("assortativity: single row; correlation bounded; driver-side replay") {
+    val rows = Round6Ops6.graphAssortativity(spark, sf).collect()
+    assert(rows.length == 1)
+    val r0 = rows.head
+    assert(r0.getLong(0) >= 1 && r0.getLong(1) >= 1)
+    if (!r0.isNullAt(3))
+      assert(r0.getDouble(3) >= -1.0 - 1e-9 && r0.getDouble(3) <= 1.0 + 1e-9)
+    // replay from the collected edge set
+    val e = graft.operators.Similarity.knnGraph(spark, sf, 3)
+      .select("q_id", "vec_id").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    assert(r0.getLong(0) == deg.size)
+    assert(r0.getLong(1) == e.size / 2)
+    val xy = e.toSeq.map { case (a, b) => (deg(a).toDouble, deg(b).toDouble) }
+    def dsum(vs: Seq[Double]) =
+      vs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val m = xy.length.toDouble
+    val (sx, sy) = (dsum(xy.map(_._1)), dsum(xy.map(_._2)))
+    val (sxy, sxx, syy) = (dsum(xy.map(p => p._1 * p._2)),
+      dsum(xy.map(p => p._1 * p._1)), dsum(xy.map(p => p._2 * p._2)))
+    val (cxy, cxx, cyy) = (sxy - sx * sy / m, sxx - sx * sx / m, syy - sy * sy / m)
+    if (cxx > 0 && cyy > 0)
+      assert(r0.getDouble(3) == Parity.r6d(cxy / (math.sqrt(cxx) * math.sqrt(cyy))))
+  }
 }
