@@ -27,7 +27,7 @@ object Curation {
       lit(0.3) * least(lit(1.0), len / lit(500.0)), 6)
   }
 
-  private def qualitySqlFrag: String = {
+  private[graft] def qualitySqlFrag: String = {
     val stopList = graft.functions.TextFunctions.stopwordsEn
       .map(w => s"'$w'").mkString(", ")
     val toks = "string_split(lower(trim(text)), ' ')"

@@ -695,4 +695,98 @@ object Round6Ops6 {
        |       END AS assortativity
        |FROM m CROSS JOIN nd""".stripMargin
   }
+
+  // ------------------------------------------------ #199 doc_feature_corr
+
+  /** The four per-document quality-battery features the correlation
+    * audit runs over, in output order. */
+  private[graft] val CorrFeatures = Seq("chars", "flesch", "quality", "tokens")
+
+  /** #199 doc_feature_corr: the FEATURE-REDUNDANCY audit over the text
+    * quality battery — pairwise Pearson correlations between document
+    * length (chars), Flesch ease (#175), the combined quality score
+    * (#22) and token count, over every document. The readout a
+    * curation team checks before adding another gate: two features
+    * correlating at |r| ≳ 0.9 filter the same documents twice (one
+    * threshold inherits the other's bias), and a quality score that
+    * correlates strongly with raw length is measuring size, not
+    * quality.
+    *
+    * Scale shape: ONE map-only scan computes all four features and
+    * every moment (4 sums + 10 second moments, decimal-exact) in a
+    * single aggregate; the 6-row correlation table is pure algebra on
+    * that one-row model result. */
+  def docFeatureCorr(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val w = size(toks)
+    val se = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val sy = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    val flesch = r(lit(206.835) - lit(1.015) * (w / se) - lit(84.6) * (sy / w), 6)
+    val feats: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "chars" -> length(col("text")).cast("double"),
+      "flesch" -> flesch,
+      "quality" -> TextOps.qualityCol,
+      "tokens" -> w.cast("double"))
+    val base = Tables.documents(s, dir)
+      .filter(size(toks) > 0)
+      .select(feats.map { case (n0, c) => c.as(n0) }: _*)
+    val pairs = for {
+      i <- CorrFeatures.indices; j <- i until CorrFeatures.length
+    } yield (CorrFeatures(i), CorrFeatures(j))
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (CorrFeatures.map(f => dsum(col(f)).as(s"s_$f")) ++
+       pairs.map { case (a, b) => dsum(col(a) * col(b)).as(s"ss_${a}_$b") })
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def cm(a: String, b: String) = {
+      val (x, y) = if (a <= b) (a, b) else (b, a)
+      col(s"ss_${x}_$y") - col(s"s_$a") * col(s"s_$b") / col("n")
+    }
+    val rows = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+      m.select(lit(a).as("feature_a"), lit(b).as("feature_b"),
+               col("n").cast("long").as("n_docs"),
+               when(cm(a, a) > 0 && cm(b, b) > 0,
+                 r(cm(a, b) / (sqrt(cm(a, a)) * sqrt(cm(b, b))), 6)).as("corr"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("feature_a"), col("feature_b"))
+  }
+
+  val docFeatureCorrSql: String = {
+    val w = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val se = "GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))"
+    val sy = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+    val flesch = sqlR(s"206.835 - 1.015 * ($w / $se) - 84.6 * ($sy / $w)", 6)
+    val defs = Map(
+      "chars" -> "CAST(length(text) AS DOUBLE)",
+      "flesch" -> flesch,
+      "quality" -> Curation.qualitySqlFrag,
+      "tokens" -> s"CAST($w AS DOUBLE)")
+    val featSel = CorrFeatures.map(f => s"${defs(f)} AS $f").mkString(",\n         ")
+    val pairs = for {
+      i <- CorrFeatures.indices; j <- i until CorrFeatures.length
+    } yield (CorrFeatures(i), CorrFeatures(j))
+    val moments = (s"CAST(count(*) AS DOUBLE) AS n" +:
+      (CorrFeatures.map(f => s"${sqlSum(f)} AS s_$f") ++
+       pairs.map { case (a, b) => s"${sqlSum(s"$a * $b")} AS ss_${a}_$b" }))
+      .mkString(",\n         ")
+    def cmf(a: String, b: String) = {
+      val (x, y) = if (a <= b) (a, b) else (b, a)
+      s"(ss_${x}_$y - s_$a * s_$b / n)"
+    }
+    val sel = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+      s"""SELECT '$a' AS feature_a, '$b' AS feature_b,
+         |       CAST(n AS BIGINT) AS n_docs,
+         |       CASE WHEN ${cmf(a, a)} > 0 AND ${cmf(b, b)} > 0
+         |            THEN ${sqlR(s"${cmf(a, b)} / (sqrt(${cmf(a, a)}) * sqrt(${cmf(b, b)}))", 6)}
+         |       END AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+       |  SELECT $featSel
+       |  FROM documents WHERE $w > 0),
+       |m AS (
+       |  SELECT $moments
+       |  FROM f)
+       |$sel
+       |ORDER BY feature_a, feature_b""".stripMargin
+  }
 }

@@ -1109,4 +1109,84 @@ object Similarity {
        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
        |FROM dist d JOIN stats s USING (label)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------ #198 emb_cluster_stability
+
+  /** #198 emb_cluster_stability: bootstrap STABILITY of the IVF coarse
+    * quantizer — train the deterministic k-means twice (full corpus vs
+    * the even-id half), assign EVERY vector under both models, and
+    * report the full×half contingency table with the Adjusted Rand
+    * Index (Hubert–Arabie 1985). The clustering-trustworthiness probe
+    * that belongs BETWEEN #156 (how many cells) and #133 (how well
+    * separated): ARI ≈ 1 says half the data finds the same structure —
+    * the partition is real; ARI ≈ 0 says the cells are an artifact of
+    * the sample and every downstream cell-blocked dedup (#31f/#31i)
+    * inherits that noise.
+    *
+    * Scale shape: two model-sized trainings over the shared pinned
+    * corpus (the #31b contract — only k×dim centroids ever collect),
+    * two map-only assignment scans, one k×k contingency groupBy; every
+    * ARI ingredient is an integer pair count C(n,2) — exact in both
+    * engines — with one final IEEE division. */
+  def embClusterStability(s: SparkSession, dir: String,
+                          nCells: Int = 16, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+    val full = assignNearest(corpus, trainCentroids(corpus, nCells, iters))
+      .select(col("vec_id"), col("cluster").as("cluster_full"))
+    val half = assignNearest(corpus,
+        trainCentroids(corpus.filter(col("vec_id") % 2 === 0), nCells, iters))
+      .select(col("vec_id"), col("cluster").as("cluster_half"))
+    val ct = full.join(half, Seq("vec_id"))
+      .groupBy(col("cluster_full"), col("cluster_half"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = ct.agg(
+      sum(col("n")).as("nn"),
+      sum(expr("n * (n - 1) div 2")).as("sij"))
+    val sa = ct.groupBy(col("cluster_full")).agg(sum(col("n")).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("sa"))
+    val sb = ct.groupBy(col("cluster_half")).agg(sum(col("n")).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("sb"))
+    // exact integer product BEFORE the double division (a double nn²
+    // would round past 2^53 where the BIGINT product is still exact)
+    val cn2 = (col("nn") * (col("nn") - 1)).cast("double") / 2
+    val expIdx = col("sa").cast("double") * col("sb") / cn2
+    val ari = when((col("sa") + col("sb")).cast("double") / 2 - expIdx =!= 0.0,
+      r((col("sij") - expIdx) /
+        ((col("sa") + col("sb")).cast("double") / 2 - expIdx), 6))
+    ct.crossJoin(broadcast(
+        pairs.crossJoin(sa).crossJoin(sb).select(ari.as("ari"))))
+      .select(col("cluster_full"), col("cluster_half"), col("n"), col("ari"))
+      .orderBy(col("cluster_full"), col("cluster_half"))
+  }
+
+  def embClusterStabilitySql(nCells: Int = 16, iters: Int = 3): String = {
+    val cn2 = "(CAST(nn * (nn - 1) AS DOUBLE) / 2)"
+    val expIdx = s"(CAST(sa AS DOUBLE) * sb / $cn2)"
+    val half = s"((CAST(sa AS DOUBLE) + sb) / 2)"
+    s"""WITH ${ivfChainBody(nCells, iters, "_f")},
+       |${ivfChainBody(nCells, iters, "_h", "vec_id % 2 = 0")},
+       |ct AS (
+       |  SELECT f.cl AS cluster_full, h.cl AS cluster_half, count(*) AS n
+       |  FROM bucketed_f f JOIN bucketed_h h ON f.vec_id = h.vec_id
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS sij
+       |  FROM ct),
+       |ma AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sa FROM
+       |         (SELECT cluster_full, CAST(sum(n) AS BIGINT) AS c
+       |          FROM ct GROUP BY 1)),
+       |mb AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sb FROM
+       |         (SELECT cluster_half, CAST(sum(n) AS BIGINT) AS c
+       |          FROM ct GROUP BY 1)),
+       |ar AS (
+       |  SELECT CASE WHEN $half - $expIdx <> 0.0
+       |              THEN ${sqlR(s"(sij - $expIdx) / ($half - $expIdx)", 6)}
+       |         END AS ari
+       |  FROM pr CROSS JOIN ma CROSS JOIN mb)
+       |SELECT ct.cluster_full, ct.cluster_half, ct.n, ar.ari
+       |FROM ct CROSS JOIN ar
+       |ORDER BY cluster_full, cluster_half""".stripMargin
+  }
 }

@@ -239,4 +239,58 @@ class Round6Ops6Spec extends AnyFunSuite {
     if (cxx > 0 && cyy > 0)
       assert(r0.getDouble(3) == Parity.r6d(cxy / (math.sqrt(cxx) * math.sqrt(cyy))))
   }
+
+  // ------------------------------------------------ emb_cluster_stability
+
+  test("cluster stability: contingency covers the corpus; ARI replayed exactly from the table") {
+    val rows = graft.operators.Similarity.embClusterStability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == n)
+    val ari = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) == ari))
+    assert(ari <= 1.0 + 1e-9)
+    // exact replay from the contingency counts
+    def c2(x: Long) = x * (x - 1) / 2
+    val sij = rows.map(r => c2(r.getLong(2))).sum
+    val sa = rows.groupBy(_.getInt(0)).values.map(g => c2(g.map(_.getLong(2)).sum)).sum
+    val sb = rows.groupBy(_.getInt(1)).values.map(g => c2(g.map(_.getLong(2)).sum)).sum
+    val cn2 = (n * (n - 1)).toDouble / 2
+    val expIdx = sa.toDouble * sb / cn2
+    val denom = (sa.toDouble + sb) / 2 - expIdx
+    assert(ari == Parity.r6d((sij - expIdx) / denom))
+    // the deterministic trainer should find broadly similar structure
+    // from half the data on this corpus
+    assert(ari > 0.1, s"suspiciously unstable clustering: ari=$ari")
+  }
+
+  // ---------------------------------------------------- doc_feature_corr
+
+  test("feature corr: six ordered pairs within [-1,1]; chars-tokens pair replayed") {
+    val rows = Round6Ops6.docFeatureCorr(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1)) // canonical pair order
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+    // length in chars and length in tokens must co-vary strongly
+    val ct = rows.find(r => r.getString(0) == "chars" && r.getString(1) == "tokens").get
+    assert(ct.getDouble(3) > 0.5, s"chars-tokens corr ${ct.getDouble(3)}")
+    // driver replay for that pair
+    val xs = graft.sources.Tables.documents(spark, sf)
+      .select(length(col("text")).cast("double").as("c"),
+              size(split(trim(col("text")), "\\s+")).cast("double").as("t"))
+      .filter(col("t") > 0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def dsum(vs: Seq[Double]) =
+      vs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val nn = xs.length.toDouble
+    val (sx, sy) = (dsum(xs.map(_._1)), dsum(xs.map(_._2)))
+    val (sxy, sxx, syy) = (dsum(xs.map(p => p._1 * p._2)),
+      dsum(xs.map(p => p._1 * p._1)), dsum(xs.map(p => p._2 * p._2)))
+    val (cxy, cxx, cyy) = (sxy - sx * sy / nn, sxx - sx * sx / nn, syy - sy * sy / nn)
+    assert(ct.getLong(2) == xs.length)
+    assert(ct.getDouble(3) == Parity.r6d(cxy / (math.sqrt(cxx) * math.sqrt(cyy))))
+  }
 }
