@@ -15,29 +15,11 @@ import graft.sources.Tables
   */
 object Curation {
 
-  /** The #22 quality score as a reusable column (identical formula). */
-  private def qualityCol: Column = {
-    val toks = graft.functions.TextFunctions.lowerTokens(col("text"))
-    val len = length(col("text"))
-    val punct = regexp_count(col("text"), lit("[.,;:!?]"))
-    val stop = graft.functions.TextFunctions.markerCount(
-      toks, graft.functions.TextFunctions.stopwordsEn)
-    r(lit(0.4) * (stop / size(toks)) +
-      lit(0.3) * (lit(1.0) - punct / len) +
-      lit(0.3) * least(lit(1.0), len / lit(500.0)), 6)
-  }
+  /** The #22 quality score, shared with every other quality consumer
+    * (the single Spark/SQL pair lives in [[TextOps]]). */
+  private def qualityCol: Column = TextOps.qualityCol
 
-  private[graft] def qualitySqlFrag: String = {
-    val stopList = graft.functions.TextFunctions.stopwordsEn
-      .map(w => s"'$w'").mkString(", ")
-    val toks = "string_split(lower(trim(text)), ' ')"
-    val stop = s"len(list_filter($toks, x -> x IN ($stopList)))"
-    val punct = "len(regexp_extract_all(text, '[.,;:!?]'))"
-    val len = "length(text)"
-    sqlR(s"0.4 * (CAST($stop AS DOUBLE) / len($toks)) + " +
-         s"0.3 * (1.0 - CAST($punct AS DOUBLE) / $len) + " +
-         s"0.3 * least(1.0, CAST($len AS DOUBLE) / 500.0)", 6)
-  }
+  private def qualitySqlFrag: String = TextOps.qualitySqlFrag
 
   /** #77 corpus_token_budget: select the highest-quality documents whose
     * total token count fits a budget — by quality THRESHOLD, not by

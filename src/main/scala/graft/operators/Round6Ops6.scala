@@ -27,22 +27,35 @@ object Round6Ops6 {
     * algebra on the ≤|langs|² matrix (window sums on a model table). */
   def textLangidEval(s: SparkSession, dir: String): DataFrame = {
     val cm = TextOps.textLangid(s, dir)
-    val wTrue = Window.partitionBy(col("lang"))
-    val wPred = Window.partitionBy(col("predicted"))
+    // Per-language rows come from BOTH roles of the matrix (truth and
+    // prediction, full outer) so a language with zero true positives —
+    // the exact failure this readout exists to surface — still gets a
+    // row with recall 0 instead of silently vanishing with the missing
+    // diagonal cell.
+    // Single reference to cm (one corpus scan): each matrix cell plays
+    // its truth role and its prediction role via one explode, then one
+    // groupBy per language folds both.
+    val roles = cm.select(explode(array(
+        struct(col("lang").as("l"), lit(true).as("is_true"), col("n"),
+               when(col("lang") === col("predicted"), col("n")).otherwise(0L)
+                 .as("tp")),
+        struct(col("predicted").as("l"), lit(false).as("is_true"), col("n"),
+               lit(0L).as("tp")))).as("e"))
+      .select(col("e.l").as("lang"), col("e.is_true"), col("e.n"), col("e.tp"))
+    val per = roles.groupBy(col("lang"))
+      .agg(sum(when(col("is_true"), col("n")).otherwise(0L)).as("n_true"),
+           sum(when(!col("is_true"), col("n")).otherwise(0L)).as("n_pred"),
+           sum(when(col("is_true"), col("tp")).otherwise(0L)).as("n_tp"))
     val wAll = Window.partitionBy()
-    val tp = sum(when(col("lang") === col("predicted"), col("n"))
-      .otherwise(0L)).over(wTrue)
-    val enriched = cm
-      .withColumn("n_true", sum(col("n")).over(wTrue))
-      .withColumn("n_pred", sum(col("n")).over(wPred))
+    val prec = when(col("n_pred") > 0, r(col("n_tp") / col("n_pred"), 6))
+      .otherwise(lit(0.0))
+    val rec = when(col("n_true") > 0, r(col("n_tp") / col("n_true"), 6))
+      .otherwise(lit(0.0))
+    per
       .withColumn("accuracy",
-        r(sum(when(col("lang") === col("predicted"), col("n")).otherwise(0L))
-            .over(wAll) / sum(col("n")).over(wAll), 6))
-    enriched.filter(col("lang") === col("predicted"))
-      .select(col("lang"), col("n_true"), col("n_pred"), col("n").as("n_tp"),
-              r(col("n") / col("n_pred"), 6).as("precision"),
-              r(col("n") / col("n_true"), 6).as("recall"),
-              col("accuracy"))
+        r(sum(col("n_tp")).over(wAll) / sum(col("n_true")).over(wAll), 6))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("n_tp"),
+              prec.as("precision"), rec.as("recall"), col("accuracy"))
       .withColumn("f1",
         when(col("precision") + col("recall") > 0,
           r(lit(2) * col("precision") * col("recall") /
@@ -53,23 +66,30 @@ object Round6Ops6 {
   }
 
   val textLangidEvalSql: String = {
-    val p6 = sqlR("n / n_pred", 6)
-    val r6v = sqlR("n / n_true", 6)
+    val p6 = sqlR("n_tp / n_pred", 6)
+    val r6v = sqlR("n_tp / n_true", 6)
+    val prec = s"CASE WHEN n_pred > 0 THEN $p6 ELSE 0.0 END"
+    val rec = s"CASE WHEN n_true > 0 THEN $r6v ELSE 0.0 END"
     s"""WITH cm AS (${TextOps.textLangidSql}),
-       |e AS (
-       |  SELECT lang, predicted, n,
-       |         sum(n) OVER (PARTITION BY lang) AS n_true,
-       |         sum(n) OVER (PARTITION BY predicted) AS n_pred,
-       |         ${sqlR("(sum(CASE WHEN lang = predicted THEN n ELSE 0 END) OVER ()) / (sum(n) OVER ())", 6)} AS accuracy
-       |  FROM cm)
-       |SELECT lang, CAST(n_true AS BIGINT) AS n_true,
-       |       CAST(n_pred AS BIGINT) AS n_pred, CAST(n AS BIGINT) AS n_tp,
-       |       $p6 AS precision, $r6v AS recall,
-       |       CASE WHEN ($p6) + ($r6v) > 0
-       |            THEN ${sqlR(s"2 * ($p6) * ($r6v) / (($p6) + ($r6v))", 6)}
+       |bt AS (
+       |  SELECT lang, sum(n) AS n_true,
+       |         sum(CASE WHEN lang = predicted THEN n ELSE 0 END) AS n_tp
+       |  FROM cm GROUP BY 1),
+       |bp AS (SELECT predicted AS lang_p, sum(n) AS n_pred FROM cm GROUP BY 1),
+       |t AS (SELECT ${sqlR("sum(CASE WHEN lang = predicted THEN n ELSE 0 END) / sum(n)", 6)} AS accuracy FROM cm),
+       |j AS (
+       |  SELECT COALESCE(lang, lang_p) AS lang,
+       |         CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+       |         CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+       |         CAST(COALESCE(n_tp, 0) AS BIGINT) AS n_tp
+       |  FROM bt FULL OUTER JOIN bp ON bt.lang = bp.lang_p)
+       |SELECT lang, n_true, n_pred, n_tp,
+       |       $prec AS precision, $rec AS recall,
+       |       CASE WHEN ($prec) + ($rec) > 0
+       |            THEN ${sqlR(s"2 * ($prec) * ($rec) / (($prec) + ($rec))", 6)}
        |            ELSE 0.0 END AS f1,
        |       accuracy
-       |FROM e WHERE lang = predicted ORDER BY lang""".stripMargin
+       |FROM j CROSS JOIN t ORDER BY lang""".stripMargin
   }
 
   // ------------------------------------------- #189 events_markov_entropy
@@ -98,7 +118,12 @@ object Round6Ops6 {
     val wPrev = Window.partitionBy(col("prev"))
     val wAll = Window.partitionBy()
     val p = col("n") / sum(col("n")).over(wPrev)
-    val hTerm = r(-r(p, 6) * r(log(r(p, 6)), 6), 6)
+    // p > 0 guard: a probability that 6dp-rounds to zero must contribute
+    // 0 (the p·ln p limit) on BOTH engines — unguarded, Spark's log(0)
+    // is NULL (term silently dropped) while DuckDB's ln(0) is -inf,
+    // which NaNs the decimal sum and aborts the oracle.
+    val hTerm = when(r(p, 6) > 0,
+      r(-r(p, 6) * r(log(r(p, 6)), 6), 6)).otherwise(lit(0.0))
     val perState = trans
       .withColumn("h_term", hTerm)
       .groupBy(col("prev"))
@@ -118,7 +143,8 @@ object Round6Ops6 {
   val eventsMarkovEntropySql: String = {
     val p = "n / (sum(n) OVER (PARTITION BY prev))"
     val p6 = sqlR(p, 6)
-    val hTerm = sqlR(s"-($p6) * (${sqlR(s"ln($p6)", 6)})", 6)
+    val hTerm =
+      s"CASE WHEN ($p6) > 0 THEN ${sqlR(s"-($p6) * (${sqlR(s"ln($p6)", 6)})", 6)} ELSE 0.0 END"
     s"""WITH trans AS (
        |  SELECT prev, event_type AS next, count(*) AS n
        |  FROM (SELECT event_type,
@@ -715,20 +741,28 @@ object Round6Ops6 {
     * Scale shape: ONE map-only scan computes all four features and
     * every moment (4 sums + 10 second moments, decimal-exact) in a
     * single aggregate; the 6-row correlation table is pure algebra on
-    * that one-row model result. */
+    * that one-row model result, unpacked with one explode so the
+    * aggregate subplan appears exactly once.
+    *
+    * Numeric discipline: Pearson correlation is invariant under
+    * positive affine rescaling, so each feature is expressed in
+    * bounded units (chars and tokens in thousands, Flesch in
+    * hundreds) BEFORE the moment accumulation — every cross-product
+    * then stays far below the ~1e8 double→decimal cast-divergence
+    * magnitude the #191 seasonal index documents (a 1e5-char document
+    * with a pathological Flesch would otherwise push chars·flesch to
+    * ~1e9, where the two engines' decimal casts split at the ulp). */
   def docFeatureCorr(s: SparkSession, dir: String): DataFrame = {
-    val toks = graft.functions.TextFunctions.tokens(col("text"))
-    val w = size(toks)
-    val se = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
-    val sy = regexp_count(lower(col("text")), lit("[aeiouy]+"))
-    val flesch = r(lit(206.835) - lit(1.015) * (w / se) - lit(84.6) * (sy / w), 6)
+    val w = TextOps2.fleschWords
+    val flesch = TextOps2.fleschEase(w, TextOps2.fleschSentences,
+                                     TextOps2.fleschSyllables)
     val feats: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-      "chars" -> length(col("text")).cast("double"),
-      "flesch" -> flesch,
+      "chars" -> r(length(col("text")) / lit(1000.0), 6),
+      "flesch" -> r(flesch / lit(100.0), 6),
       "quality" -> TextOps.qualityCol,
-      "tokens" -> w.cast("double"))
+      "tokens" -> r(w / lit(1000.0), 6))
     val base = Tables.documents(s, dir)
-      .filter(size(toks) > 0)
+      .filter(w > 0)
       .select(feats.map { case (n0, c) => c.as(n0) }: _*)
     val pairs = for {
       i <- CorrFeatures.indices; j <- i until CorrFeatures.length
@@ -741,25 +775,27 @@ object Round6Ops6 {
       val (x, y) = if (a <= b) (a, b) else (b, a)
       col(s"ss_${x}_$y") - col(s"s_$a") * col(s"s_$b") / col("n")
     }
-    val rows = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
-      m.select(lit(a).as("feature_a"), lit(b).as("feature_b"),
-               col("n").cast("long").as("n_docs"),
-               when(cm(a, a) > 0 && cm(b, b) > 0,
-                 r(cm(a, b) / (sqrt(cm(a, a)) * sqrt(cm(b, b))), 6)).as("corr"))
+    val pairStructs = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+      struct(lit(a).as("feature_a"), lit(b).as("feature_b"),
+             when(cm(a, a) > 0 && cm(b, b) > 0,
+               r(cm(a, b) / (sqrt(cm(a, a)) * sqrt(cm(b, b))), 6)).as("corr"))
     }
-    rows.reduce(_ unionByName _).orderBy(col("feature_a"), col("feature_b"))
+    m.select(col("n").cast("long").as("n_docs"),
+             explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.feature_a"), col("p.feature_b"), col("n_docs"),
+              col("p.corr"))
+      .orderBy(col("feature_a"), col("feature_b"))
   }
 
   val docFeatureCorrSql: String = {
-    val w = "len(regexp_split_to_array(trim(text), '\\s+'))"
-    val se = "GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))"
-    val sy = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
-    val flesch = sqlR(s"206.835 - 1.015 * ($w / $se) - 84.6 * ($sy / $w)", 6)
+    val w = TextOps2.fleschWordsSql
+    val flesch = TextOps2.fleschEaseSql(
+      w, TextOps2.fleschSentencesSql, TextOps2.fleschSyllablesSql)
     val defs = Map(
-      "chars" -> "CAST(length(text) AS DOUBLE)",
-      "flesch" -> flesch,
-      "quality" -> Curation.qualitySqlFrag,
-      "tokens" -> s"CAST($w AS DOUBLE)")
+      "chars" -> sqlR("length(text) / 1000.0", 6),
+      "flesch" -> sqlR(s"($flesch) / 100.0", 6),
+      "quality" -> TextOps.qualitySqlFrag,
+      "tokens" -> sqlR(s"($w) / 1000.0", 6))
     val featSel = CorrFeatures.map(f => s"${defs(f)} AS $f").mkString(",\n         ")
     val pairs = for {
       i <- CorrFeatures.indices; j <- i until CorrFeatures.length

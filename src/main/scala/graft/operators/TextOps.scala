@@ -60,6 +60,19 @@ object TextOps {
       qualityCol.as("quality"))
   }
 
+  /** The #22 quality score as a DuckDB fragment over a `text` column —
+    * the single SQL mirror of [[qualityCol]]; every oracle that scores
+    * quality (#22, #77, #199) reads THIS, never a re-derived copy. */
+  private[graft] val qualitySqlFrag: String = {
+    val stopList = stopwordsEn.map(w => s"'$w'").mkString(", ")
+    val toks = "string_split(lower(trim(text)), ' ')"
+    val stop = s"len(list_filter($toks, x -> x IN ($stopList)))"
+    val punct = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    val len = "length(text)"
+    sqlR(s"0.4 * ($stop / len($toks)) + 0.3 * (1.0 - $punct / $len)" +
+         s" + 0.3 * LEAST(1.0, $len / 500.0)", 6)
+  }
+
   val textQualitySql: String = {
     val stopList = stopwordsEn.map(w => s"'$w'").mkString(", ")
     val toks = "string_split(lower(trim(text)), ' ')"
@@ -71,8 +84,7 @@ object TextOps {
        |  ${sqlR(s"$punct / $len", 6)} AS punct_ratio,
        |  ${sqlR(s"$stop / len($toks)", 6)} AS stop_ratio,
        |  ${sqlR(s"$upper / $len", 6)} AS upper_ratio,
-       |  ${sqlR(s"0.4 * ($stop / len($toks)) + 0.3 * (1.0 - $punct / $len)" +
-                 s" + 0.3 * LEAST(1.0, $len / 500.0)", 6)} AS quality
+       |  $qualitySqlFrag AS quality
        |FROM documents""".stripMargin
   }
 

@@ -332,17 +332,37 @@ object TextOps2 {
     *
     * Scale shape: one map-only scan of codegen'd regex counters; no
     * joins, no shuffle. */
+  /** The #175 Flesch proxy counters over a `text` column, as the single
+    * Spark/SQL pair — any operator auditing "flesch" (#199) must read
+    * THESE so it measures the same statistic #175 reports. */
+  private[graft] def fleschWords: org.apache.spark.sql.Column =
+    size(graft.functions.TextFunctions.tokens(col("text")))
+  private[graft] def fleschSentences: org.apache.spark.sql.Column =
+    greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+  private[graft] def fleschSyllables: org.apache.spark.sql.Column =
+    regexp_count(lower(col("text")), lit("[aeiouy]+"))
+
+  /** Flesch reading ease from the three counters, 6dp-rounded. */
+  private[graft] def fleschEase(w: org.apache.spark.sql.Column, se: org.apache.spark.sql.Column,
+      sy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    r(lit(206.835) - lit(1.015) * (w / se) - lit(84.6) * (sy / w), 6)
+
+  private[graft] val fleschWordsSql = "len(regexp_split_to_array(trim(text), '\\s+'))"
+  private[graft] val fleschSentencesSql =
+    "GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))"
+  private[graft] val fleschSyllablesSql =
+    "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+
+  private[graft] def fleschEaseSql(w: String, se: String, sy: String): String =
+    sqlR(s"206.835 - 1.015 * (($w) / ($se)) - 84.6 * (($sy) / ($w))", 6)
+
   def textReadability(s: SparkSession, dir: String): DataFrame = {
-    val words = size(graft.functions.TextFunctions.tokens(col("text")))
-    val sentences = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
-    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
-              syllables.as("n_syllables"))
+      .select(col("doc_id"), fleschWords.as("n_words"),
+              fleschSentences.as("n_sentences"), fleschSyllables.as("n_syllables"))
       .filter(col("n_words") > 0)
       .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
-              r(lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences"))
-                - lit(84.6) * (col("n_syllables") / col("n_words")), 6)
+              fleschEase(col("n_words"), col("n_sentences"), col("n_syllables"))
                 .as("flesch_ease"),
               r(lit(0.39) * (col("n_words") / col("n_sentences"))
                 + lit(11.8) * (col("n_syllables") / col("n_words")) - lit(15.59), 6)
@@ -350,14 +370,12 @@ object TextOps2 {
   }
 
   val textReadabilitySql: String = {
-    val w = "len(regexp_split_to_array(trim(text), '\\s+'))"
-    val se = "GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))"
-    val sy = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
     s"""WITH c AS (
-       |  SELECT doc_id, $w AS n_words, $se AS n_sentences, $sy AS n_syllables
+       |  SELECT doc_id, $fleschWordsSql AS n_words,
+       |         $fleschSentencesSql AS n_sentences, $fleschSyllablesSql AS n_syllables
        |  FROM documents)
        |SELECT doc_id, n_words, n_sentences, n_syllables,
-       |       ${sqlR("206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words)", 6)} AS flesch_ease,
+       |       ${fleschEaseSql("n_words", "n_sentences", "n_syllables")} AS flesch_ease,
        |       ${sqlR("0.39 * (n_words / n_sentences) + 11.8 * (n_syllables / n_words) - 15.59", 6)} AS fk_grade
        |FROM c WHERE n_words > 0""".stripMargin
   }

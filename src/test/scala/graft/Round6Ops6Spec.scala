@@ -24,14 +24,20 @@ class Round6Ops6Spec extends AnyFunSuite {
     val total = cm.values.sum
     val diag = cm.filter { case ((t, p), _) => t == p }.values.sum
     assert(acc == Parity.r6d(diag.toDouble / total))
+    // every language seen in EITHER role gets a row — zero-TP languages
+    // must not vanish from the readout
+    val langs = cm.keys.flatMap { case (t, p) => Seq(t, p) }.toSet
+    assert(rows.map(_.getString(0)).toSet == langs)
     rows.foreach { r =>
       val lang = r.getString(0)
       val nTrue = cm.filter(_._1._1 == lang).values.sum
       val nPred = cm.filter(_._1._2 == lang).values.sum
       val tp = cm.getOrElse((lang, lang), 0L)
       assert(r.getLong(1) == nTrue && r.getLong(2) == nPred && r.getLong(3) == tp)
-      assert(r.getDouble(4) == Parity.r6d(tp.toDouble / nPred))
-      assert(r.getDouble(5) == Parity.r6d(tp.toDouble / nTrue))
+      val expP = if (nPred > 0) Parity.r6d(tp.toDouble / nPred) else 0.0
+      val expR = if (nTrue > 0) Parity.r6d(tp.toDouble / nTrue) else 0.0
+      assert(r.getDouble(4) == expP)
+      assert(r.getDouble(5) == expR)
       assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
     }
   }
@@ -277,12 +283,16 @@ class Round6Ops6Spec extends AnyFunSuite {
     // length in chars and length in tokens must co-vary strongly
     val ct = rows.find(r => r.getString(0) == "chars" && r.getString(1) == "tokens").get
     assert(ct.getDouble(3) > 0.5, s"chars-tokens corr ${ct.getDouble(3)}")
-    // driver replay for that pair
+    // driver replay for that pair, in the operator's bounded units
+    // (thousands — Pearson is scale-invariant, the rescale keeps every
+    // cross-product below the decimal-cast divergence magnitude)
     val xs = graft.sources.Tables.documents(spark, sf)
       .select(length(col("text")).cast("double").as("c"),
               size(split(trim(col("text")), "\\s+")).cast("double").as("t"))
       .filter(col("t") > 0)
-      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      .collect()
+      .map(r => (Parity.r6d(r.getDouble(0) / 1000.0),
+                 Parity.r6d(r.getDouble(1) / 1000.0)))
     def dsum(vs: Seq[Double]) =
       vs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
     val nn = xs.length.toDouble
