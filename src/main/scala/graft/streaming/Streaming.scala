@@ -306,6 +306,47 @@ object Streaming {
       graft.operators.Sketches.bloomProbeReport(s, dir, s.table(name)))
   }
 
+  /** #213 stream_ams_f2: the #212 AMS F₂ sketch maintained
+    * incrementally — the signed counters Z_r ARE the streaming state
+    * (sum is the merge operator: each event adds its user's ±1), so the
+    * streamed registers are bit-identical to the batch build and the
+    * batch oracle checks the estimate/exact report. O(types×rows)
+    * integer state, no raw retention — the same mergeable-register
+    * contract as [[streamHll]]/[[streamCms]]. */
+  def streamAmsF2(s: SparkSession, dir: String): DataFrame = {
+    val name = s"ams_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Round6Ops10.amsRegisters(eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name, graft.operators.Round6Ops10.amsFinalize(
+      s.table(name), Tables.events(s, dir)))
+  }
+
+  /** #215 stream_sample: the #214 deterministic bottom-k uniform sample
+    * maintained incrementally — the per-type k-min record heap IS the
+    * streaming state (CollectTopK merges across micro-batches: a new
+    * event displaces the largest ticket only if it wins), so the
+    * drained sample is bit-identical to the batch build over the same
+    * events and stays a uniform sample of everything seen. O(types×k)
+    * state; the batch oracle checks the exact rows. */
+  def streamSample(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sample_${System.nanoTime()}"
+    graft.functions.GraftFunctions.ensure(s)
+    withStreamPartitions(s) {
+      val q = graft.operators.Round6Ops10.sampleSketch(eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Round6Ops10.sampleFinalize(s.table(name)))
+  }
+
   /** #168 stream_benford: the #161 Benford first-digit audit as a
     * CONTINUOUS data-quality monitor over the event stream — the shape
     * a feed-health deployment actually runs (a corrupted upstream shows
