@@ -128,7 +128,7 @@ object TimeSeries2 {
   /** Exact linear-interpolation median over a sorted array (same formula
     * as Analytics2.linQuantile at p=0.5 — engine medians differ in
     * interpolation ulps, this one is bit-portable). */
-  private def medSorted(vs: Column): Column = {
+  private[graft] def medSorted(vs: Column): Column = {
     val n = size(vs)
     val h = (n - 1) * lit(0.5)
     val l = floor(h).cast("int")
@@ -138,7 +138,7 @@ object TimeSeries2 {
     vl + (vu - vl) * f
   }
 
-  private def sqlMed(v: String): String = {
+  private[graft] def sqlMed(v: String): String = {
     val l = s"CAST(floor((count($v) - 1) * 0.5) AS INT)"
     val f = s"((count($v) - 1) * 0.5 - floor((count($v) - 1) * 0.5))"
     val vs = s"list_sort(list($v))"
