@@ -271,10 +271,19 @@ object Round6Ops11 {
   def dqVolumeAnomaly(s: SparkSession, dir: String): DataFrame =
     dqVolumeAnomalyDf(Tables.events(s, dir))
 
-  /** DataFrame-generic core: expects (ts). */
-  def dqVolumeAnomalyDf(ev: DataFrame): DataFrame = {
-    val daily = ev.groupBy(to_date(col("ts")).as("d"))
+  /** The mergeable day-count registers — count is the merge operator,
+    * so the SAME aggregate is the streaming state in
+    * [[graft.streaming.Streaming.streamVolumeAnomaly]]. */
+  def volumeDayCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n_raw"))
+
+  /** DataFrame-generic core: expects (ts). */
+  def dqVolumeAnomalyDf(ev: DataFrame): DataFrame =
+    volumeFinalize(volumeDayCounts(ev))
+
+  /** Spine + robust-z readout over the ≤|days| register table. */
+  def volumeFinalize(daily: DataFrame): DataFrame = {
     val spine = daily.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
       .select(explode(sequence(col("dmin"), col("dmax"))).as("d"))
     val filled = spine.join(daily, Seq("d"), "left")

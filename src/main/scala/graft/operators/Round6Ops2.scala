@@ -367,10 +367,10 @@ object Round6Ops2 {
     * shared by #137 and its CUPED companion #141 — re-keying it in one
     * op but not the other would silently split users into different
     * arms across the two readouts of the same experiment. */
-  private def armExpr: Column = expr(
+  private[graft] def armExpr: Column = expr(
     "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2")
 
-  private val armSqlCte: String =
+  private[graft] val armSqlCte: String =
     """users AS (
       |  SELECT user_id,
       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm

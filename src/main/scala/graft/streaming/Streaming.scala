@@ -347,6 +347,27 @@ object Streaming {
       graft.operators.Round6Ops10.sampleFinalize(s.table(name)))
   }
 
+  /** #228 stream_volume_anomaly: the #220 daily-volume feed monitor as
+    * a CONTINUOUS stream — the per-day count registers ARE the
+    * streaming state (count is the merge operator, late events land in
+    * their day's register), so the drained day table is bit-identical
+    * to the batch build and the spine + robust-z readout runs
+    * batch-side over the ≤|days| sink, sharing #220's oracle. State is
+    * calendar-bounded; the same mergeable-register contract as
+    * [[streamBenford]]. */
+  def streamVolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val name = s"vol_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Round6Ops11.volumeDayCounts(eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Round6Ops11.volumeFinalize(s.table(name)))
+  }
+
   /** #168 stream_benford: the #161 Benford first-digit audit as a
     * CONTINUOUS data-quality monitor over the event stream — the shape
     * a feed-health deployment actually runs (a corrupted upstream shows
