@@ -227,7 +227,7 @@ object Similarity {
     * means use decimal-exact averaging (order-independent → identical
     * assignments every run); only the k×dim centroid table is ever
     * collected (the "model" — tiny). */
-  private def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
+  private[graft] def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
     // init = the first k vectors BY ID of the given corpus (identical to
     // `vec_id < k` on the contiguous full corpus; well-defined for
     // training subsets — the #198 stability probe trains on a half)
@@ -259,7 +259,7 @@ object Similarity {
 
   /** Nearest-centroid assignment via the native FloatDot expression:
     * argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2); centroids are plan literals. */
-  private def assignNearest(df: DataFrame, centroids: Array[(Int, Array[Float])],
+  private[graft] def assignNearest(df: DataFrame, centroids: Array[(Int, Array[Float])],
                             embCol: String = "embedding"): DataFrame = {
     val scored = centroids.map { case (cid, c) =>
       struct(
@@ -310,7 +310,7 @@ object Similarity {
     * assignment) — init cells = first `nCells` vectors, assignment via
     * the sequential-fold FloatDot mirror, centroid means via the
     * decimal-exact 8dp average quantized to float. */
-  private def ivfChainSql(nCells: Int, iters: Int, sfx: String = ""): String =
+  private[graft] def ivfChainSql(nCells: Int, iters: Int, sfx: String = ""): String =
     "WITH " + ivfChainBody(nCells, iters, sfx)
 
   /** The k-means CTE chain WITHOUT the leading WITH, so two chains (the
