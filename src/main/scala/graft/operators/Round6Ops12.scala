@@ -104,7 +104,10 @@ object Round6Ops12 {
 
   /** DataFrame-generic core: expects (doc_id, text). */
   def textGarbageScoreDf(docs: DataFrame): DataFrame = {
-    val len = length(col("text")).cast("double")
+    // greatest(len, 1): an empty text has zero artifact counts, so the
+    // clamped denominator yields exact 0 ratios and a false verdict
+    // instead of NULL-poisoning downstream routing filters
+    val len = greatest(length(col("text")).cast("double"), lit(1.0))
     def ratio(pat: String): Column =
       r(regexp_count(col("text"), lit(pat)) / len, 6)
     val mixPat = "[a-z][0-9]+[a-z]"
@@ -126,9 +129,9 @@ object Round6Ops12 {
 
   val textGarbageScoreSql: String = {
     def ratio(pat: String) =
-      sqlR(s"len(regexp_extract_all(text, '$pat')) / CAST(length(text) AS DOUBLE)", 6)
+      sqlR(s"len(regexp_extract_all(text, '$pat')) / greatest(CAST(length(text) AS DOUBLE), 1.0)", 6)
     val mix =
-      sqlR("len(regexp_extract_all(lower(text), '[a-z][0-9]+[a-z]')) / CAST(length(text) AS DOUBLE)", 6)
+      sqlR("len(regexp_extract_all(lower(text), '[a-z][0-9]+[a-z]')) / greatest(CAST(length(text) AS DOUBLE), 1.0)", 6)
     val score = sqlR(
       "least(1.0, nonascii_ratio * 10) * 0.45 + " +
       "least(1.0, midcase_ratio * 30) * 0.3 + " +
@@ -263,7 +266,8 @@ object Round6Ops12 {
 
   /** DataFrame-generic core: expects (doc_id, text). */
   def textCodeDetectDf(docs: DataFrame): DataFrame = {
-    val len = length(col("text")).cast("double")
+    // same zero-length clamp as textGarbageScoreDf: 0 ratios, false flag
+    val len = greatest(length(col("text")).cast("double"), lit(1.0))
     val toks = lowerTokens(col("text"))
     docs
       .select(col("doc_id"),
@@ -293,10 +297,10 @@ object Round6Ops12 {
       "least(1.0, snake_ratio * 50) * 0.15", 6)
     s"""WITH f AS (
        |  SELECT doc_id,
-       |         ${sqlR("len(regexp_extract_all(text, '[{}();=]')) / CAST(length(text) AS DOUBLE)", 6)} AS brace_ratio,
+       |         ${sqlR("len(regexp_extract_all(text, '[{}();=]')) / greatest(CAST(length(text) AS DOUBLE), 1.0)", 6)} AS brace_ratio,
        |         ${sqlR(s"len(list_filter(string_split(lower(trim(text)), ' '), t -> t IN ($kws))) / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)", 6)} AS keyword_ratio,
-       |         ${sqlR("len(regexp_extract_all(text, '[a-z][A-Z][a-z]')) / CAST(length(text) AS DOUBLE)", 6)} AS camel_ratio,
-       |         ${sqlR("len(regexp_extract_all(text, '[a-z]_[a-z]')) / CAST(length(text) AS DOUBLE)", 6)} AS snake_ratio
+       |         ${sqlR("len(regexp_extract_all(text, '[a-z][A-Z][a-z]')) / greatest(CAST(length(text) AS DOUBLE), 1.0)", 6)} AS camel_ratio,
+       |         ${sqlR("len(regexp_extract_all(text, '[a-z]_[a-z]')) / greatest(CAST(length(text) AS DOUBLE), 1.0)", 6)} AS snake_ratio
        |  FROM documents)
        |SELECT doc_id, brace_ratio, keyword_ratio, camel_ratio, snake_ratio,
        |       $score AS code_score,

@@ -245,7 +245,11 @@ object Round6Ops9 {
 
   /** DataFrame-generic core: expects (vec_id, embedding ARRAY<FLOAT>). */
   def embEffectiveRankDf(emb: DataFrame, d: Int = ErDims): DataFrame = {
+    // short vectors would under-populate high-dimension cells and skew
+    // every per-cell n — drop them up front (none exist in the fixed-
+    // width table; the generic core must not silently mis-normalize)
     val pairs = emb
+      .filter(size(col("embedding")) >= d)
       .select(slice(col("embedding"), 1, d).as("e"))
       .select(col("e"), posexplode(col("e")).as(Seq("i0", "xr")))
       .select((col("i0") + 1).as("i"), col("xr").cast("double").as("x"),
@@ -272,7 +276,7 @@ object Round6Ops9 {
       .withColumn("tr2_term",
         r(when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0)) *
           col("c_ij") * col("c_ij"), 6))
-    c.agg(first(col("n")).as("n"),
+    c.agg(max(col("n")).as("n"),
           r(dsum(col("tr_term")), 6).as("tr_c"),
           r(dsum(col("tr2_term")), 6).as("tr_c2"))
       .withColumn("d", lit(d.toLong))
@@ -289,7 +293,7 @@ object Round6Ops9 {
        |         CAST(embedding[ii.i] AS DOUBLE) AS x,
        |         CAST(embedding[jj.j] AS DOUBLE) AS y
        |  FROM embeddings, range(1, ${d + 1}) ii(i), range(1, ${d + 1}) jj(j)
-       |  WHERE jj.j >= ii.i),
+       |  WHERE jj.j >= ii.i AND len(embedding) >= $d),
        |m AS (
        |  SELECT i, j, ${sqlSum("x * y")} AS sxy,
        |         ${sqlSum("CASE WHEN i = j THEN x END")} AS sx_diag,
