@@ -60,6 +60,28 @@ object TextOps {
       qualityCol.as("quality"))
   }
 
+  /** #238's mergeable per-source quality registers: doc count +
+    * decimal-exact sum of the 6dp-rounded #22 score — both merge by
+    * addition, so the SAME aggregate is the streaming state in
+    * [[graft.streaming.Streaming.streamDocQuality]]. */
+  def docQualityRegisters(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), dsum(qualityCol).as("q_sum"))
+
+  /** Per-source mean readout over the ≤|sources| register table. */
+  def docQualityFinalize(regs: DataFrame): DataFrame =
+    regs.select(col("source"), col("n_docs"),
+                r(col("q_sum") / col("n_docs"), 6).as("mean_quality"))
+      .orderBy(col("source"))
+
+  /** #238's oracle: the per-source mean of the shared quality frag
+    * (lazy: [[qualitySqlFrag]] initializes further down the object). */
+  lazy val docQualityBySourceSql: String =
+    s"""WITH q AS (SELECT source, $qualitySqlFrag AS quality FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       ${sqlR(s"${sqlSum("quality")} / count(*)", 6)} AS mean_quality
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The #22 quality score as a DuckDB fragment over a `text` column —
     * the single SQL mirror of [[qualityCol]]; every oracle that scores
     * quality (#22, #77, #199) reads THIS, never a re-derived copy. */

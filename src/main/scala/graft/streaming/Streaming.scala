@@ -347,6 +347,57 @@ object Streaming {
       graft.operators.Round6Ops10.sampleFinalize(s.table(name)))
   }
 
+  /** File-source stream over the documents table (the text-feed
+    * counterpart of [[eventsStream]]). */
+  private[streaming] def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val footerSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(footerSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** #238 stream_doc_quality: the #22 quality score as a CONTINUOUS
+    * ingest monitor over the documents feed — per source, the running
+    * doc count and decimal-exact quality sum ARE the streaming state
+    * (both merge by addition; the per-doc score is 6dp-rounded before
+    * the sum, the Parity contract), so the drained per-source means are
+    * bit-identical to a batch pass and the batch oracle checks them.
+    * The quality gate run at the ingest edge: a source whose mean
+    * quality steps down mid-crawl is a parser regression caught here,
+    * batches before the #132 curve would show it at rest. */
+  def streamDocQuality(s: SparkSession, dir: String): DataFrame = {
+    val name = s"docq_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.TextOps.docQualityRegisters(docsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.TextOps.docQualityFinalize(s.table(name)))
+  }
+
+  /** #240 stream_rule_check: the #239 event-feed rule registers
+    * maintained incrementally — the conditional violation counters ARE
+    * the streaming state (sums merge), so the drained register row is
+    * bit-identical to the batch build and #239's oracle checks the
+    * report. The continuous contract test at the ingest edge; #234's
+    * join rules stay batch, exactly because row-local rules are what
+    * keeps the register mergeable. */
+  def streamRuleCheck(s: SparkSession, dir: String): DataFrame = {
+    val name = s"rules_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Round6Ops16.eventRuleRegisters(eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Round6Ops16.eventRuleFinalize(s.table(name)))
+  }
+
   /** #228 stream_volume_anomaly: the #220 daily-volume feed monitor as
     * a CONTINUOUS stream — the per-day count registers ARE the
     * streaming state (count is the merge operator, late events land in
