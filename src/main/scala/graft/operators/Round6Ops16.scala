@@ -157,11 +157,19 @@ object Round6Ops16 {
   def eventsLoadHeatmap(s: SparkSession, dir: String): DataFrame =
     eventsLoadHeatmapDf(Tables.events(s, dir))
 
-  /** DataFrame-generic core: expects (ts). */
-  def eventsLoadHeatmapDf(ev: DataFrame): DataFrame = {
-    val g = ev.groupBy(dayofweek(col("ts")).as("dow"),
-                       hour(col("ts")).as("hod"))
+  /** The mergeable (dow, hour) count registers — count merges, so the
+    * SAME aggregate is the streaming state in
+    * [[graft.streaming.Streaming.streamLoadHeatmap]]. */
+  def loadCells(ev: DataFrame): DataFrame =
+    ev.groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
       .agg(count(lit(1)).as("n"))
+
+  /** DataFrame-generic core: expects (ts). */
+  def eventsLoadHeatmapDf(ev: DataFrame): DataFrame =
+    loadHeatmapFinalize(loadCells(ev))
+
+  /** Shares/rank readout over the ≤168-cell register table. */
+  def loadHeatmapFinalize(g: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     val wDow = Window.partitionBy(col("dow"))
     val wRank = Window.orderBy(col("n").desc, col("dow"), col("hod"))

@@ -398,6 +398,25 @@ object Streaming {
       graft.operators.Round6Ops16.eventRuleFinalize(s.table(name)))
   }
 
+  /** #246 stream_load_heatmap: the #241 hour×weekday load matrix as a
+    * CONTINUOUS monitor — the ≤168 (dow, hour) count registers ARE the
+    * streaming state (count merges), the drained grid is bit-identical
+    * to the batch build, and the shares/rank readout runs batch-side
+    * over the fixed-size sink, sharing #241's oracle. The live view a
+    * capacity dashboard actually polls. */
+  def streamLoadHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val name = s"heat_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Round6Ops16.loadCells(eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Round6Ops16.loadHeatmapFinalize(s.table(name)))
+  }
+
   /** #228 stream_volume_anomaly: the #220 daily-volume feed monitor as
     * a CONTINUOUS stream — the per-day count registers ARE the
     * streaming state (count is the merge operator, late events land in
