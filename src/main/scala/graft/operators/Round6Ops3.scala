@@ -169,7 +169,11 @@ object Round6Ops3 {
     * sum), each state value rounds at 6dp per round — so the oracle's
     * recursive-CTE replay (list-state vector, decimal list_sum) lands
     * on identical bits. */
-  def eventsMarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+  /** The shared first-order journey model: absorbing-chain transition
+    * probabilities (prev, next, 6dp prob) collected model-sized —
+    * #159's derivation, also the input of #250's hitting times. */
+  private[graft] def markovTransitions(s: SparkSession, dir: String)
+      : Array[(String, String, Double)] = {
     val paths = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(transform(
@@ -193,8 +197,11 @@ object Round6Ops3 {
           .partitionBy(col("prev"))), 6))
       .select(col("prev"), col("next"), col("prob"))
     // model-sized collect: |states|² transition rows
-    val rows = tp.collect().map(r =>
-      (r.getString(0), r.getString(1), r.getDouble(2)))
+    tp.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+  }
+
+  def eventsMarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val rows = markovTransitions(s, dir)
     val states = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
     val mat: Map[(String, String), Double] =
       rows.map { case (p, n, pr) => (p, n) -> pr }.toMap.withDefaultValue(0.0)
