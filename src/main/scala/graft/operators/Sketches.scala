@@ -225,12 +225,22 @@ object Sketches {
     * weights so the total is order-independent. One scan + one 2-key
     * groupBy; the normalizing window runs over ≤ |langs|×|sources|
     * rows. */
-  def corpusMixWeights(s: SparkSession, dir: String): DataFrame = {
+  /** #74's mergeable token inventory: per (lang, source) doc and token
+    * counts — both merge by addition, so the SAME aggregate is the
+    * streaming state in [[graft.streaming.Streaming.streamMixWeights]]. */
+  def mixRegisters(docs: DataFrame): DataFrame = {
     val toks = graft.functions.TextFunctions.tokens(col("text"))
-    val g = Tables.documents(s, dir)
+    docs
       .select(col("lang"), col("source"), size(toks).cast("long").as("n_tok"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  def corpusMixWeights(s: SparkSession, dir: String): DataFrame =
+    mixFinalize(mixRegisters(Tables.documents(s, dir)))
+
+  /** Share/weight readout over the ≤(langs×sources) register table. */
+  def mixFinalize(g: DataFrame): DataFrame = {
     val all = Window.partitionBy()
     val share = col("n_tokens").cast("double") /
       sum(col("n_tokens")).over(all).cast("double")

@@ -398,6 +398,46 @@ object Streaming {
       graft.operators.Round6Ops16.eventRuleFinalize(s.table(name)))
   }
 
+  /** #259 stream_lang_mix: the #258 predicted-language mix as a
+    * CONTINUOUS ingest monitor — per-(source, language) counts ARE the
+    * streaming state (count merges; the prediction is a map-only
+    * expression on each arriving doc), the drained register table is
+    * bit-identical to batch and #258's oracle checks the shares. The
+    * langid drift alarm at the crawler's edge. */
+  def streamLangMix(s: SparkSession, dir: String): DataFrame = {
+    val name = s"langmix_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Round6Ops21.langMixRegisters(docsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Round6Ops21.langMixFinalize(s.table(name)))
+  }
+
+  /** #260 stream_mix_weights: #74's token inventory maintained
+    * incrementally — per-(lang, source) doc/token counts ARE the
+    * streaming state (both merge by addition), so the drained
+    * inventory is bit-identical to the batch build and the
+    * sqrt-temperature weight readout runs batch-side over the bounded
+    * sink, sharing #74's oracle. The mixing recipe recomputed LIVE as
+    * the crawl lands — a budget owner reads tomorrow's weights
+    * tonight. */
+  def streamMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val name = s"mixw_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Sketches.mixRegisters(docsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Sketches.mixFinalize(s.table(name)))
+  }
+
   /** #246 stream_load_heatmap: the #241 hour×weekday load matrix as a
     * CONTINUOUS monitor — the ≤168 (dow, hour) count registers ARE the
     * streaming state (count merges), the drained grid is bit-identical
