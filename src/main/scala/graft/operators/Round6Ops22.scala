@@ -37,8 +37,11 @@ object Round6Ops22 {
   def eventsSloBurn(s: SparkSession, dir: String): DataFrame =
     eventsSloBurnDf(Tables.events(s, dir))
 
-  /** DataFrame-generic core: expects (ts, event_type). */
-  def eventsSloBurnDf(ev: DataFrame): DataFrame = {
+  /** The mergeable burn registers: per (window family, window start),
+    * total and error counts — both merge by addition, so the SAME
+    * aggregate is the streaming state in
+    * [[graft.streaming.Streaming.streamSloBurn]]. */
+  def burnRegisters(ev: DataFrame): DataFrame = {
     val es = (epochUs(col("ts")) / lit(1000000L)).cast("long")
     val fan = ev
       .select(col("event_type"), es.as("es"))
@@ -52,7 +55,15 @@ object Round6Ops22 {
     fan.groupBy(col("win"), col("ws"))
       .agg(count(lit(1)).as("n"),
            sum(when(col("t") === "error", 1L).otherwise(0L)).as("n_errors"))
-      .withColumn("err_rate", r(col("n_errors") / col("n").cast("double"), 6))
+  }
+
+  /** DataFrame-generic core: expects (ts, event_type). */
+  def eventsSloBurnDf(ev: DataFrame): DataFrame =
+    burnFinalize(burnRegisters(ev))
+
+  /** Rate/burn/alert readout over the register table. */
+  def burnFinalize(g: DataFrame): DataFrame = {
+    g.withColumn("err_rate", r(col("n_errors") / col("n").cast("double"), 6))
       .withColumn("burn", r(col("err_rate") / (1.0 - Slo), 6))
       .withColumn("alert",
         when(col("win") === "1h", col("burn") > Burn1hCrit)

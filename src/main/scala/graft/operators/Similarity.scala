@@ -134,12 +134,12 @@ object Similarity {
     * 2001 − 1000)/1000 quantized to float — identical across runs/JVMs,
     * constant-folded into the plan as literals, and reproducible inside
     * the DuckDB oracle from the same formula. */
-  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Float]]] =
+  private[graft] def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Float]]] =
     Array.tabulate(tables, bits, dim) { (t, i, d) =>
       ((md5hex48(s"p:$t:$i:$d") % 2001 - 1000) / 1000.0).toFloat
     }
 
-  private def bucketExpr(emb: Column, plane: Array[Array[Float]]): Column =
+  private[graft] def bucketExpr(emb: Column, plane: Array[Array[Float]]): Column =
     plane.zipWithIndex.map { case (w, i) =>
       // native codegen'd FloatDot (GraftExtensions) — a tight primitive
       // loop instead of the boxed aggregate/zip_with lambda chain

@@ -398,6 +398,26 @@ object Streaming {
       graft.operators.Round6Ops16.eventRuleFinalize(s.table(name)))
   }
 
+  /** #265 stream_slo_burn: the #261 burn-rate alert as a LIVE monitor
+    * — per-(window, start) total/error counts ARE the streaming state
+    * (both merge by addition; the ×2 window fan is map-side on each
+    * arriving event), so the drained register table is bit-identical
+    * to batch and #261's oracle checks rates, burns and alerts. This
+    * is the shape SRE burn alerts actually deploy as: a continuously
+    * maintained window table the pager reads. */
+  def streamSloBurn(s: SparkSession, dir: String): DataFrame = {
+    val name = s"burn_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = graft.operators.Round6Ops22.burnRegisters(eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name,
+      graft.operators.Round6Ops22.burnFinalize(s.table(name)))
+  }
+
   /** #259 stream_lang_mix: the #258 predicted-language mix as a
     * CONTINUOUS ingest monitor — per-(source, language) counts ARE the
     * streaming state (count merges; the prediction is a map-only
