@@ -102,22 +102,49 @@ object Round6Ops12 {
   def textGarbageScore(s: SparkSession, dir: String): DataFrame =
     textGarbageScoreDf(Tables.documents(s, dir))
 
-  /** DataFrame-generic core: expects (doc_id, text). */
-  def textGarbageScoreDf(docs: DataFrame): DataFrame = {
-    // greatest(len, 1): an empty text has zero artifact counts, so the
-    // clamped denominator yields exact 0 ratios and a false verdict
-    // instead of NULL-poisoning downstream routing filters
+  /** The four artifact ratios over a `text` column — shared with the
+    * #266 disposition gate. greatest(len, 1): an empty text has zero
+    * artifact counts, so the clamped denominator yields exact 0 ratios
+    * and a false verdict instead of NULL-poisoning routing filters. */
+  private[graft] def garbageRatios: Seq[(String, Column)] = {
     val len = greatest(length(col("text")).cast("double"), lit(1.0))
     def ratio(pat: String): Column =
       r(regexp_count(col("text"), lit(pat)) / len, 6)
-    val mixPat = "[a-z][0-9]+[a-z]"
+    Seq("nonascii_ratio" -> ratio("[^ -~]"),
+        "midcase_ratio" -> ratio("[a-z][A-Z]"),
+        "punctrun_ratio" -> ratio("[.,;:!?]{2,}"),
+        "mix_ratio" ->
+          r(regexp_count(lower(col("text")), lit("[a-z][0-9]+[a-z]")) / len, 6))
+  }
+
+  /** The #222 score as one self-contained column (ratios inlined). */
+  private[graft] def garbageScoreCol: Column = {
+    val m = garbageRatios.toMap
+    r(least(lit(1.0), m("nonascii_ratio") * 10) * 0.45 +
+      least(lit(1.0), m("midcase_ratio") * 30) * 0.3 +
+      least(lit(1.0), m("punctrun_ratio") * 10) * 0.1 +
+      least(lit(1.0), m("mix_ratio") * 10) * 0.15, 6)
+  }
+
+  /** The #222 score as one self-contained DuckDB fragment over a
+    * `text` column (ratios inlined) — the #266 oracle reads THIS. */
+  private[graft] val garbageScoreSqlFrag: String = {
+    val len = "greatest(CAST(length(text) AS DOUBLE), 1.0)"
+    def ratio(pat: String) =
+      sqlR(s"len(regexp_extract_all(text, '$pat')) / $len", 6)
+    val mix =
+      sqlR(s"len(regexp_extract_all(lower(text), '[a-z][0-9]+[a-z]')) / $len", 6)
+    sqlR(s"least(1.0, (${ratio("[^ -~]")}) * 10) * 0.45 + " +
+         s"least(1.0, (${ratio("[a-z][A-Z]")}) * 30) * 0.3 + " +
+         s"least(1.0, (${ratio("[.,;:!?]{2,}")}) * 10) * 0.1 + " +
+         s"least(1.0, ($mix) * 10) * 0.15", 6)
+  }
+
+  /** DataFrame-generic core: expects (doc_id, text). */
+  def textGarbageScoreDf(docs: DataFrame): DataFrame = {
     docs
-      .select(col("doc_id"),
-              ratio("[^ -~]").as("nonascii_ratio"),
-              ratio("[a-z][A-Z]").as("midcase_ratio"),
-              ratio("[.,;:!?]{2,}").as("punctrun_ratio"),
-              r(regexp_count(lower(col("text")), lit(mixPat)) / len, 6)
-                .as("mix_ratio"))
+      .select(col("doc_id") +:
+        garbageRatios.map { case (n0, c) => c.as(n0) }: _*)
       .withColumn("garbage_score",
         r(least(lit(1.0), col("nonascii_ratio") * 10) * 0.45 +
           least(lit(1.0), col("midcase_ratio") * 30) * 0.3 +
@@ -264,21 +291,45 @@ object Round6Ops12 {
   def textCodeDetect(s: SparkSession, dir: String): DataFrame =
     textCodeDetectDf(Tables.documents(s, dir))
 
-  /** DataFrame-generic core: expects (doc_id, text). */
-  def textCodeDetectDf(docs: DataFrame): DataFrame = {
-    // same zero-length clamp as textGarbageScoreDf: 0 ratios, false flag
+  /** The four code signals — shared with the #266 disposition gate;
+    * same zero-length clamp as [[garbageRatios]]. */
+  private[graft] def codeRatios: Seq[(String, Column)] = {
     val len = greatest(length(col("text")).cast("double"), lit(1.0))
     val toks = lowerTokens(col("text"))
+    Seq("brace_ratio" -> r(regexp_count(col("text"), lit("[{}();=]")) / len, 6),
+        "keyword_ratio" ->
+          r(markerCount(toks, CodeKeywords) / size(toks).cast("double"), 6),
+        "camel_ratio" ->
+          r(regexp_count(col("text"), lit("[a-z][A-Z][a-z]")) / len, 6),
+        "snake_ratio" -> r(regexp_count(col("text"), lit("[a-z]_[a-z]")) / len, 6))
+  }
+
+  /** The #224 score as one self-contained column. */
+  private[graft] def codeScoreCol: Column = {
+    val m = codeRatios.toMap
+    r(least(lit(1.0), m("brace_ratio") * 20) * 0.4 +
+      least(lit(1.0), m("keyword_ratio") * 10) * 0.3 +
+      least(lit(1.0), m("camel_ratio") * 50) * 0.15 +
+      least(lit(1.0), m("snake_ratio") * 50) * 0.15, 6)
+  }
+
+  /** The #224 score as one self-contained DuckDB fragment. */
+  private[graft] val codeScoreSqlFrag: String = {
+    val len = "greatest(CAST(length(text) AS DOUBLE), 1.0)"
+    val kws = CodeKeywords.map("'" + _ + "'").mkString(",")
+    val brace = sqlR(s"len(regexp_extract_all(text, '[{}();=]')) / $len", 6)
+    val kw = sqlR(s"len(list_filter(string_split(lower(trim(text)), ' '), t -> t IN ($kws))) / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)", 6)
+    val camel = sqlR(s"len(regexp_extract_all(text, '[a-z][A-Z][a-z]')) / $len", 6)
+    val snake = sqlR(s"len(regexp_extract_all(text, '[a-z]_[a-z]')) / $len", 6)
+    sqlR(s"least(1.0, ($brace) * 20) * 0.4 + least(1.0, ($kw) * 10) * 0.3 + " +
+         s"least(1.0, ($camel) * 50) * 0.15 + least(1.0, ($snake) * 50) * 0.15", 6)
+  }
+
+  /** DataFrame-generic core: expects (doc_id, text). */
+  def textCodeDetectDf(docs: DataFrame): DataFrame = {
     docs
-      .select(col("doc_id"),
-              r(regexp_count(col("text"), lit("[{}();=]")) / len, 6)
-                .as("brace_ratio"),
-              r(markerCount(toks, CodeKeywords) / size(toks).cast("double"), 6)
-                .as("keyword_ratio"),
-              r(regexp_count(col("text"), lit("[a-z][A-Z][a-z]")) / len, 6)
-                .as("camel_ratio"),
-              r(regexp_count(col("text"), lit("[a-z]_[a-z]")) / len, 6)
-                .as("snake_ratio"))
+      .select(col("doc_id") +:
+        codeRatios.map { case (n0, c) => c.as(n0) }: _*)
       .withColumn("code_score",
         r(least(lit(1.0), col("brace_ratio") * 20) * 0.4 +
           least(lit(1.0), col("keyword_ratio") * 10) * 0.3 +

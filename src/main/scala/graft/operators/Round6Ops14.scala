@@ -263,19 +263,44 @@ object Round6Ops14 {
   def docInstructionDetect(s: SparkSession, dir: String): DataFrame =
     docInstructionDetectDf(Tables.documents(s, dir))
 
-  /** DataFrame-generic core: expects (doc_id, text). */
-  def docInstructionDetectDf(docs: DataFrame): DataFrame = {
+  /** The four instruction signals — shared with the #266 gate. */
+  private[graft] def instructionRatios: Seq[(String, Column)] = {
     val toks = lowerTokens(col("text"))
     val nt = size(toks).cast("double")
+    Seq("qa_ratio" -> r(regexp_count(lower(col("text")),
+          lit("(?:^|\\s)(?:q|a|question|answer)\\s*:")) / nt, 6),
+        "q_ratio" -> r(regexp_count(col("text"), lit("\\?")) / nt, 6),
+        "imp_ratio" -> r(markerCount(toks, ImperativeLeads) / nt, 6),
+        "num_ratio" -> r(regexp_count(col("text"),
+          lit("(?m)^\\s*\\d+[.)]")) / nt, 6))
+  }
+
+  /** The #231 score as one self-contained column. */
+  private[graft] def instructionScoreCol: Column = {
+    val m = instructionRatios.toMap
+    r(least(lit(1.0), m("qa_ratio") * 20) * 0.35 +
+      least(lit(1.0), m("q_ratio") * 10) * 0.25 +
+      least(lit(1.0), m("imp_ratio") * 10) * 0.25 +
+      least(lit(1.0), m("num_ratio") * 20) * 0.15, 6)
+  }
+
+  /** The #231 score as one self-contained DuckDB fragment. */
+  private[graft] val instructionScoreSqlFrag: String = {
+    val kws = ImperativeLeads.map("'" + _ + "'").mkString(",")
+    val nt = "CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)"
+    val qa = sqlR(s"len(regexp_extract_all(lower(text), '(?:^|\\s)(?:q|a|question|answer)\\s*:')) / $nt", 6)
+    val q = sqlR(s"len(regexp_extract_all(text, '\\?')) / $nt", 6)
+    val imp = sqlR(s"len(list_filter(string_split(lower(trim(text)), ' '), t -> t IN ($kws))) / $nt", 6)
+    val num = sqlR(s"len(regexp_extract_all(text, '(?m)^\\s*\\d+[.)]')) / $nt", 6)
+    sqlR(s"least(1.0, ($qa) * 20) * 0.35 + least(1.0, ($q) * 10) * 0.25 + " +
+         s"least(1.0, ($imp) * 10) * 0.25 + least(1.0, ($num) * 20) * 0.15", 6)
+  }
+
+  /** DataFrame-generic core: expects (doc_id, text). */
+  def docInstructionDetectDf(docs: DataFrame): DataFrame = {
     docs
-      .select(col("doc_id"),
-              r(regexp_count(lower(col("text")),
-                  lit("(?:^|\\s)(?:q|a|question|answer)\\s*:")) / nt, 6)
-                .as("qa_ratio"),
-              r(regexp_count(col("text"), lit("\\?")) / nt, 6).as("q_ratio"),
-              r(markerCount(toks, ImperativeLeads) / nt, 6).as("imp_ratio"),
-              r(regexp_count(col("text"), lit("(?m)^\\s*\\d+[.)]")) / nt, 6)
-                .as("num_ratio"))
+      .select(col("doc_id") +:
+        instructionRatios.map { case (n0, c) => c.as(n0) }: _*)
       .withColumn("instruction_score",
         r(least(lit(1.0), col("qa_ratio") * 20) * 0.35 +
           least(lit(1.0), col("q_ratio") * 10) * 0.25 +
