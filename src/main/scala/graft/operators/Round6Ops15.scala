@@ -176,8 +176,7 @@ object Round6Ops15 {
     val m = resid.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
            dsum(col("resid")).as("sr"),
-           dsum(col("resid") * col("resid")).as("srr"),
-           max(abs(col("resid"))).as("max_abs_resid"))
+           dsum(col("resid") * col("resid")).as("srr"))
       .withColumn("sd_resid",
         r(sqrt(greatest(lit(0.0),
           col("srr") / col("n") - (col("sr") / col("n")) * (col("sr") / col("n")))), 6))

@@ -35,9 +35,13 @@ object Round6Ops17 {
   /** DataFrame-generic core: expects (doc_id) / (vec_id, embedding). */
   def dqEmbeddingCoverageDf(docs: DataFrame, emb: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id").as("id")).withColumn("has_doc", lit(1))
+    // size > 0 guard: an EMPTY array must read not-zero on both engines
+    // (Spark's aggregate returns the 0.0 seed; DuckDB's list_sum returns
+    // NULL) — empties surface through the dim-width audit instead
     val v = emb.select(col("vec_id").as("id"),
         size(col("embedding")).as("dim"),
-        (aggregate(col("embedding"), lit(0.0d),
+        (size(col("embedding")) > 0 &&
+         aggregate(col("embedding"), lit(0.0d),
            (a, x) => a + abs(x.cast("double"))) === 0.0).as("is_zero"))
       .withColumn("has_vec", lit(1))
     d.join(v, Seq("id"), "full_outer")
@@ -59,8 +63,9 @@ object Round6Ops17 {
     s"""WITH d AS (SELECT doc_id AS id, 1 AS has_doc FROM documents),
        |v AS (
        |  SELECT vec_id AS id, 1 AS has_vec, len(embedding) AS dim,
-       |         list_sum(list_transform(embedding,
-       |           x -> abs(CAST(x AS DOUBLE)))) = 0.0 AS is_zero
+       |         len(embedding) > 0 AND coalesce(list_sum(list_transform(
+       |           embedding, x -> abs(CAST(x AS DOUBLE)))), -1.0) = 0.0
+       |           AS is_zero
        |  FROM embeddings),
        |j AS (
        |  SELECT d.has_doc, v.has_vec, v.dim, v.is_zero

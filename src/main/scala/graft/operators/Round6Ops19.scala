@@ -70,36 +70,8 @@ object Round6Ops19 {
     val decDot = (v: String) =>
       "CAST(list_sum(list_transform(range(1, len(m.states) + 1), " +
       s"j -> CAST(m.mat[i][j] * it.$v[j] AS DECIMAL(38,10)))) AS DOUBLE)"
-    s"""WITH RECURSIVE paths AS (
-       |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS arr
-       |  FROM events GROUP BY 1),
-       |cut AS (
-       |  SELECT CASE WHEN pos IS NOT NULL THEN arr[1:pos-1] ELSE arr END AS channels,
-       |         CASE WHEN pos IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS absorb
-       |  FROM (SELECT arr, list_position(arr, '${Round6Ops3.ConvType}') AS pos
-       |        FROM paths)),
-       |trans AS (
-       |  SELECT t.prevs[i.i] AS prev, t.nexts[i.i] AS next FROM (
-       |    SELECT list_prepend('START', channels) AS prevs,
-       |           list_append(channels, absorb) AS nexts
-       |    FROM cut) t
-       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.prevs) + 1)) AS i) i),
-       |tc AS (SELECT prev, next, count(*) AS n FROM trans GROUP BY 1, 2),
-       |tp AS (SELECT prev, next,
-       |              ${r6("n / (sum(n) OVER (PARTITION BY prev))")} AS prob
-       |       FROM tc),
-       |sts AS (SELECT list(DISTINCT s ORDER BY s) AS states FROM
-       |          (SELECT prev AS s FROM tp UNION SELECT next FROM tp)),
-       |grid AS (
-       |  SELECT a.s AS a, b.s AS b, COALESCE(tp.prob, 0.0) AS prob
-       |  FROM (SELECT unnest(states) AS s FROM sts) a
-       |  CROSS JOIN (SELECT unnest(states) AS s FROM sts) b
-       |  LEFT JOIN tp ON tp.prev = a.s AND tp.next = b.s),
-       |mrows AS (SELECT a, list(prob ORDER BY b) AS prow FROM grid GROUP BY a),
-       |m AS (
-       |  SELECT s.states,
-       |         (SELECT list(prow ORDER BY a) FROM mrows) AS mat
-       |  FROM sts s),
+    Round6Ops3.markovChainSqlPrefix +
+    s""",
        |it AS (
        |  SELECT 0 AS k,
        |         list_transform(m.states, x ->

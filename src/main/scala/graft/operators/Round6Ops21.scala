@@ -15,36 +15,9 @@ import graft.sources.Tables
   */
 object Round6Ops21 {
 
-  /** The #23 stopword-profile argmax as a reusable column (identical
-    * tie priority: en > de > es > fr > zh). */
-  private[graft] def predictedLangCol: Column = {
-    val toks = lowerTokens(col("text"))
-    val sEn = markerCount(toks, langMarkers("en"))
-    val sDe = markerCount(toks, langMarkers("de"))
-    val sEs = markerCount(toks, langMarkers("es"))
-    val sFr = markerCount(toks, langMarkers("fr"))
-    val sZh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
-    when(sEn >= sDe && sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
-      .when(sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
-      .when(sEs >= sFr && sEs >= sZh, "es")
-      .when(sFr >= sZh, "fr")
-      .otherwise("zh")
-  }
-
-  private[graft] val predictedLangSqlFrag: String = {
-    def mc(ws: Seq[String]) = {
-      val list = ws.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($list)))"
-    }
-    val (en, de, es, fr) = (mc(langMarkers("en")), mc(langMarkers("de")),
-                            mc(langMarkers("es")), mc(langMarkers("fr")))
-    val zh = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
-    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-       |     WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-       |     WHEN $es >= $fr AND $es >= $zh THEN 'es'
-       |     WHEN $fr >= $zh THEN 'fr'
-       |     ELSE 'zh' END""".stripMargin
-  }
+  /** #23's shared prediction (see [[TextOps.predictedLangCol]]). */
+  private[graft] def predictedLangCol: Column = TextOps.predictedLangCol
+  private[graft] def predictedLangSqlFrag: String = TextOps.predictedLangSqlFrag
 
   /** The mergeable language-mix registers: per (source, predicted
     * language) doc counts — the streaming state of #259. */

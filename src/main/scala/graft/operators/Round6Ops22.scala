@@ -42,7 +42,9 @@ object Round6Ops22 {
     * aggregate is the streaming state in
     * [[graft.streaming.Streaming.streamSloBurn]]. */
   def burnRegisters(ev: DataFrame): DataFrame = {
-    val es = (epochUs(col("ts")) / lit(1000000L)).cast("long")
+    // floor (not trunc-toward-zero): pre-1970 timestamps must land in
+    // the same window register as DuckDB's // floor-division
+    val es = floor(epochUs(col("ts")) / lit(1000000.0)).cast("long")
     val fan = ev
       .select(col("event_type"), es.as("es"))
       .select(col("event_type"), explode(array(

@@ -82,26 +82,15 @@ object Round6Ops23 {
   }
 
   def corpusSemanticContaminationSql(tau: Double = SemContamTau): String =
-    s"""WITH w AS (
-       |  SELECT t, i, d,
-       |         CAST(CAST(((('0x' || substr(md5('p:' || t || ':' || i || ':' || d), 1, 12))::BIGINT % 2001) - 1000) / 1000.0 AS FLOAT) AS DOUBLE) AS w
-       |  FROM range(0, 16) rt(t) CROSS JOIN range(0, 6) ri(i) CROSS JOIN range(0, 64) rd(d)
-       |),
-       |wl AS (SELECT t, i, list(w ORDER BY d) AS wl FROM w GROUP BY 1, 2),
-       |ed AS (
-       |  SELECT e.vec_id, e.embedding, d.source,
-       |         d.source IN ('src0', 'src1') AS is_eval
-       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-       |cb AS (
-       |  SELECT vec_id, is_eval, t,
-       |         CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
-       |  FROM (
-       |    SELECT ed.vec_id, ed.is_eval, wl.t, wl.i,
-       |           list_reduce(list_transform(range(1, 65),
-       |             d -> CAST(ed.embedding[d] AS DOUBLE) * wl.wl[d]),
-       |             (x, y) -> x + y) AS dot
-       |    FROM ed CROSS JOIN wl)
-       |  GROUP BY 1, 2, 3),
+    Similarity.lshBucketSqlPrefix(16, 6,
+      leadCtes =
+        """ed AS (
+          |  SELECT e.vec_id, e.embedding, d.source,
+          |         d.source IN ('src0', 'src1') AS is_eval
+          |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+          |""".stripMargin,
+      src = "ed", extra = Seq("is_eval")) +
+    s""",
        |cand AS (
        |  SELECT DISTINCT tr.vec_id AS id_t, ev.vec_id AS id_e
        |  FROM cb tr JOIN cb ev

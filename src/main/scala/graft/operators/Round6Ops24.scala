@@ -99,9 +99,9 @@ object Round6Ops24 {
   /** #267 user_feature_vector: the FEATURE-STORE EXPORT — one wide row
     * per user assembling the behavioral features this library already
     * computes into the table an ML training job reads: activity volume
-    * and span, type-mix entropy (#122's diversity signal), weekly-
-    * rhythm flatness and crowd-cosine (#255), purchase rate, and mean
-    * inter-event gap (#53's cadence). Each feature keeps its source
+    * and span, events per day, type-mix entropy (#122's diversity
+    * signal), weekly-rhythm flatness and crowd-cosine (#255), purchase
+    * rate, and the mean event value. Each feature keeps its source
     * operator's exact arithmetic, so the export is consistent with
     * every dashboard built on the same numbers — the point of a
     * feature store.

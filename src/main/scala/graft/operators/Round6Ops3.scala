@@ -239,10 +239,12 @@ object Round6Ops3 {
       .orderBy(col("channel"))
   }
 
-  val eventsMarkovAttributionSql: String = {
+  /** The shared journey-chain CTE prefix (paths → transition matrix →
+    * state list → row-major matrix `m`) — BOTH absorbing-chain oracles
+    * (#159, #250) read THIS, never a re-derived copy. Starts with
+    * `WITH RECURSIVE`; callers append their own iteration CTEs. */
+  private[graft] def markovChainSqlPrefix: String = {
     val r6 = (x: String) => sqlR(x, 6)
-    val decSumIJ = "CAST(list_sum(list_transform(range(1, len(m.states) + 1), " +
-      "j -> CAST(m.mat[i][j] * it.ps[j] AS DECIMAL(38,10)))) AS DOUBLE)"
     s"""WITH RECURSIVE paths AS (
        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS arr
        |  FROM events GROUP BY 1),
@@ -271,7 +273,15 @@ object Round6Ops3 {
        |m AS (
        |  SELECT s.states,
        |         (SELECT list(prow ORDER BY a) FROM mrows) AS mat
-       |  FROM sts s),
+       |  FROM sts s)""".stripMargin
+  }
+
+  val eventsMarkovAttributionSql: String = {
+    val r6 = (x: String) => sqlR(x, 6)
+    val decSumIJ = "CAST(list_sum(list_transform(range(1, len(m.states) + 1), " +
+      "j -> CAST(m.mat[i][j] * it.ps[j] AS DECIMAL(38,10)))) AS DOUBLE)"
+    markovChainSqlPrefix +
+    s""",
        |scen AS (SELECT 'FULL' AS removed
        |         UNION ALL
        |         SELECT DISTINCT prev FROM tp WHERE prev <> 'START'),

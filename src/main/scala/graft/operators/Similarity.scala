@@ -187,23 +187,40 @@ object Similarity {
     * md5 formula, dots via the sequential-fold mirror of FloatDot
     * (bit-identical signs), then the same bucket join + exact cosine +
     * top-k as the brute oracle. */
-  def annLshSql(k: Int = 5, nQueries: Int = 5,
-                tables: Int = 16, bits: Int = 6): String =
-    s"""WITH w AS (
+  /** The shared LSH bucket CTE prefix (`w` planes → `wl` row lists →
+    * `cb` per-vector bucket signs) — every oracle that regenerates the
+    * md5-plane buckets (#31 LSH, #32 cosine dedup, #31d kNN graph,
+    * #264 contamination) reads THIS, never a re-derived copy.
+    * `leadCtes` prepends caller CTEs (must not reference w/wl/cb);
+    * `src` is the vector relation (aliased `e`); `extra` columns are
+    * carried through `cb` between vec_id and t. */
+  private[graft] def lshBucketSqlPrefix(tables: Int, bits: Int,
+      leadCtes: String = "", src: String = "embeddings",
+      extra: Seq[String] = Nil): String = {
+    val exSel = extra.map(c => s"e.$c, ").mkString
+    val exOut = extra.map(c => s"$c, ").mkString
+    val grp = (1 to 2 + extra.size).mkString(", ")
+    s"""WITH ${leadCtes}w AS (
        |  SELECT t, i, d,
        |         CAST(CAST(((('0x' || substr(md5('p:' || t || ':' || i || ':' || d), 1, 12))::BIGINT % 2001) - 1000) / 1000.0 AS FLOAT) AS DOUBLE) AS w
        |  FROM range(0, $tables) rt(t) CROSS JOIN range(0, $bits) ri(i) CROSS JOIN range(0, 64) rd(d)
        |),
        |wl AS (SELECT t, i, list(w ORDER BY d) AS wl FROM w GROUP BY 1, 2),
        |cb AS (
-       |  SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+       |  SELECT vec_id, ${exOut}t, CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
        |  FROM (
-       |    SELECT e.vec_id, wl.t, wl.i,
+       |    SELECT e.vec_id, ${exSel}wl.t, wl.i,
        |           list_reduce(list_transform(range(1, 65),
        |             d -> CAST(e.embedding[d] AS DOUBLE) * wl.wl[d]), (x, y) -> x + y) AS dot
-       |    FROM embeddings e CROSS JOIN wl)
-       |  GROUP BY 1, 2
-       |),
+       |    FROM $src e CROSS JOIN wl)
+       |  GROUP BY $grp
+       |)""".stripMargin
+  }
+
+  def annLshSql(k: Int = 5, nQueries: Int = 5,
+                tables: Int = 16, bits: Int = 6): String =
+    lshBucketSqlPrefix(tables, bits) +
+    s""",
        |qb AS (SELECT vec_id AS q_id, t, b FROM cb WHERE vec_id < $nQueries),
        |cand AS (
        |  SELECT DISTINCT q.q_id, c.vec_id
@@ -624,21 +641,8 @@ object Similarity {
     * self-join, label post-filter, exact cosine ≥ τ. */
   def embDedupCosineSql(tau: Double = 0.35,
                         tables: Int = 16, bits: Int = 6): String =
-    s"""WITH w AS (
-       |  SELECT t, i, d,
-       |         CAST(CAST(((('0x' || substr(md5('p:' || t || ':' || i || ':' || d), 1, 12))::BIGINT % 2001) - 1000) / 1000.0 AS FLOAT) AS DOUBLE) AS w
-       |  FROM range(0, $tables) rt(t) CROSS JOIN range(0, $bits) ri(i) CROSS JOIN range(0, 64) rd(d)
-       |),
-       |wl AS (SELECT t, i, list(w ORDER BY d) AS wl FROM w GROUP BY 1, 2),
-       |cb AS (
-       |  SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
-       |  FROM (
-       |    SELECT e.vec_id, wl.t, wl.i,
-       |           list_reduce(list_transform(range(1, 65),
-       |             d -> CAST(e.embedding[d] AS DOUBLE) * wl.wl[d]), (x, y) -> x + y) AS dot
-       |    FROM embeddings e CROSS JOIN wl)
-       |  GROUP BY 1, 2
-       |),
+    lshBucketSqlPrefix(tables, bits) +
+    s""",
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM cb a JOIN cb b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
@@ -844,21 +848,8 @@ object Similarity {
   /** Oracle: LSH buckets regenerated in-SQL (md5 planes + sequential
     * FloatDot mirror), bucket self-join, exact cosine, ranked top-k. */
   def knnGraphSql(k: Int = 3, tables: Int = 8, bits: Int = 6): String =
-    s"""WITH w AS (
-       |  SELECT t, i, d,
-       |         CAST(CAST(((('0x' || substr(md5('p:' || t || ':' || i || ':' || d), 1, 12))::BIGINT % 2001) - 1000) / 1000.0 AS FLOAT) AS DOUBLE) AS w
-       |  FROM range(0, $tables) rt(t) CROSS JOIN range(0, $bits) ri(i) CROSS JOIN range(0, 64) rd(d)
-       |),
-       |wl AS (SELECT t, i, list(w ORDER BY d) AS wl FROM w GROUP BY 1, 2),
-       |cb AS (
-       |  SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
-       |  FROM (
-       |    SELECT e.vec_id, wl.t, wl.i,
-       |           list_reduce(list_transform(range(1, 65),
-       |             d -> CAST(e.embedding[d] AS DOUBLE) * wl.wl[d]), (x, y) -> x + y) AS dot
-       |    FROM embeddings e CROSS JOIN wl)
-       |  GROUP BY 1, 2
-       |),
+    lshBucketSqlPrefix(tables, bits) +
+    s""",
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id
        |  FROM cb a JOIN cb b ON a.t = b.t AND a.b = b.b AND a.vec_id <> b.vec_id

@@ -110,55 +110,51 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
-  /** #23 language ID: stopword-marker profiles per language, argmax with
-    * a fixed priority order on ties, compared against the labeled lang.
-    * (The test corpus is synthetic shared-vocabulary text, so accuracy is
-    * meaningless here — the oracle pins the computation; linguistic
-    * behaviour is covered by TextSpec on real phrases.) */
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
+  /** The #23 language-ID argmax (stopword-marker profiles, fixed tie
+    * priority en > de > es > fr > zh) as ONE shared column — #23's
+    * grading and #258's mix both read THIS, never a re-derived copy.
+    * (The test corpus is synthetic shared-vocabulary text, so accuracy
+    * is meaningless there — the oracle pins the computation;
+    * linguistic behaviour is covered by TextSpec on real phrases.) */
+  private[graft] def predictedLangCol: org.apache.spark.sql.Column = {
     val toks = lowerTokens(col("text"))
-    val scored = Tables.documents(s, dir).select(
-      col("lang"),
-      markerCount(toks, langMarkers("en")).as("s_en"),
-      markerCount(toks, langMarkers("de")).as("s_de"),
-      markerCount(toks, langMarkers("es")).as("s_es"),
-      markerCount(toks, langMarkers("fr")).as("s_fr"),
-      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("s_zh"))
-    scored.withColumn("predicted",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-             col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
-          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-                col("s_de") >= col("s_zh"), "de")
-          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-          .when(col("s_fr") >= col("s_zh"), "fr")
-          .otherwise("zh"))
-      .groupBy(col("lang"), col("predicted"))
-      .agg(count(lit(1)).as("n"))
+    val sEn = markerCount(toks, langMarkers("en"))
+    val sDe = markerCount(toks, langMarkers("de"))
+    val sEs = markerCount(toks, langMarkers("es"))
+    val sFr = markerCount(toks, langMarkers("fr"))
+    val sZh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+    when(sEn >= sDe && sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
+      .when(sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
+      .when(sEs >= sFr && sEs >= sZh, "es")
+      .when(sFr >= sZh, "fr")
+      .otherwise("zh")
   }
 
-  val textLangidSql: String = {
+  /** The shared prediction as a DuckDB fragment over `text`. */
+  private[graft] val predictedLangSqlFrag: String = {
     def mc(ws: Seq[String]) = {
       val list = ws.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($list)))"
     }
-    s"""WITH scored AS (
-       |  SELECT lang,
-       |    ${mc(langMarkers("en"))} AS s_en,
-       |    ${mc(langMarkers("de"))} AS s_de,
-       |    ${mc(langMarkers("es"))} AS s_es,
-       |    ${mc(langMarkers("fr"))} AS s_fr,
-       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
-       |  FROM documents
-       |)
-       |SELECT lang,
-       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-       |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-       |       WHEN s_fr >= s_zh THEN 'fr'
-       |       ELSE 'zh' END AS predicted,
-       |  count(*) AS n
-       |FROM scored GROUP BY 1, 2""".stripMargin
+    val (en, de, es, fr) = (mc(langMarkers("en")), mc(langMarkers("de")),
+                            mc(langMarkers("es")), mc(langMarkers("fr")))
+    val zh = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+       |     WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+       |     WHEN $es >= $fr AND $es >= $zh THEN 'es'
+       |     WHEN $fr >= $zh THEN 'fr'
+       |     ELSE 'zh' END""".stripMargin
   }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), predictedLangCol.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  val textLangidSql: String =
+    s"""SELECT lang, $predictedLangSqlFrag AS predicted, count(*) AS n
+       |FROM documents GROUP BY 1, 2""".stripMargin
 
   /** #24 document fingerprint: md5 of the whitespace-collapsed lowercase
     * normal form, with the collision-group size alongside. */

@@ -71,6 +71,24 @@ object Streaming {
     out
   }
 
+  /** The register-stream template every mergeable-register twin rides:
+    * drain `registers` through a Complete-mode memory sink (the
+    * aggregate state IS the registers), then run the batch-side
+    * `finalize` over the drained table. One place owns the sink
+    * lifecycle (output mode, trigger, sealResult cleanup). */
+  private def runRegisterStream(s: SparkSession, prefix: String,
+      registers: DataFrame,
+      finalize: DataFrame => DataFrame): DataFrame = {
+    val name = s"${prefix}_${System.nanoTime()}"
+    withStreamPartitions(s) {
+      val q = registers.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sealResult(s, name, finalize(s.table(name)))
+  }
+
   private[graft] def dropScratch(s: SparkSession, name: String,
                                  scratchDir: Option[String]): Unit = {
     try s.catalog.dropTempView(name) catch { case _: Throwable => () }
@@ -313,18 +331,10 @@ object Streaming {
     * batch oracle checks the estimate/exact report. O(types×rows)
     * integer state, no raw retention — the same mergeable-register
     * contract as [[streamHll]]/[[streamCms]]. */
-  def streamAmsF2(s: SparkSession, dir: String): DataFrame = {
-    val name = s"ams_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      val q = graft.operators.Round6Ops10.amsRegisters(eventsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name, graft.operators.Round6Ops10.amsFinalize(
-      s.table(name), Tables.events(s, dir)))
-  }
+  def streamAmsF2(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "ams",
+      graft.operators.Round6Ops10.amsRegisters(eventsStream(s, dir)),
+      regs => graft.operators.Round6Ops10.amsFinalize(regs, Tables.events(s, dir)))
 
   /** #215 stream_sample: the #214 deterministic bottom-k uniform sample
     * maintained incrementally — the per-type k-min record heap IS the
@@ -334,17 +344,10 @@ object Streaming {
     * events and stays a uniform sample of everything seen. O(types×k)
     * state; the batch oracle checks the exact rows. */
   def streamSample(s: SparkSession, dir: String): DataFrame = {
-    val name = s"sample_${System.nanoTime()}"
     graft.functions.GraftFunctions.ensure(s)
-    withStreamPartitions(s) {
-      val q = graft.operators.Round6Ops10.sampleSketch(eventsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name,
-      graft.operators.Round6Ops10.sampleFinalize(s.table(name)))
+    runRegisterStream(s, "sample",
+      graft.operators.Round6Ops10.sampleSketch(eventsStream(s, dir)),
+      graft.operators.Round6Ops10.sampleFinalize)
   }
 
   /** File-source stream over the documents table (the text-feed
@@ -365,18 +368,10 @@ object Streaming {
     * The quality gate run at the ingest edge: a source whose mean
     * quality steps down mid-crawl is a parser regression caught here,
     * batches before the #132 curve would show it at rest. */
-  def streamDocQuality(s: SparkSession, dir: String): DataFrame = {
-    val name = s"docq_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      val q = graft.operators.TextOps.docQualityRegisters(docsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name,
-      graft.operators.TextOps.docQualityFinalize(s.table(name)))
-  }
+  def streamDocQuality(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "docq",
+      graft.operators.TextOps.docQualityRegisters(docsStream(s, dir)),
+      graft.operators.TextOps.docQualityFinalize)
 
   /** #240 stream_rule_check: the #239 event-feed rule registers
     * maintained incrementally — the conditional violation counters ARE
@@ -385,18 +380,10 @@ object Streaming {
     * report. The continuous contract test at the ingest edge; #234's
     * join rules stay batch, exactly because row-local rules are what
     * keeps the register mergeable. */
-  def streamRuleCheck(s: SparkSession, dir: String): DataFrame = {
-    val name = s"rules_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      val q = graft.operators.Round6Ops16.eventRuleRegisters(eventsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name,
-      graft.operators.Round6Ops16.eventRuleFinalize(s.table(name)))
-  }
+  def streamRuleCheck(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "rules",
+      graft.operators.Round6Ops16.eventRuleRegisters(eventsStream(s, dir)),
+      graft.operators.Round6Ops16.eventRuleFinalize)
 
   /** #265 stream_slo_burn: the #261 burn-rate alert as a LIVE monitor
     * — per-(window, start) total/error counts ARE the streaming state
@@ -405,18 +392,10 @@ object Streaming {
     * to batch and #261's oracle checks rates, burns and alerts. This
     * is the shape SRE burn alerts actually deploy as: a continuously
     * maintained window table the pager reads. */
-  def streamSloBurn(s: SparkSession, dir: String): DataFrame = {
-    val name = s"burn_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      val q = graft.operators.Round6Ops22.burnRegisters(eventsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name,
-      graft.operators.Round6Ops22.burnFinalize(s.table(name)))
-  }
+  def streamSloBurn(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "burn",
+      graft.operators.Round6Ops22.burnRegisters(eventsStream(s, dir)),
+      graft.operators.Round6Ops22.burnFinalize)
 
   /** #259 stream_lang_mix: the #258 predicted-language mix as a
     * CONTINUOUS ingest monitor — per-(source, language) counts ARE the
@@ -424,18 +403,10 @@ object Streaming {
     * expression on each arriving doc), the drained register table is
     * bit-identical to batch and #258's oracle checks the shares. The
     * langid drift alarm at the crawler's edge. */
-  def streamLangMix(s: SparkSession, dir: String): DataFrame = {
-    val name = s"langmix_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      val q = graft.operators.Round6Ops21.langMixRegisters(docsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name,
-      graft.operators.Round6Ops21.langMixFinalize(s.table(name)))
-  }
+  def streamLangMix(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "langmix",
+      graft.operators.Round6Ops21.langMixRegisters(docsStream(s, dir)),
+      graft.operators.Round6Ops21.langMixFinalize)
 
   /** #260 stream_mix_weights: #74's token inventory maintained
     * incrementally — per-(lang, source) doc/token counts ARE the
@@ -445,18 +416,10 @@ object Streaming {
     * sink, sharing #74's oracle. The mixing recipe recomputed LIVE as
     * the crawl lands — a budget owner reads tomorrow's weights
     * tonight. */
-  def streamMixWeights(s: SparkSession, dir: String): DataFrame = {
-    val name = s"mixw_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      val q = graft.operators.Sketches.mixRegisters(docsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name,
-      graft.operators.Sketches.mixFinalize(s.table(name)))
-  }
+  def streamMixWeights(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "mixw",
+      graft.operators.Sketches.mixRegisters(docsStream(s, dir)),
+      graft.operators.Sketches.mixFinalize)
 
   /** #246 stream_load_heatmap: the #241 hour×weekday load matrix as a
     * CONTINUOUS monitor — the ≤168 (dow, hour) count registers ARE the
@@ -464,18 +427,10 @@ object Streaming {
     * to the batch build, and the shares/rank readout runs batch-side
     * over the fixed-size sink, sharing #241's oracle. The live view a
     * capacity dashboard actually polls. */
-  def streamLoadHeatmap(s: SparkSession, dir: String): DataFrame = {
-    val name = s"heat_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      val q = graft.operators.Round6Ops16.loadCells(eventsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name,
-      graft.operators.Round6Ops16.loadHeatmapFinalize(s.table(name)))
-  }
+  def streamLoadHeatmap(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "heat",
+      graft.operators.Round6Ops16.loadCells(eventsStream(s, dir)),
+      graft.operators.Round6Ops16.loadHeatmapFinalize)
 
   /** #228 stream_volume_anomaly: the #220 daily-volume feed monitor as
     * a CONTINUOUS stream — the per-day count registers ARE the
@@ -485,18 +440,10 @@ object Streaming {
     * batch-side over the ≤|days| sink, sharing #220's oracle. State is
     * calendar-bounded; the same mergeable-register contract as
     * [[streamBenford]]. */
-  def streamVolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val name = s"vol_${System.nanoTime()}"
-    withStreamPartitions(s) {
-      val q = graft.operators.Round6Ops11.volumeDayCounts(eventsStream(s, dir))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    sealResult(s, name,
-      graft.operators.Round6Ops11.volumeFinalize(s.table(name)))
-  }
+  def streamVolumeAnomaly(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "vol",
+      graft.operators.Round6Ops11.volumeDayCounts(eventsStream(s, dir)),
+      graft.operators.Round6Ops11.volumeFinalize)
 
   /** #168 stream_benford: the #161 Benford first-digit audit as a
     * CONTINUOUS data-quality monitor over the event stream — the shape
