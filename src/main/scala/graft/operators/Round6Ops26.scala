@@ -87,11 +87,20 @@ object Round6Ops26 {
   def eventsIcc(s: SparkSession, dir: String): DataFrame =
     eventsIccDf(Tables.events(s, dir))
 
-  /** DataFrame-generic core: expects (user_id, value). */
-  def eventsIccDf(ev: DataFrame): DataFrame = {
-    val g = ev.groupBy(col("user_id"))
+  /** The mergeable per-user moment registers (count + decimal sums) —
+    * key-proportional state, the streaming form in
+    * [[graft.streaming.Streaming.streamIcc]]. */
+  def iccRegisters(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
            dsum(col("value") * col("value")).as("ss"))
+
+  /** DataFrame-generic core: expects (user_id, value). */
+  def eventsIccDf(ev: DataFrame): DataFrame =
+    iccFinalize(iccRegisters(ev))
+
+  /** The 1-row second-level decomposition over the register table. */
+  def iccFinalize(g: DataFrame): DataFrame = {
     // SSB via the moment identity Σ sᵢ²/nᵢ − (Σs)²/N — no grand-mean
     // join-back, ONE second-level aggregate
     val m = g.agg(

@@ -385,6 +385,18 @@ object Streaming {
       graft.operators.Round6Ops16.eventRuleRegisters(eventsStream(s, dir)),
       graft.operators.Round6Ops16.eventRuleFinalize)
 
+  /** #272 stream_icc: the #271 intraclass correlation maintained
+    * incrementally — the per-user moment registers (count + decimal
+    * sums) ARE the streaming state: KEY-PROPORTIONAL state (O(users),
+    * the same budget as any per-user monitor), with the 1-row ICC
+    * decomposition batch-side over the drained rollup, bit-identical
+    * to batch and sharing #271's oracle. The live design-effect
+    * readout a running experiment's power math needs. */
+  def streamIcc(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "icc",
+      graft.operators.Round6Ops26.iccRegisters(eventsStream(s, dir)),
+      graft.operators.Round6Ops26.iccFinalize)
+
   /** #265 stream_slo_burn: the #261 burn-rate alert as a LIVE monitor
     * — per-(window, start) total/error counts ARE the streaming state
     * (both merge by addition; the ×2 window fan is map-side on each
