@@ -38,8 +38,10 @@ object Round6Ops27 {
   def textScriptMix(s: SparkSession, dir: String): DataFrame =
     textScriptMixDf(Tables.documents(s, dir))
 
-  /** DataFrame-generic core: expects (source, text). */
-  def textScriptMixDf(docs: DataFrame): DataFrame = {
+  /** The mergeable per-source script registers (doc count, decimal
+    * ratio sums, dominance count) — the streaming state in
+    * [[graft.streaming.Streaming.streamScriptMix]]. */
+  def scriptRegisters(docs: DataFrame): DataFrame = {
     val len = greatest(length(col("text")).cast("double"), lit(1.0))
     def ratio(pat: String): Column =
       r(regexp_count(col("text"), lit(pat)) / len, 6)
@@ -50,13 +52,25 @@ object Round6Ops27 {
         nonLatin.map { case (_, pat) => ratio(pat) }.reduce(_ + _)
           .as("r_nonlatin"): _*)
     val aggs: Seq[Column] = count(lit(1)).as("n_docs") +:
-      Scripts.map { case (n0, _) =>
-        r(dsum(col(s"r_$n0")) / count(lit(1)), 6).as(s"mean_$n0")
-      } :+ sum(when(col("r_nonlatin") > 0.5, 1L).otherwise(0L))
+      Scripts.map { case (n0, _) => dsum(col(s"r_$n0")).as(s"s_$n0") } :+
+      sum(when(col("r_nonlatin") > 0.5, 1L).otherwise(0L))
         .as("n_nonlatin_dominant")
     scored.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Mean readout over the ≤|sources| register table. */
+  def scriptMixFinalize(g: DataFrame): DataFrame = {
+    val means = Scripts.map { case (n0, _) =>
+      r(col(s"s_$n0") / col("n_docs"), 6).as(s"mean_$n0")
+    }
+    g.select(Seq(col("source"), col("n_docs")) ++ means :+
+        col("n_nonlatin_dominant"): _*)
       .orderBy(col("source"))
   }
+
+  /** DataFrame-generic core: expects (source, text). */
+  def textScriptMixDf(docs: DataFrame): DataFrame =
+    scriptMixFinalize(scriptRegisters(docs))
 
   val textScriptMixSql: String = {
     val len = "greatest(CAST(length(text) AS DOUBLE), 1.0)"

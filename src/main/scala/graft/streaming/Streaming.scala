@@ -385,6 +385,18 @@ object Streaming {
       graft.operators.Round6Ops16.eventRuleRegisters(eventsStream(s, dir)),
       graft.operators.Round6Ops16.eventRuleFinalize)
 
+  /** #276 stream_script_mix: the #273 Unicode script census LIVE —
+    * per-source doc counts, decimal ratio sums and dominance counters
+    * AS streaming state (all merge by addition; the ratio fan is
+    * map-only on each arriving doc), means batch-side over the drained
+    * ≤|sources| sink, bit-identical to batch and sharing #273's
+    * oracle. The encoding-drift alarm at the crawler's edge beside
+    * #259's language mix. */
+  def streamScriptMix(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "script",
+      graft.operators.Round6Ops27.scriptRegisters(docsStream(s, dir)),
+      graft.operators.Round6Ops27.scriptMixFinalize)
+
   /** #272 stream_icc: the #271 intraclass correlation maintained
     * incrementally — the per-user moment registers (count + decimal
     * sums) ARE the streaming state: KEY-PROPORTIONAL state (O(users),

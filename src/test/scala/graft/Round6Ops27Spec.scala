@@ -18,6 +18,13 @@ class Round6Ops27Spec extends AnyFunSuite {
     assert(batch.map(_.toString).toSeq == streamed.map(_.toString).toSeq)
   }
 
+  test("script mix: streamed registers are bit-identical to batch") {
+    val batch = Round6Ops27.textScriptMix(spark, sf).collect()
+    val streamed = graft.streaming.Streaming.streamScriptMix(spark, sf)
+      .collect()
+    assert(batch.map(_.toString).toSeq == streamed.map(_.toString).toSeq)
+  }
+
   test("script mix: latin corpus reads latin; injected scripts are counted") {
     val rows = Round6Ops27.textScriptMix(spark, sf).collect()
     val total = graft.sources.Tables.documents(spark, sf).count()
