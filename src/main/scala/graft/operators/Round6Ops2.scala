@@ -367,13 +367,22 @@ object Round6Ops2 {
     * shared by #137 and its CUPED companion #141 — re-keying it in one
     * op but not the other would silently split users into different
     * arms across the two readouts of the same experiment. */
-  private[graft] def armExpr: Column = expr(
-    "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2")
+  private[graft] def armExpr: Column = armExprSalted("")
 
-  private[graft] val armSqlCte: String =
-    """users AS (
+  /** Arm assignment under an optional salt prefix — '' is THE
+    * experiment arm; an independent salt ('aa:') gives the #277 A/A
+    * split, orthogonal by construction. Always CAST ... AS BIGINT:
+    * without it the 60-bit decimal string coerces through DOUBLE under
+    * non-ANSI sessions and the parity collapses. */
+  private[graft] def armExprSalted(salt: String): Column = expr(
+    s"CAST(conv(substring(md5(CAST(concat('$salt', CAST(user_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2")
+
+  private[graft] val armSqlCte: String = armSqlCteSalted("")
+
+  private[graft] def armSqlCteSalted(salt: String): String =
+    s"""users AS (
       |  SELECT user_id,
-      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+      |         ('0x' || substr(md5('$salt' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
       |  FROM (SELECT DISTINCT user_id FROM events))""".stripMargin
 
   /** #137 events_ab_lift: the A/B experiment readout — users are
@@ -396,9 +405,15 @@ object Round6Ops2 {
     * at the edges only. */
   /** The (type, arm sizes, conversion counts) cell table — the shared
     * input of the #137 readout and the #149 design table. */
-  private def abCells(s: SparkSession, dir: String): DataFrame = {
+  private def abCells(s: SparkSession, dir: String): DataFrame =
+    abCellsSalted(s, dir, "")
+
+  /** The cell machinery under an arbitrary arm salt — ONE audited copy
+    * serves #137, #149 and the #277 A/A calibration. */
+  private[graft] def abCellsSalted(s: SparkSession, dir: String,
+                                   salt: String): DataFrame = {
     val users = Tables.events(s, dir).select(col("user_id")).distinct()
-      .withColumn("arm", armExpr)
+      .withColumn("arm", armExprSalted(salt))
     // ONE aggregate row of conditional sums (the SQL sizes CTE): a
     // degenerate corpus whose users all hash to one arm yields n=0 on
     // the empty side, not an empty frame that would zero the crossJoin
@@ -443,8 +458,11 @@ object Round6Ops2 {
   /** SQL twin of [[abCells]] — the CTE prefix (arm assignment, arm
     * sizes, per-type conversion counts) shared by #137 and #149; ends
     * with a `cells` CTE of the same shape as the Spark frame. */
-  private val abCellsSqlPrefix: String =
-    s"""WITH $armSqlCte,
+  private val abCellsSqlPrefix: String = abCellsSqlPrefixSalted("")
+
+  /** SQL twin of [[abCellsSalted]]. */
+  private[graft] def abCellsSqlPrefixSalted(salt: String): String =
+    s"""WITH ${armSqlCteSalted(salt)},
        |sizes AS (
        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b

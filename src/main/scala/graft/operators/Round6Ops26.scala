@@ -110,16 +110,23 @@ object Round6Ops26 {
       sum(col("n") * col("n")).as("nn"),
       dsum(r(col("ss") - col("s") * col("s") / col("n"), 6)).as("ssw"),
       dsum(r(col("s") * col("s") / col("n"), 6)).as("s2n"))
+    // k = 1 or all-singleton groups have no between/within split: the
+    // stats guard to NULL instead of ANSI division errors (the #137
+    // degenerate-cell discipline) — counts still report
+    val valid = col("k") > 1 && col("n_tot") > col("k")
     m.withColumn("ssb", r(col("s2n") - col("s_tot") * col("s_tot") /
         col("n_tot"), 6))
       .withColumn("n0",
-        r((col("n_tot") - col("nn") / col("n_tot").cast("double")) /
-          (col("k") - 1).cast("double"), 6))
-      .withColumn("msb", r(col("ssb") / (col("k") - 1), 6))
-      .withColumn("msw", r(col("ssw") / (col("n_tot") - col("k")), 6))
+        when(valid,
+          r((col("n_tot") - col("nn") / col("n_tot").cast("double")) /
+            (col("k") - 1).cast("double"), 6)))
+      .withColumn("msb", when(valid, r(col("ssb") / (col("k") - 1), 6)))
+      .withColumn("msw",
+        when(valid, r(col("ssw") / (col("n_tot") - col("k")), 6)))
       .withColumn("icc",
-        r((col("msb") - col("msw")) /
-          (col("msb") + (col("n0") - 1) * col("msw")), 6))
+        when(valid,
+          r((col("msb") - col("msw")) /
+            (col("msb") + (col("n0") - 1) * col("msw")), 6)))
       .select(col("k").as("n_users"), col("n_tot").as("n_events"),
               col("n0"), col("msb"), col("msw"), col("icc"))
   }
@@ -139,14 +146,19 @@ object Round6Ops26 {
        |f AS (
        |  SELECT k, n_tot, nn, ssw,
        |         ${sqlR("s2n - s_tot * s_tot / n_tot", 6)} AS ssb,
-       |         ${sqlR("(n_tot - nn / CAST(n_tot AS DOUBLE)) / CAST(k - 1 AS DOUBLE)", 6)} AS n0
+       |         CASE WHEN k > 1 AND n_tot > k THEN
+       |           ${sqlR("(n_tot - nn / CAST(n_tot AS DOUBLE)) / CAST(k - 1 AS DOUBLE)", 6)}
+       |         END AS n0
        |  FROM m)
        |SELECT k AS n_users, n_tot AS n_events, n0,
-       |       ${sqlR("ssb / (k - 1)", 6)} AS msb,
-       |       ${sqlR("ssw / (n_tot - k)", 6)} AS msw,
-       |       ${sqlR(
+       |       CASE WHEN k > 1 AND n_tot > k
+       |         THEN ${sqlR("ssb / (k - 1)", 6)} END AS msb,
+       |       CASE WHEN k > 1 AND n_tot > k
+       |         THEN ${sqlR("ssw / (n_tot - k)", 6)} END AS msw,
+       |       CASE WHEN k > 1 AND n_tot > k THEN
+       |         ${sqlR(
          s"((${sqlR("ssb / (k - 1)", 6)}) - (${sqlR("ssw / (n_tot - k)", 6)})) / " +
          s"((${sqlR("ssb / (k - 1)", 6)}) + (n0 - 1) * (${sqlR("ssw / (n_tot - k)", 6)}))", 6)}
-       |  AS icc
+       |       END AS icc
        |FROM f""".stripMargin
 }

@@ -46,11 +46,14 @@ object Round6Ops27 {
     def ratio(pat: String): Column =
       r(regexp_count(col("text"), lit(pat)) / len, 6)
     val nonLatin = Scripts.filter(p => p._1 != "latin" && p._1 != "digit")
+    // r_nonlatin sums the ALREADY-computed rounded ratios (one regex
+    // pass per script, not two) — bit-identical, half the regex cost
+    // on the live per-doc path
     val scored = docs.select(
-      col("source") +:
-        Scripts.map { case (n0, pat) => ratio(pat).as(s"r_$n0") } :+
-        nonLatin.map { case (_, pat) => ratio(pat) }.reduce(_ + _)
-          .as("r_nonlatin"): _*)
+        col("source") +:
+          Scripts.map { case (n0, pat) => ratio(pat).as(s"r_$n0") }: _*)
+      .withColumn("r_nonlatin",
+        nonLatin.map { case (n0, _) => col(s"r_$n0") }.reduce(_ + _))
     val aggs: Seq[Column] = count(lit(1)).as("n_docs") +:
       Scripts.map { case (n0, _) => dsum(col(s"r_$n0")).as(s"s_$n0") } :+
       sum(when(col("r_nonlatin") > 0.5, 1L).otherwise(0L))
@@ -78,15 +81,16 @@ object Round6Ops27 {
       sqlR(s"len(regexp_extract_all(text, '$pat')) / $len", 6)
     val rs = Scripts.map { case (n0, pat) => s"${ratio(pat)} AS r_$n0" }
     val nonLatin = Scripts.filter(p => p._1 != "latin" && p._1 != "digit")
-      .map { case (_, pat) => s"(${ratio(pat)})" }.mkString(" + ")
+      .map { case (n0, _) => s"r_$n0" }.mkString(" + ")
     val means = Scripts.map { case (n0, _) =>
       s"${sqlR(s"(${sqlSum(s"r_$n0")}) / count(*)", 6)} AS mean_$n0"
     }
-    s"""WITH scored AS (
+    s"""WITH rs AS (
        |  SELECT source,
-       |         ${rs.mkString(",\n         ")},
-       |         $nonLatin AS r_nonlatin
-       |  FROM documents)
+       |         ${rs.mkString(",\n         ")}
+       |  FROM documents),
+       |scored AS (
+       |  SELECT *, $nonLatin AS r_nonlatin FROM rs)
        |SELECT source, count(*) AS n_docs,
        |       ${means.mkString(",\n       ")},
        |       CAST(sum(CASE WHEN r_nonlatin > 0.5 THEN 1 ELSE 0 END) AS BIGINT)

@@ -17,7 +17,10 @@ object Round6Ops29 {
   /** #277 events_aa_calibration: the A/A TEST — users split by an
     * INDEPENDENT hash salt (so the split is orthogonal to #137's
     * arms), the per-type conversion z-scores recomputed under the
-    * null, and the false-positive audit: how many metrics read
+    * null — the SAME cell machinery, conversion threshold and guards
+    * as #137 (via the salt-parameterized shared helpers), so the audit
+    * exercises exactly the metric #137 reports — and the
+    * false-positive audit: how many metrics read
     * |z| > 1.96 when NOTHING differs? The calibration run every
     * experimentation platform executes before trusting itself — a
     * fire rate far from 5% means broken variance math, hidden
@@ -28,38 +31,19 @@ object Round6Ops29 {
     * distinct-users pass, one per-(user, type) rollup against
     * broadcast arm sizes, a ≤|types| readout with the corpus fire
     * rate as a window total. */
-  def eventsAaCalibration(s: SparkSession, dir: String): DataFrame =
-    eventsAaCalibrationDf(Tables.events(s, dir))
-
-  /** The orthogonal A/A arm: md5 parity of 'aa:'||user. */
-  private def aaArm = expr(
-    "conv(substring(md5(CAST(concat('aa:', CAST(user_id AS STRING)) AS BINARY)), 1, 15), 16, 10) % 2")
-
-  /** DataFrame-generic core: expects (user_id, event_type). */
-  def eventsAaCalibrationDf(ev: DataFrame): DataFrame = {
-    val users = ev.select(col("user_id")).distinct()
-      .withColumn("arm", aaArm)
-    val sizes = users.agg(
-      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
-    val conv = ev
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 3)
-      .join(graft.Hints.keyDim(users), "user_id")
-      .groupBy(col("event_type"))
-      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("conv_a"),
-           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("conv_b"))
-      .crossJoin(broadcast(sizes))
-    val pa = col("conv_a").cast("double") / col("n_a")
-    val pb = col("conv_b").cast("double") / col("n_b")
+  def eventsAaCalibration(s: SparkSession, dir: String): DataFrame = {
+    val cells = Round6Ops2.abCellsSalted(s, dir, "aa:")
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
     val pp = (col("conv_a") + col("conv_b")).cast("double") /
-             (col("n_a") + col("n_b"))
+             (col("n_a") + col("n_b")).cast("double")
+    val bothArms = col("n_a") > 0 && col("n_b") > 0
     val se = sqrt(pp * (lit(1.0) - pp) *
-      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
     val wAll = Window.partitionBy()
-    conv
-      .withColumn("z", when(se > 0, r((pb - pa) / se, 6)).otherwise(lit(0.0)))
+    val z = when(bothArms, when(se > 0.0, r((pb - pa) / se, 6)))
+    cells
+      .withColumn("z", coalesce(z, lit(0.0)))
       .withColumn("fired", abs(col("z")) > 1.96)
       .withColumn("n_metrics", count(lit(1)).over(wAll))
       .withColumn("n_fired",
@@ -71,37 +55,25 @@ object Round6Ops29 {
       .orderBy(col("event_type"))
   }
 
-  val eventsAaCalibrationSql: String =
-    s"""WITH users AS (
-       |  SELECT user_id,
-       |         ('0x' || substr(md5('aa:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
-       |  FROM (SELECT DISTINCT user_id FROM events)),
-       |sizes AS (
-       |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-       |  FROM users),
-       |conv AS (
-       |  SELECT event_type,
-       |         CAST(sum(CASE WHEN u.arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
-       |           AS conv_a,
-       |         CAST(sum(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
-       |           AS conv_b
-       |  FROM (SELECT user_id, event_type, count(*) AS c
-       |        FROM events GROUP BY 1, 2) g
-       |  JOIN users u USING (user_id)
-       |  WHERE g.c >= 3
-       |  GROUP BY 1),
+  val eventsAaCalibrationSql: String = {
+    val pa = "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    val pb = "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    val se = s"sqrt($pp * (1.0 - $pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    Round6Ops2.abCellsSqlPrefixSalted("aa:") +
+    s""",
        |z AS (
        |  SELECT event_type, conv_a, conv_b, n_a, n_b,
-       |         CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) > 0
-       |           THEN ${sqlR("(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b))", 6)}
-       |           ELSE 0.0 END AS z
-       |  FROM conv CROSS JOIN sizes)
+       |         coalesce(CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |           CASE WHEN $se > 0.0 THEN ${sqlR(s"($pb - $pa) / ($se)", 6)} END
+       |         END, 0.0) AS z
+       |  FROM cells)
        |SELECT event_type, conv_a, conv_b, n_a, n_b, z,
        |       abs(z) > 1.96 AS fired,
        |       ${sqlR("CAST(sum(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END) OVER () AS DOUBLE) / count(*) OVER ()", 6)}
        |         AS fire_rate
        |FROM z ORDER BY event_type""".stripMargin
+  }
 
   // ------------------------------------------- #278 events_adoption_curve
 

@@ -183,10 +183,6 @@ object Similarity {
     cands.transform(topKExact(_, k))
   }
 
-  /** DuckDB oracle for [[annLsh]]: planes regenerated in-SQL from the
-    * md5 formula, dots via the sequential-fold mirror of FloatDot
-    * (bit-identical signs), then the same bucket join + exact cosine +
-    * top-k as the brute oracle. */
   /** The shared LSH bucket CTE prefix (`w` planes → `wl` row lists →
     * `cb` per-vector bucket signs) — every oracle that regenerates the
     * md5-plane buckets (#31 LSH, #32 cosine dedup, #31d kNN graph,
@@ -217,6 +213,10 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** DuckDB oracle for [[annLsh]]: planes regenerated in-SQL from the
+    * md5 formula, dots via the sequential-fold mirror of FloatDot
+    * (bit-identical signs), then the same bucket join + exact cosine +
+    * top-k as the brute oracle. */
   def annLshSql(k: Int = 5, nQueries: Int = 5,
                 tables: Int = 16, bits: Int = 6): String =
     lshBucketSqlPrefix(tables, bits) +
