@@ -91,14 +91,23 @@ object Round6Ops29 {
   def eventsAdoptionCurve(s: SparkSession, dir: String): DataFrame =
     eventsAdoptionCurveDf(Tables.events(s, dir))
 
-  /** DataFrame-generic core: expects (user_id, ts, event_type). */
-  def eventsAdoptionCurveDf(ev: DataFrame): DataFrame = {
-    val first = ev
-      .groupBy(col("user_id"), col("event_type"))
+  /** The mergeable first-day registers: per (user, type), the minimum
+    * event day — min merges, so the SAME aggregate is the streaming
+    * state in [[graft.streaming.Streaming.streamAdoption]] (an early
+    * arrival only ever moves a user's adoption date EARLIER). */
+  def adoptionRegisters(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), col("event_type"))
       .agg(min(to_date(col("ts"))).as("d0"))
+
+  /** DataFrame-generic core: expects (user_id, ts, event_type). */
+  def eventsAdoptionCurveDf(ev: DataFrame): DataFrame =
+    adoptionFinalize(adoptionRegisters(ev))
+
+  /** Curve readout over the (user, type) first-day register table. */
+  def adoptionFinalize(first: DataFrame): DataFrame = {
     val daily = first.groupBy(col("event_type"), col("d0").as("d"))
       .agg(count(lit(1)).as("n_adopters"))
-    val nUsers = ev.select(col("user_id")).distinct()
+    val nUsers = first.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n_users"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

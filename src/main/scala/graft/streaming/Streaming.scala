@@ -385,6 +385,19 @@ object Streaming {
       graft.operators.Round6Ops16.eventRuleRegisters(eventsStream(s, dir)),
       graft.operators.Round6Ops16.eventRuleFinalize)
 
+  /** #279 stream_adoption: the #278 adoption curve LIVE — the per
+    * (user, type) FIRST-day registers ARE the streaming state (min
+    * merges: an early-arriving event only ever moves an adoption date
+    * earlier, so late/out-of-order data self-corrects), with the
+    * daily-rollup + cumulative-curve readout batch-side over the
+    * drained key-proportional sink, bit-identical to batch and sharing
+    * #278's oracle. The launch dashboard that updates as the rollout
+    * lands. */
+  def streamAdoption(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "adopt",
+      graft.operators.Round6Ops29.adoptionRegisters(eventsStream(s, dir)),
+      graft.operators.Round6Ops29.adoptionFinalize)
+
   /** #276 stream_script_mix: the #273 Unicode script census LIVE —
     * per-source doc counts, decimal ratio sums and dominance counters
     * AS streaming state (all merge by addition; the ratio fan is

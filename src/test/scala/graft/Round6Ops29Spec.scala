@@ -46,6 +46,13 @@ class Round6Ops29Spec extends AnyFunSuite {
 
   // --------------------------------------------------- events_adoption_curve
 
+  test("adoption: streamed first-day registers are bit-identical to batch") {
+    val batch = Round6Ops29.eventsAdoptionCurve(spark, sf).collect()
+    val streamed = graft.streaming.Streaming.streamAdoption(spark, sf)
+      .collect()
+    assert(batch.map(_.toString).toSeq == streamed.map(_.toString).toSeq)
+  }
+
   test("adoption: cumulative adopters replay; penetration caps at 1") {
     val rows = Round6Ops29.eventsAdoptionCurve(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
