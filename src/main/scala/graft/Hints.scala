@@ -1,9 +1,14 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.broadcast
 
-/** Join-side hints whose correct choice depends on deployment scale. */
+/** Deployment-scale posture knobs: join-side hints and exact-vs-sketch
+  * switches whose correct choice depends on data volume. Every knob
+  * defaults to the small/test posture (exact, broadcast) so oracle
+  * parity holds out of the box; a 100 TB deployment flips them and the
+  * degraded plans are spec-pinned (PlanSpec / the owning operator's
+  * spec), so both postures stay executable, not prose. */
 object Hints {
 
   /** Conf key gating the forced `broadcast()` of KEY-PROPORTIONAL
@@ -28,4 +33,29 @@ object Hints {
   def keyDim(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get(BroadcastKeyDims, "true").toBoolean) broadcast(df)
     else df
+
+  /** Conf key gating EXACT VERIFICATION columns that ride alongside a
+    * sketch estimate (corpus_source_overlap's exact shingle-intersection
+    * self-join). Default true: at test SF the exact columns cost little
+    * and let the oracle check the estimator against ground truth. At
+    * 100 TB the verification join re-shuffles the entire shingle
+    * vocabulary purely for audit columns — a deployment sets false and
+    * the operator emits NULL for the exact columns, leaving one
+    * signature aggregation + the ≤|sources|² pair grid (spec-pinned). */
+  val ExactAudit = "spark.graft.exactAudit"
+
+  def exactAudit(s: SparkSession): Boolean =
+    s.conf.get(ExactAudit, "true").toBoolean
+
+  /** Conf key switching the exact-percentile family (climatology
+    * thresholds, per-group quantiles) to `approx_percentile` sketches.
+    * Default false: exact percentiles at test SF, bit-matching the
+    * DuckDB oracle. At extreme per-key sample counts the exact path
+    * materializes every sample in the percentile buffer; a deployment
+    * sets true and the family degrades to mergeable KLL-style sketches
+    * with bounded memory (accuracy spec-pinned, plan spec-pinned). */
+  val ApproxQuantiles = "spark.graft.approxQuantiles"
+
+  def approxQuantiles(s: SparkSession): Boolean =
+    s.conf.get(ApproxQuantiles, "false").toBoolean
 }

@@ -46,19 +46,28 @@ object Analytics2 {
     * need the whole group in one place, so this shape is only for
     * bounded-cardinality group keys (5 event types here) — each group's
     * values collect to one task. For high-cardinality keys or monster
-    * groups at 100 TB the scale path is approx_percentile/t-digest
-    * (error-bounded, mergeable partials; spec-pinned in TextSpec's
-    * t-digest test). */
+    * groups at 100 TB the scale path is `approx_percentile`
+    * (error-bounded, mergeable partials), conf-switched via
+    * [[graft.Hints.ApproxQuantiles]] and spec-pinned. */
   def eventsPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("value"))).as("vs"),
-           count(col("value")).as("n"))
-      .select(col("event_type"), col("n"),
-              r(linQuantile(col("vs"), 0.5), 6).as("p50"),
-              r(linQuantile(col("vs"), 0.9), 6).as("p90"),
-              r(linQuantile(col("vs"), 0.99), 6).as("p99"))
-      .orderBy(col("event_type"))
+    if (graft.Hints.approxQuantiles(s))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(col("value")).as("n"),
+             r(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+             r(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90"),
+             r(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
+        .orderBy(col("event_type"))
+    else
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("value"))).as("vs"),
+             count(col("value")).as("n"))
+        .select(col("event_type"), col("n"),
+                r(linQuantile(col("vs"), 0.5), 6).as("p50"),
+                r(linQuantile(col("vs"), 0.9), 6).as("p90"),
+                r(linQuantile(col("vs"), 0.99), 6).as("p99"))
+        .orderBy(col("event_type"))
 
   val eventsPercentilesSql: String =
     s"""SELECT event_type, count(value) AS n,

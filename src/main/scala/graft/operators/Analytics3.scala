@@ -40,6 +40,7 @@ object Analytics3 {
     * monetary better-when-higher. Boundaries are compared with strict
     * `>` so ties land in the lower score deterministically. */
   def eventsRfm(s: SparkSession, dir: String, exact: Boolean = true): DataFrame = {
+    val ex = exact && !graft.Hints.approxQuantiles(s)
     val o = Tables.orders(s, dir)
     val horizon = o.agg(max(col("o_orderdate")).as("d_max"))
     val cust = o.groupBy(col("o_custkey"))
@@ -53,7 +54,7 @@ object Analytics3 {
     def bounds(nm: String, src: String): Seq[Column] =
       Seq(25, 50, 75).map { p =>
         val q =
-          if (exact) linQuantile(sort_array(collect_list(col(src).cast("double"))), p / 100.0)
+          if (ex) linQuantile(sort_array(collect_list(col(src).cast("double"))), p / 100.0)
           else expr(s"approx_percentile(CAST($src AS DOUBLE), ${p / 100.0}, 10000)")
         r(q, 6).as(s"$nm$p")
       }
@@ -295,12 +296,13 @@ object Analytics3 {
     * bit-reproducible oracle path; extreme scale swaps in
     * approx_percentile boundaries (same contract as #92). */
   def customerPareto(s: SparkSession, dir: String, exact: Boolean = true): DataFrame = {
+    val ex = exact && !graft.Hints.approxQuantiles(s)
     val cust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice"), 2).as("revenue"))
     val bounds = (1 to 9).map { d =>
       val q =
-        if (exact) linQuantile(sort_array(collect_list(col("revenue"))), d / 10.0)
+        if (ex) linQuantile(sort_array(collect_list(col("revenue"))), d / 10.0)
         else expr(s"approx_percentile(revenue, ${d / 10.0}, 10000)")
       r(q, 6).as(s"b$d")
     }

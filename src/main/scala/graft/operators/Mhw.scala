@@ -124,11 +124,15 @@ object Mhw {
     * accuracy to pin the bound in the divergent regime. */
   def pooledQuantile(dailyDf: DataFrame, hw: Int, pctile: Double,
                      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    // the parameter requests the exact path; the deployment conf
+    // ([[graft.Hints.ApproxQuantiles]]) can force the sketch path
+    // globally without touching call sites
+    val ex = exact && !graft.Hints.approxQuantiles(dailyDf.sparkSession)
     val q =
-      if (exact) linQuantile(col("vs"), pctile)
+      if (ex) linQuantile(col("vs"), pctile)
       else element_at(col("vs"), 1)
     val agg =
-      if (exact) sort_array(collect_list(col("sst")))
+      if (ex) sort_array(collect_list(col("sst")))
       else expr(s"array(approx_percentile(sst, $pctile, $accuracy))")
     poolSamples(dailyDf, hw)
       .groupBy(col("user_id"), col("doy"))
@@ -281,14 +285,24 @@ object Mhw {
     * scan/shuffle cost — severity consumes BOTH tables, so this is the
     * chain a user actually runs (the reference notebook's step 1). */
   def legacyClimThresh(dailyDf: DataFrame, hw: Int = 5, pctile: Double = 0.9): DataFrame = {
+    // same conf-switched sketch path as [[pooledQuantile]]: the fused
+    // chain must not silently re-materialize every pooled sample when
+    // the deployment asked for bounded-memory quantiles
+    val ex = !graft.Hints.approxQuantiles(dailyDf.sparkSession)
+    val vsAgg =
+      if (ex) sort_array(collect_list(col("sst")))
+      else expr(s"array(approx_percentile(sst, $pctile, 10000))")
+    val q =
+      if (ex) linQuantile(col("vs"), pctile)
+      else element_at(col("vs"), 1)
     val pooled = poolSamples(dailyDf, hw)
       .groupBy(col("user_id"), col("doy"))
       .agg(davg(col("sst"), 6).as("seas"),
-           sort_array(collect_list(col("sst"))).as("vs"),
+           vsAgg.as("vs"),
            max(when(isnan(col("sst")), 1).otherwise(0)).as("has_nan"))
       .select(col("user_id"), col("doy"), col("seas"),
               when(col("has_nan") === 1, lit(null))
-                .otherwise(r(linQuantile(col("vs"), pctile), 6)).as("thresh"))
+                .otherwise(r(q, 6)).as("thresh"))
     smoothDoyCols(interpFeb29Cols(pooled, Seq("seas", "thresh")), Seq("seas", "thresh"))
   }
 
@@ -637,20 +651,24 @@ object Mhw {
     * Detection output is key-proportional-tiny relative to facts, so
     * the single-row final aggregate is cheap; the duration percentiles
     * use the same exact sorted-array interpolation as the threshold
-    * chain (the `approx_percentile` t-digest is the documented
-    * extreme-scale path, exactly as Mhw.pooledQuantile). */
-  def mhwEventDist(s: SparkSession, dir: String): DataFrame =
+    * chain, conf-switched to `approx_percentile` sketches via
+    * [[graft.Hints.ApproxQuantiles]] (exactly as Mhw.pooledQuantile). */
+  def mhwEventDist(s: SparkSession, dir: String): DataFrame = {
+    def pq(p: Double): Column =
+      if (graft.Hints.approxQuantiles(s))
+        r(expr(s"approx_percentile(CAST(duration AS DOUBLE), $p, 10000)"), 6)
+      else
+        r(linQuantile(sort_array(collect_list(col("duration").cast("double"))), p), 6)
     detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_series"),
            davg(col("duration").cast("double"), 6).as("mean_duration"),
            max(col("duration")).cast("int").as("max_duration"),
-           r(linQuantile(sort_array(collect_list(col("duration").cast("double"))), 0.5), 6)
-             .as("p50_duration"),
-           r(linQuantile(sort_array(collect_list(col("duration").cast("double"))), 0.9), 6)
-             .as("p90_duration"),
+           pq(0.5).as("p50_duration"),
+           pq(0.9).as("p90_duration"),
            davg(col("intensity_max"), 6).as("mean_imax"),
            max(col("intensity_max")).as("max_imax"))
+  }
 
   /** #11j `mhw_trend_annual`: the Oliver-2018 headline statistic —
     * the linear trend in annual MHW days per series, in days/decade.

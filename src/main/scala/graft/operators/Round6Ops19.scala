@@ -263,30 +263,39 @@ object Round6Ops19 {
     * vocabulary.
     *
     * Scale shape: one token aggregation to the vocabulary (corpus →
-    * |vocab| rows), one rank window over that vocabulary (the #94
-    * bound: vocabulary-, not corpus-sized), one cutoff×vocab
-    * conditional rollup. */
+    * |vocab| rows), then the #193 VALUE-BUCKET identity instead of a
+    * vocabulary-wide rank: types covered at a cutoff depend only on HOW
+    * MANY types sit in each frequency bucket (ties within a bucket all
+    * carry the same count, so it never matters WHICH words the rank
+    * picks), so the only total-order window runs over the ≤|distinct
+    * frequency values| bucket table — Zipf-bounded (≈√n_tokens), never
+    * the billions-of-types vocabulary a web corpus has. */
   def textVocabCoverage(s: SparkSession, dir: String): DataFrame =
     textVocabCoverageDf(Tables.documents(s, dir))
 
   /** DataFrame-generic core: expects (doc_id, text). */
   def textVocabCoverageDf(docs: DataFrame): DataFrame = {
-    val vocab = docs
+    val byc = docs
       .select(explode(lowerTokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+    // types ranked before this bucket: cumulative over buckets by c
+    // desc — a bucket-table window, not a vocab-table one
+    val wPrev = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byc.withColumn("cum_before",
+      coalesce(sum(col("n_types")).over(wPrev), lit(0L)))
     val cuts = VocabCutoffs.map(k =>
       struct(lit(k.toLong).as("cutoff"))).toArray
-    vocab
+    cum
       .crossJoin(broadcast(
         docs.sparkSession.range(1).select(explode(array(cuts: _*)).as("p"))
           .select(col("p.cutoff"))))
       .groupBy(col("cutoff"))
-      .agg(max(col("rnk")).as("vocab_size"),
-           sum(col("c")).as("n_tokens"),
-           sum(when(col("rnk") <= col("cutoff"), col("c")).otherwise(0L))
-             .as("tokens_covered"))
+      .agg(sum(col("n_types")).as("vocab_size"),
+           sum(col("c") * col("n_types")).as("n_tokens"),
+           sum(col("c") * greatest(lit(0L), least(col("n_types"),
+               col("cutoff") - col("cum_before")))).as("tokens_covered"))
       .withColumn("n_types_used", least(col("cutoff"), col("vocab_size")))
       .withColumn("coverage",
         r(col("tokens_covered") / col("n_tokens").cast("double"), 6))

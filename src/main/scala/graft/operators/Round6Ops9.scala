@@ -136,17 +136,26 @@ object Round6Ops9 {
       .agg(array_sort(call_function("collect_top_k", col("h"), lit(k), lit(true)))
              .as("ks"),
            count(lit(1)).as("nd"))
-    val ix = hs.as("x").join(hs.as("y"),
-        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
-      .agg(count(lit(1)).as("inter_exact"))
-    val pairs = sk.select(col("source").as("source_a"), col("ks").as("ks_a"),
-                          col("nd").as("nd_a"))
+    // exact verification columns ride a shingle-vocabulary self-join —
+    // audit-only (droppable at 100 TB), so the join is conf-gated
+    // ([[graft.Hints.ExactAudit]]): gate off → NULL exacts, no second
+    // shuffle of the shingle vocabulary (plan pinned in PostureSpec)
+    val exact = graft.Hints.exactAudit(docs.sparkSession)
+    val grid = sk.select(col("source").as("source_a"), col("ks").as("ks_a"),
+                         col("nd").as("nd_a"))
       .crossJoin(sk.select(col("source").as("source_b"), col("ks").as("ks_b"),
                            col("nd").as("nd_b")))
       .filter(col("source_a") < col("source_b"))
-      .join(ix, Seq("source_a", "source_b"), "left")
-      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+    val pairs =
+      if (!exact) grid.withColumn("inter_exact", lit(null).cast("long"))
+      else {
+        val ix = hs.as("x").join(hs.as("y"),
+            col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("inter_exact"))
+        grid.join(ix, Seq("source_a", "source_b"), "left")
+          .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      }
     val uarr = slice(array_sort(array_union(col("ks_a"), col("ks_b"))), 1, k)
     val kk = size(uarr).cast("double")
     val kth = element_at(uarr, size(uarr)).cast("double")

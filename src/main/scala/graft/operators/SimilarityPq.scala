@@ -138,12 +138,18 @@ object SimilarityPq {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("v")).as("adc"))
-    val wShort = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").desc, col("vec_id"))
+    // shortlist via bounded map-side top-k heaps (collect_top_k), NOT a
+    // ranking window: partitionBy(q_id) over the full (query × corpus)
+    // ADC table would make ONE task sort the whole corpus per query.
+    // Largest-struct ordering (adc DESC, then -vec_id DESC = vec_id ASC)
+    // reproduces the old window's (adc DESC, vec_id ASC) tiebreak.
     val short = approx
-      .withColumn("srn", row_number().over(wShort))
-      .filter(col("srn") <= shortlist)
-      .select(col("q_id"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(call_function("collect_top_k",
+        struct(col("adc"), (-col("vec_id")).as("neg_id")),
+        lit(shortlist), lit(false)).as("arr"))
+      .select(col("q_id"), explode(col("arr")).as("a"))
+      .select(col("q_id"), (-col("a.neg_id")).as("vec_id"))
     // refine: exact decimal cosine over the shortlist only
     val wFinal = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
