@@ -7,6 +7,18 @@ object Bench {
     // optional comma-separated subset for local iteration (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.local(cpus)
+    // SPARK_GRAFT_POSTURE=large runs the whole suite under the 100 TB
+    // deployment knobs (no forced key-dim broadcasts, no exact-audit
+    // columns, sketch percentiles) — the end-to-end proof that the three
+    // Hints compose across every operator, not just in per-op specs.
+    // Set BEFORE any query construction: the knobs bind at DataFrame
+    // build time (see Hints).
+    val posture = sys.env.getOrElse("SPARK_GRAFT_POSTURE", "test")
+    if (posture == "large") {
+      spark.conf.set(Hints.BroadcastKeyDims, "false")
+      spark.conf.set(Hints.ExactAudit, "false")
+      spark.conf.set(Hints.ApproxQuantiles, "true")
+    }
     // Untimed warmup pass over the measured SF: pays JIT, whole-stage
     // codegen (Janino), OS page-cache population, and operator-cache
     // materialization once, so the timed pass measures steady-state
@@ -106,7 +118,7 @@ object Bench {
     def line(dp: Int): String =
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec",""" +
       s""""queries":${queriesJson(dp)},"sf":"$sfDir","n_queries":${queries.size},""" +
-      s""""n_timed":${timed.size},""" +
+      s""""n_timed":${timed.size},"posture":"$posture",""" +
       s""""n_errors":${errors.size},"errors":$errJson,"cache":$cacheJson}"""
     // Full-precision copy to a file: the driver tail-captures only the
     // last ~2000 chars of stdout, and a full 150-query map is ~4 KB —

@@ -8,7 +8,16 @@ import org.apache.spark.sql.functions.broadcast
   * defaults to the small/test posture (exact, broadcast) so oracle
   * parity holds out of the box; a 100 TB deployment flips them and the
   * degraded plans are spec-pinned (PlanSpec / the owning operator's
-  * spec), so both postures stay executable, not prose. */
+  * spec), so both postures stay executable, not prose.
+  *
+  * BINDING SEMANTICS: every knob is read at DataFrame CONSTRUCTION
+  * time, not execution time — an operator's plan shape is decided when
+  * its `DataFrame` is built, so flipping a conf afterwards has no
+  * effect on already-constructed frames (exactly like Spark's own
+  * `autoBroadcastJoinThreshold`). Deployments must set the posture
+  * before constructing queries; a long-lived session that flips a knob
+  * must rebuild its DataFrames (PostureSpec does precisely this —
+  * rebuild inside `withConf` — which is why its assertions hold). */
 object Hints {
 
   /** Conf key gating the forced `broadcast()` of KEY-PROPORTIONAL

@@ -49,25 +49,23 @@ object Analytics2 {
     * groups at 100 TB the scale path is `approx_percentile`
     * (error-bounded, mergeable partials), conf-switched via
     * [[graft.Hints.ApproxQuantiles]] and spec-pinned. */
-  def eventsPercentiles(s: SparkSession, dir: String): DataFrame =
-    if (graft.Hints.approxQuantiles(s))
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(count(col("value")).as("n"),
-             r(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
-             r(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90"),
-             r(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
-        .orderBy(col("event_type"))
-    else
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("value"))).as("vs"),
-             count(col("value")).as("n"))
-        .select(col("event_type"), col("n"),
-                r(linQuantile(col("vs"), 0.5), 6).as("p50"),
-                r(linQuantile(col("vs"), 0.9), 6).as("p90"),
-                r(linQuantile(col("vs"), 0.99), 6).as("p99"))
-        .orderBy(col("event_type"))
+  def eventsPercentiles(s: SparkSession, dir: String): DataFrame = {
+    // one shared groupBy; only the quantile extractor differs between
+    // postures (a posture edit can no longer drift the two copies)
+    val ex = !graft.Hints.approxQuantiles(s)
+    val samples =
+      if (ex) sort_array(collect_list(col("value")))
+      else expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+    def pq(p: Double, i: Int) =
+      if (ex) r(linQuantile(col("vs"), p), 6)
+      else r(element_at(col("vs"), i + 1), 6)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"), samples.as("vs"))
+      .select(col("event_type"), col("n"),
+              pq(0.5, 0).as("p50"), pq(0.9, 1).as("p90"), pq(0.99, 2).as("p99"))
+      .orderBy(col("event_type"))
+  }
 
   val eventsPercentilesSql: String =
     s"""SELECT event_type, count(value) AS n,

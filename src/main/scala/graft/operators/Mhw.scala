@@ -284,14 +284,16 @@ object Mhw {
     * [[thresholdLegacy]] separately (spec-pinned) at half the
     * scan/shuffle cost — severity consumes BOTH tables, so this is the
     * chain a user actually runs (the reference notebook's step 1). */
-  def legacyClimThresh(dailyDf: DataFrame, hw: Int = 5, pctile: Double = 0.9): DataFrame = {
-    // same conf-switched sketch path as [[pooledQuantile]]: the fused
-    // chain must not silently re-materialize every pooled sample when
-    // the deployment asked for bounded-memory quantiles
+  def legacyClimThresh(dailyDf: DataFrame, hw: Int = 5, pctile: Double = 0.9,
+                       accuracy: Int = 10000): DataFrame = {
+    // same conf-switched sketch path as [[pooledQuantile]], same
+    // caller-tunable `accuracy`: the fused chain must not silently
+    // re-materialize every pooled sample (or pin a different sketch
+    // accuracy than the unfused path a deployment tuned)
     val ex = !graft.Hints.approxQuantiles(dailyDf.sparkSession)
     val vsAgg =
       if (ex) sort_array(collect_list(col("sst")))
-      else expr(s"array(approx_percentile(sst, $pctile, 10000))")
+      else expr(s"array(approx_percentile(sst, $pctile, $accuracy))")
     val q =
       if (ex) linQuantile(col("vs"), pctile)
       else element_at(col("vs"), 1)

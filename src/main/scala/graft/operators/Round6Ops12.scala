@@ -177,6 +177,37 @@ object Round6Ops12 {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Mergeable per-source garbage registers: doc count, over-threshold
+    * count, and the decimal-exact sum of the 6dp per-doc score — all
+    * merge by addition, so this stage is also the #281 streaming state
+    * (the #238 doc-quality discipline applied to the garbage screen). */
+  private[graft] def garbageRegisters(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(garbageScoreCol > GarbageThreshold, 1L).otherwise(0L))
+             .as("n_garbage"),
+           dsum(garbageScoreCol).as("g_sum"))
+
+  /** Per-source mean score + garbage share over the ≤|sources|
+    * register table. */
+  private[graft] def garbageMixFinalize(regs: DataFrame): DataFrame =
+    regs.select(col("source"), col("n_docs"), col("n_garbage"),
+                r(col("g_sum") / col("n_docs"), 6).as("mean_garbage"),
+                r(col("n_garbage") / col("n_docs").cast("double"), 6)
+                  .as("garbage_share"))
+      .orderBy(col("source"))
+
+  /** #281's oracle: the per-source rollup of the shared #222 score
+    * fragment, recomputed relationally. */
+  val garbageMixSql: String =
+    s"""WITH g AS (SELECT source, ($garbageScoreSqlFrag) AS gs FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN gs > $GarbageThreshold THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_garbage,
+       |       ${sqlR(s"${sqlSum("gs")} / count(*)", 6)} AS mean_garbage,
+       |       ${sqlR(s"sum(CASE WHEN gs > $GarbageThreshold THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS garbage_share
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------- #223 events_attribution_position
 
   /** #223 events_attribution_position: POSITION-BASED conversion credit

@@ -38,7 +38,14 @@ object Round6Ops24 {
     corpusDispositionDf(Tables.documents(s, dir))
 
   /** DataFrame-generic core: expects (doc_id, source, text). */
-  def corpusDispositionDf(docs: DataFrame): DataFrame = {
+  def corpusDispositionDf(docs: DataFrame): DataFrame =
+    dispositionFinalize(dispositionRegisters(docs))
+
+  /** Mergeable (source, route) registers — the route decision is a
+    * map-only first-match expression per arriving doc, the counters
+    * merge by addition, so this stage is also the #280 streaming
+    * state (SURVEY §5 registers/finalize contract). */
+  private[graft] def dispositionRegisters(docs: DataFrame): DataFrame = {
     val route =
       when(size(lowerTokens(col("text"))) < DispMinTokens, "drop_short")
         .when(Round6Ops12.garbageScoreCol > Round6Ops12.GarbageThreshold,
@@ -49,11 +56,15 @@ object Round6Ops24 {
                 Round6Ops14.InstructionThreshold, "route_instruction")
         .when(TextOps.qualityCol < DispMinQuality, "drop_low_quality")
         .otherwise("keep_prose")
-    val g = docs
+    docs
       .select(col("source"), route.as("route"),
               size(lowerTokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"), col("route"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  /** Share readout over the drained ≤|sources|×6 register table. */
+  private[graft] def dispositionFinalize(g: DataFrame): DataFrame = {
     val wSrc = Window.partitionBy(col("source"))
     val wAll = Window.partitionBy()
     g.withColumn("src_share",

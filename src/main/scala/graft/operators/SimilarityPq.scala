@@ -33,9 +33,12 @@ import graft.sources.Tables
   * rows are map-side slices, the centroid update is a partial-agg
   * groupBy over 8×16×8 cells); encoding is MAP-ONLY — the codebook is a
   * 1 KB plan literal (8×16×8 floats), each row computes its own argmax
-  * with no join, no shuffle. ADC scoring joins the 8-row-per-vector code
-  * table against a broadcast ≤ nq×8×16-row LUT and partial-aggregates
-  * the per-(query, vector) sums before any exchange.
+  * with no join, no shuffle. ADC scoring is ALSO map-only: the
+  * ≤ nq×8×16-value LUT (computed once in Spark with the exact decimal
+  * sub-dots, then collected — model-sized, like the codebook) is inlined
+  * as literal arrays, so each corpus row evaluates every query's ADC sum
+  * as 8 `element_at` lookups with no join and no (query × corpus)
+  * shuffle; the only exchange after encode is the nq-row heap combine.
   */
 object SimilarityPq {
 
@@ -72,7 +75,7 @@ object SimilarityPq {
     * the literal argmax and recomputes decimal-exact 8dp means (codes
     * that lose all members drop out, same as the oracle chain). Only the
     * 8×16×8-float codebook is ever collected — model-sized. */
-  private def trainCodebooks(corpus: DataFrame, iters: Int): Map[(Int, Int), Array[Float]] = {
+  private[graft] def trainCodebooks(corpus: DataFrame, iters: Int): Map[(Int, Int), Array[Float]] = {
     graft.functions.GraftFunctions.ensure(corpus.sparkSession)
     val init = corpus.filter(col("vec_id") < Codes)
       .select(col("vec_id"), col("embedding"))
@@ -106,7 +109,7 @@ object SimilarityPq {
 
   /** Project the 8 per-subspace codes as separate columns (codegen-
     * friendly — see trainCodebooks). */
-  private def withCodes(df: DataFrame, cb: Map[(Int, Int), Array[Float]]): DataFrame =
+  private[graft] def withCodes(df: DataFrame, cb: Map[(Int, Int), Array[Float]]): DataFrame =
     df.withColumns(Map((0 until SubSpaces).map(m => s"code_$m" -> codeExpr(cb, m)): _*))
 
   /** The ADC lookup value q_sub·c, decimal-rounded to 6dp so the 8-term
@@ -119,25 +122,45 @@ object SimilarityPq {
     graft.functions.GraftFunctions.ensure(s)
     val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
     val cb = trainCodebooks(corpus, iters)
-    // encode: map-only — 8 argmax literals per row, no join
-    val structCols = (0 until SubSpaces).map(m =>
-      struct(lit(m).as("m"), col(s"code_$m").as("code")))
-    val codes = withCodes(corpus, cb)
-      .select(col("vec_id"), explode(array(structCols: _*)).as("a"))
-      .select(col("vec_id"), col("a.m").as("m"), col("a.code").as("code"))
-    // per-query LUT: nq×8×16 exact sub-dots, broadcast
+    // per-query LUT: nq×8×16 exact sub-dots. Computed in Spark (so the
+    // decimal fold is bit-identical to the oracle's), then collected —
+    // nq×128 values, model-sized like the codebook itself.
     val cbDf = s.createDataFrame(cb.toSeq.map { case ((m, code), c) => (m, code, c) })
       .toDF("m", "code", "c")
     val qs = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val lut = qs.crossJoin(cbDf)
+    val lutArr: Map[Long, Array[Array[java.math.BigDecimal]]] = qs
+      .crossJoin(broadcast(cbDf))
       .select(col("q_id"), col("m"), col("code"),
               lutVal(subSliceC(col("q_emb"), col("m")), col("c")).as("v"))
-    // ADC: 8 lookups + exact decimal sum per (query, vector)
-    val approx = codes.join(broadcast(lut), Seq("m", "code"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        // dense code-indexed slots; codes dropped during Lloyd leave a
+        // zero that no row can select (codeExpr only assigns survivors)
+        val a = Array.fill(SubSpaces, Codes)(java.math.BigDecimal.ZERO)
+        rows.foreach(r => a(r.getInt(1))(r.getInt(2)) = r.getDecimal(3))
+        q -> a
+      }
+    // ADC: map-only — per corpus row, each query's approximate dot is 8
+    // element_at lookups into the literal LUT + an exact decimal sum
+    // (identical values to the old broadcast-join-then-groupBy plan, but
+    // with no join and no queries×corpus shuffle — the round-7 bench
+    // showed that shuffle dominating the operator). The `+` chain over
+    // decimal(18,6) terms is exact; the (28,6) cast reproduces the old
+    // sum() aggregate's result type.
+    val perQ = lutArr.keys.toSeq.sorted.map { q =>
+      val adc = (0 until SubSpaces).map { m =>
+        element_at(
+          array(lutArr(q)(m).map(v => lit(v).cast("decimal(18,6)")): _*),
+          col(s"code_$m") + 1)
+      }.reduce(_ + _)
+      struct(lit(q).as("q_id"), adc.cast("decimal(28,6)").as("adc"))
+    }
+    val approx = withCodes(corpus, cb)
+      .select(col("vec_id"), explode(array(perQ: _*)).as("a"))
+      .select(col("a.q_id").as("q_id"), col("vec_id"), col("a.adc").as("adc"))
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("v")).as("adc"))
     // shortlist via bounded map-side top-k heaps (collect_top_k), NOT a
     // ranking window: partitionBy(q_id) over the full (query × corpus)
     // ADC table would make ONE task sort the whole corpus per query.

@@ -434,6 +434,32 @@ object Streaming {
       graft.operators.Round6Ops22.burnRegisters(eventsStream(s, dir)),
       graft.operators.Round6Ops22.burnFinalize)
 
+  /** #280 stream_disposition: the #266 curation decision table LIVE —
+    * per-(source, route) doc/token counters ARE the streaming state
+    * (the route is a first-match map-only expression on each arriving
+    * doc; the counters merge by addition), the share readout runs
+    * batch-side over the drained ≤|sources|×6 sink, bit-identical to
+    * batch and sharing #266's oracle. The disposition a curation run
+    * PUBLISHES, updating as the crawl lands — budget owners watch
+    * keep_prose share in flight instead of after the batch gate. */
+  def streamDisposition(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "disp",
+      graft.operators.Round6Ops24.dispositionRegisters(docsStream(s, dir)),
+      graft.operators.Round6Ops24.dispositionFinalize)
+
+  /** #281 stream_garbage_mix: the #222 OCR/encoding-garbage screen as
+    * a CONTINUOUS ingest monitor — per-source doc counts,
+    * over-threshold counts and the decimal-exact score sum ARE the
+    * streaming state (all merge by addition; the score is the shared
+    * map-only #222 expression on each arriving doc), per-source means
+    * and garbage shares batch-side over the drained ≤|sources| sink.
+    * A source whose garbage share steps up mid-crawl is an extractor
+    * regression caught at the edge, beside #238's quality monitor. */
+  def streamGarbageMix(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "garb",
+      graft.operators.Round6Ops12.garbageRegisters(docsStream(s, dir)),
+      graft.operators.Round6Ops12.garbageMixFinalize)
+
   /** #259 stream_lang_mix: the #258 predicted-language mix as a
     * CONTINUOUS ingest monitor — per-(source, language) counts ARE the
     * streaming state (count merges; the prediction is a map-only

@@ -140,6 +140,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == incremental, "rebuild after restart diverged")
   }
 
+  test("commit protocol: crash window repairs by replay; stale batches drop even with different data") {
+    // Pins the claimed single-writer guarantee (SURVEY §5 "Mutation
+    // commit protocol"): data files commit BEFORE the watermark, so the
+    // crash window between the two replays the same batch id and the
+    // idempotent merge absorbs it; a stale batch inside the incarnation
+    // (0 < id < watermark) is dropped by the guard even when its
+    // payload differs from what was originally merged.
+    import graft.streaming.StreamingUpsert
+    val ev = graft.sources.Tables.events(spark, sf)
+    val Array(c1, c2) = ev
+      .selectExpr("percentile(unix_micros(ts), 0.34)", "percentile(unix_micros(ts), 0.67)")
+      .collect()(0).toSeq.map(_.asInstanceOf[Double].toLong).toArray
+    val us = unix_micros(col("ts"))
+    val batches = Seq(
+      0L -> ev.filter(us <= c1),
+      1L -> ev.filter(us > c1 && us <= c2),
+      2L -> ev.filter(us > c2))
+    val path = java.nio.file.Files.createTempDirectory("graft_cp").toString + "/state"
+    batches.foreach { case (id, b) =>
+      StreamingUpsert.mergeBatch(spark, path, StreamingUpsert.latestPerUser(b), id)
+    }
+    def snap() = spark.read.parquet(path)
+      .select("user_id", "ts", "event_type", "value", "n_events")
+      .orderBy("user_id", "ts").collect().toSeq
+    val committed = snap()
+    assert(StreamingUpsert.readWatermark(path) == 2L)
+    // CRASH SIMULATION: the data for batch 2 landed but the watermark
+    // write did not (the watermark is the LAST step, so this is the
+    // only partial state a crash can leave). On recovery, foreachBatch
+    // replays batch 2.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_GRAFT_MAX_BATCH"), "1".getBytes)
+    StreamingUpsert.mergeBatch(spark, path,
+      StreamingUpsert.latestPerUser(batches(2)._2), 2L)
+    assert(snap() == committed, "crash-window replay changed the snapshot")
+    assert(StreamingUpsert.readWatermark(path) == 2L, "watermark not repaired")
+    // STALE WRITER: batch 1 re-presented with DIFFERENT data (a buggy
+    // or delayed duplicate delivery) must be dropped by the guard, not
+    // merged — the compacted snapshot can no longer replace partials.
+    val tampered = StreamingUpsert.latestPerUser(batches(1)._2)
+      .withColumn("value", col("value") * 1000)
+      .withColumn("n_events", col("n_events") * 1000)
+    StreamingUpsert.mergeBatch(spark, path, tampered, 1L)
+    assert(snap() == committed, "stale batch was merged instead of dropped")
+    assert(StreamingUpsert.readWatermark(path) == 2L)
+  }
+
   test("stream_hll: register maxes merge across micro-batches; estimate equals batch sketch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.operators.Analytics2
