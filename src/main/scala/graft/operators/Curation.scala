@@ -36,20 +36,71 @@ object Curation {
       col("doc_id"), col("lang"),
       size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
       qualityCol.as("quality"))
-    val buckets = docs
-      .withColumn("qb", floor(col("quality") * 100).cast("long"))
-      .groupBy(col("qb")).agg(sum(col("n_tok")).as("bucket_tok"))
-    val wDesc = Window.orderBy(col("qb").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cutoff = buckets
-      .withColumn("cum_tok", sum(col("bucket_tok")).over(wDesc))
-      .filter(col("cum_tok") <= budget)
-      .agg(min(col("qb")).as("q_cut"))
+    val cutoff = tokenBudgetCutoff(tokenBudgetRegisters(Tables.documents(s, dir)), budget)
     docs.crossJoin(broadcast(cutoff))
       .filter(floor(col("quality") * 100) >= col("q_cut"))
       .select(col("doc_id"), col("lang"), col("n_tok"), col("quality"))
       .orderBy(col("doc_id"))
   }
+
+  /** The #77 quality-bucket table as MERGEABLE registers (doc count +
+    * token sum per ⌊q·100⌋ bucket, ≤101 rows, both merge by addition) —
+    * also the #283 streaming state. The single definition of the
+    * bucket rollup both the batch selection and the live budget
+    * decision read (shared-fragment rule, SURVEY §5). */
+  private[graft] def tokenBudgetRegisters(docs: DataFrame): DataFrame =
+    docs.select(
+        floor(qualityCol * 100).cast("long").as("qb"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("qb"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bucket_tok"))
+
+  /** Highest quality cutoff whose cumulative-from-the-top token total
+    * fits the budget (1-row frame over the ≤101-bucket table). */
+  private def tokenBudgetCutoff(buckets: DataFrame, budget: Long): DataFrame = {
+    val wDesc = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("cum_tok", sum(col("bucket_tok")).over(wDesc))
+      .filter(col("cum_tok") <= budget)
+      .agg(min(col("qb")).as("q_cut"))
+  }
+
+  /** #283 readout: the budget DECISION table — per quality bucket, its
+    * doc/token mass, the cumulative-from-the-top total, and whether the
+    * bucket makes the cut. All work is over the drained ≤101-row
+    * register table (the partition-less window rides a bounded input,
+    * the documented exception). */
+  private[graft] def tokenBudgetFinalize(budget: Long)(regs: DataFrame): DataFrame = {
+    val wDesc = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = regs.withColumn("cum_tok", sum(col("bucket_tok")).over(wDesc))
+    withCum.crossJoin(broadcast(tokenBudgetCutoff(regs, budget)))
+      .withColumn("selected", coalesce(col("qb") >= col("q_cut"), lit(false)))
+      .select(col("qb"), col("n_docs"), col("bucket_tok"), col("cum_tok"),
+              col("selected"))
+      .orderBy(col("qb").desc)
+  }
+
+  /** #283's oracle: the bucket table + cutoff decision relationally. */
+  def streamTokenBudgetSql(budget: Long = 20000): String =
+    s"""WITH docs AS (
+       |  SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |         ${qualitySqlFrag} AS quality
+       |  FROM documents),
+       |b AS (
+       |  SELECT CAST(floor(quality * 100) AS BIGINT) AS qb,
+       |         count(*) AS n_docs,
+       |         CAST(sum(n_tok) AS BIGINT) AS bucket_tok
+       |  FROM docs GROUP BY 1),
+       |c AS (
+       |  SELECT *, CAST(sum(bucket_tok) OVER (ORDER BY qb DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |  FROM b),
+       |q AS (SELECT min(qb) AS q_cut FROM c WHERE cum_tok <= $budget)
+       |SELECT qb, n_docs, bucket_tok, cum_tok,
+       |       coalesce(qb >= q_cut, false) AS selected
+       |FROM c CROSS JOIN q ORDER BY qb DESC""".stripMargin
 
   def corpusTokenBudgetSql(budget: Long = 20000): String =
     s"""WITH docs AS (

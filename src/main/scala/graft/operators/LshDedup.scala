@@ -271,9 +271,10 @@ object LshDedup {
        |FROM shared JOIN cnt c1 ON id_a = c1.doc_id JOIN cnt c2 ON id_b = c2.doc_id
        |WHERE floor((shared / (c1.n + c2.n - shared)) * 1e6 + 0.5) / 1e6 >= $tau""".stripMargin
 
-  /** Shared CTE chain (toks..sig..cand..cnt..shared) for the MinHash
-    * oracle family. */
-  private def minhashSqlPrefix(k: Int, bands: Int, maxBucket: Int): String = {
+  /** The hash→signature→band-key CTE chain (toks..bands) shared by
+    * every MinHash oracle, including the #282 incremental probe (which
+    * swaps in its own bipartite candidate stage after `bands`). */
+  private def minhashBandsSql(k: Int, bands: Int): String = {
     val rows = k / bands
     val mins = (0 until k).map { i =>
       val (a, b) = coef(i); s"min(($a * sm + $b) % $P) AS m$i"
@@ -304,7 +305,14 @@ object LshDedup {
        |         unnest([$bandExprs]) AS band_key
        |  FROM sig
        |),
-       |bb AS (
+       |""".stripMargin
+  }
+
+  /** Shared CTE chain (toks..sig..cand..cnt..shared) for the MinHash
+    * oracle family. */
+  private def minhashSqlPrefix(k: Int, bands: Int, maxBucket: Int): String = {
+    minhashBandsSql(k, bands) +
+    s"""bb AS (
        |  SELECT doc_id, band_key,
        |         count(*) OVER (PARTITION BY band_key) AS cnt,
        |         lead(doc_id) OVER (PARTITION BY band_key ORDER BY doc_id) AS nxt
@@ -668,4 +676,112 @@ object LshDedup {
        |  JOIN fp fb ON fb.doc_id = c.id_b)
        |WHERE hamming <= $maxHamming""".stripMargin
   }
+
+  // --------------------------------------- #282 dedup_minhash_incremental
+
+  /** #282 dedup_minhash_incremental: the DAILY-CRAWL dedup move — a
+    * delta batch (here the deterministic 20% slice `doc_id % mod ==
+    * mod−1`) probes the EXISTING corpus index for near-duplicates
+    * without ever pairing index docs against each other. This is how
+    * MinHash dedup actually runs day 2 onward at 100 TB: the index's
+    * band keys are a stored table amortized across batches (#25b is the
+    * exact-hash analog; this is the near-dup one), the probe joins
+    * delta band keys against index band keys only (delta × index, never
+    * index²), every candidate is exact-Jaccard verified, and each delta
+    * doc reports its best match (highest verified Jaccard, smallest
+    * index id on ties) or arrives as novel.
+    *
+    * Hot-bucket discipline: an index band bucket larger than
+    * `maxBucket` is a STOP-BUCKET — skipped entirely, the banded analog
+    * of the #26 stop-shingle DF cap (a saturated bucket is boilerplate
+    * that an earlier intra-index dedup pass owns; re-probing it per
+    * delta doc would make every daily batch quadratic in the hottest
+    * bucket). Documented recall trade, deterministic in both engines.
+    *
+    * Scale shape: one shingle scan feeds signatures for both sides
+    * (shared memoized shingle table); the probe is a band_key equi-join
+    * with bucket sizes bounded by the cap; the best-match readout is a
+    * partial-aggregable max-of-struct per delta doc — no windows over
+    * the corpus, no index² term anywhere. */
+  def dedupMinhashIncremental(s: SparkSession, dir: String,
+                              tau: Double = 0.3, k: Int = 64,
+                              bands: Int = 32, maxBucket: Int = 256,
+                              mod: Int = 5): DataFrame = {
+    val input = Tables.documents(s, dir)
+    val rows = k / bands
+    val (docs, sigs, _) = minhashParts(input, k, bands, maxBucket)
+    val bandKeys = sigs.select(col("doc_id"),
+      explode(bandKeyArray(bands, rows)).as("band_key"))
+    val isDelta = pmod(col("doc_id"), lit(mod)) === (mod - 1)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
+    val idx = bandKeys.filter(!isDelta)
+      .withColumn("cnt", count(lit(1)).over(wB))
+      .filter(col("cnt") <= maxBucket)
+    val cand = bandKeys.filter(isDelta).as("d")
+      .join(idx.as("i"), "band_key")
+      .select(col("d.doc_id").as("id_d"), col("i.doc_id").as("id_i"))
+      .distinct()
+    val best = cand
+      .join(docs.select(col("doc_id").as("id_d"), col("sh").as("sh_d")), "id_d")
+      .join(docs.select(col("doc_id").as("id_i"), col("sh").as("sh_i")), "id_i")
+      .withColumn("inter", size(array_intersect(col("sh_d"), col("sh_i"))))
+      .withColumn("jaccard",
+        r(col("inter") /
+          (size(col("sh_d")) + size(col("sh_i")) - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("id_d"))
+      .agg(max(struct(col("jaccard"), (-col("id_i")).as("neg"))).as("b"))
+      .select(col("id_d").as("doc_id"), (-col("b.neg")).as("match_id"),
+              col("b.jaccard").as("jaccard"))
+    input.filter(isDelta).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("is_dup", col("match_id").isNotNull)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[dedupMinhashIncremental]]: the shared
+    * hash→band chain, then the bipartite probe with the identical
+    * stop-bucket cap and best-match tiebreak. */
+  def dedupMinhashIncrementalSql(tau: Double = 0.3, k: Int = 64,
+                                 bands: Int = 32, maxBucket: Int = 256,
+                                 mod: Int = 5): String =
+    minhashBandsSql(k, bands) +
+    s"""bbi AS (
+       |  SELECT doc_id, band_key,
+       |         count(*) OVER (PARTITION BY band_key) AS cnt
+       |  FROM bands WHERE doc_id % $mod <> ${mod - 1}
+       |),
+       |bbd AS (
+       |  SELECT doc_id, band_key FROM bands WHERE doc_id % $mod = ${mod - 1}
+       |),
+       |icand AS (
+       |  SELECT DISTINCT d.doc_id AS id_d, i.doc_id AS id_i
+       |  FROM bbd d JOIN bbi i ON i.band_key = d.band_key
+       |  WHERE i.cnt <= $maxBucket
+       |),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |ishared AS (
+       |  SELECT c.id_d, c.id_i, count(*) AS shared
+       |  FROM icand c
+       |  JOIN sh x ON x.doc_id = c.id_d
+       |  JOIN sh y ON y.doc_id = c.id_i AND y.s = x.s
+       |  GROUP BY 1, 2
+       |),
+       |ver AS (
+       |  SELECT id_d, id_i,
+       |         floor((shared / (cd.n + ci.n - shared)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |  FROM ishared JOIN cnt cd ON id_d = cd.doc_id JOIN cnt ci ON id_i = ci.doc_id
+       |  WHERE floor((shared / (cd.n + ci.n - shared)) * 1e6 + 0.5) / 1e6 >= $tau
+       |),
+       |best AS (
+       |  SELECT id_d, id_i, jaccard FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id_d
+       |      ORDER BY jaccard DESC, id_i) AS rn FROM ver)
+       |  WHERE rn = 1
+       |)
+       |SELECT d.doc_id, b.id_i AS match_id, b.jaccard,
+       |       b.id_i IS NOT NULL AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $mod = ${mod - 1}) d
+       |LEFT JOIN best b ON b.id_d = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

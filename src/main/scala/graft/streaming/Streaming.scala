@@ -434,6 +434,21 @@ object Streaming {
       graft.operators.Round6Ops22.burnRegisters(eventsStream(s, dir)),
       graft.operators.Round6Ops22.burnFinalize)
 
+  /** #283 stream_token_budget: the #77 budget DECISION recomputed live
+    * as the crawl lands — the ≤101 quality-bucket doc/token registers
+    * ARE the streaming state (shared builder with #77's batch
+    * selection; counters merge by addition), and the
+    * cumulative-from-the-top cutoff + per-bucket selected flag run
+    * batch-side over the drained bounded sink. A budget owner reads
+    * tonight which quality floor tomorrow's training run can afford;
+    * the doc-level selection stays batch (#77's broadcast-threshold
+    * second scan), exactly because a stream cannot re-scan the feed. */
+  def streamTokenBudget(s: SparkSession, dir: String,
+                        budget: Long = 20000): DataFrame =
+    runRegisterStream(s, "tokbudget",
+      graft.operators.Curation.tokenBudgetRegisters(docsStream(s, dir)),
+      graft.operators.Curation.tokenBudgetFinalize(budget))
+
   /** #280 stream_disposition: the #266 curation decision table LIVE —
     * per-(source, route) doc/token counters ARE the streaming state
     * (the route is a first-match map-only expression on each arriving

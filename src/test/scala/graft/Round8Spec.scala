@@ -26,6 +26,55 @@ class Round8Spec extends AnyFunSuite {
     assert(math.abs(batch.map(_.getDouble(5)).sum - 1.0) < 1e-4)
   }
 
+  test("dedup_minhash_incremental: probe agrees with the full pass on delta-index pairs") {
+    import graft.operators.LshDedup
+    val inc = LshDedup.dedupMinhashIncremental(spark, sf).collect()
+    val nDelta = graft.sources.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(5)) === 4).count()
+    assert(inc.length == nDelta, "every delta doc reports exactly once")
+    // at this SF no band bucket exceeds the cap, so the probe must find
+    // exactly the delta-index pairs the full #27 pass verifies; the
+    // reported match is the best (max jaccard, min index id) of them
+    val full = LshDedup.dedupMinhash(spark, sf).collect()
+      .flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b, j), (b, a, j))
+      }
+      .filter { case (d, i, _) => d % 5 == 4 && i % 5 != 4 }
+      .groupBy(_._1)
+      .map { case (d, ps) =>
+        d -> ps.map(p => (p._3, p._2)).max(Ordering.Tuple2(
+          Ordering.Double.TotalOrdering, Ordering.Long.reverse))
+      }
+    inc.foreach { r =>
+      val d = r.getLong(0)
+      if (r.getBoolean(3)) {
+        val (j, i) = full(d)
+        assert(r.getLong(1) == i && r.getDouble(2) == j,
+          s"delta $d: best match diverged from the full pass")
+      } else assert(!full.contains(d), s"delta $d: probe missed a match")
+    }
+  }
+
+  test("stream_token_budget: streamed decision is bit-identical to batch; consistent with #77's selection") {
+    import graft.operators.Curation
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val batch = Curation.tokenBudgetFinalize(20000)(
+      Curation.tokenBudgetRegisters(docs)).collect()
+    val streamed = graft.streaming.Streaming.streamTokenBudget(spark, sf)
+      .collect()
+    assert(batch.map(_.toString).toSeq == streamed.map(_.toString).toSeq)
+    // the live decision and the batch selection agree doc-for-doc
+    val selectedDocs = Curation.corpusTokenBudget(spark, sf).count()
+    val selectedBuckets = batch.filter(_.getBoolean(4))
+    assert(selectedBuckets.map(_.getLong(1)).sum == selectedDocs)
+    // selected buckets' token mass fits the budget
+    if (selectedBuckets.nonEmpty)
+      assert(selectedBuckets.map(_.getLong(2)).sum <= 20000L)
+  }
+
   test("stream_garbage_mix: streamed per-source registers are bit-identical to batch") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val batch = Round6Ops12.garbageMixFinalize(
