@@ -434,6 +434,23 @@ object Streaming {
       graft.operators.Round6Ops22.burnRegisters(eventsStream(s, dir)),
       graft.operators.Round6Ops22.burnFinalize)
 
+  /** #285 stream_schema_drift: the #284 JSON-schema drift monitor LIVE
+    * — the (day, key) count registers ARE the streaming state (the key
+    * explode is map-only per arriving event; counts merge by addition),
+    * the per-key lifecycle verdict runs batch-side over the drained
+    * ≤days×keys sink. The injection midpoint is a STATIC scalar
+    * (computed once from the at-rest table — a stream cannot
+    * re-aggregate its history for a constant), so stream ≡ batch
+    * bit-identically and #284's oracle checks the verdicts. The alarm
+    * that pages when a producer starts emitting a new props field. */
+  def streamSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val mid = graft.operators.Round8Ops.feedMidDay(
+      graft.sources.Tables.events(s, dir))
+    runRegisterStream(s, "schema",
+      graft.operators.Round8Ops.schemaRegisters(eventsStream(s, dir), mid),
+      graft.operators.Round8Ops.schemaDriftFinalize)
+  }
+
   /** #283 stream_token_budget: the #77 budget DECISION recomputed live
     * as the crawl lands — the ≤101 quality-bucket doc/token registers
     * ARE the streaming state (shared builder with #77's batch

@@ -75,6 +75,26 @@ class Round8Spec extends AnyFunSuite {
       assert(selectedBuckets.map(_.getLong(2)).sum <= 20000L)
   }
 
+  test("dq_schema_drift: injected lifecycle is detected; stream twin is bit-identical") {
+    import graft.operators.Round8Ops
+    val batch = Round8Ops.dqSchemaDrift(spark, sf).collect()
+    val byKey = batch.map(r => r.getString(0) -> r).toMap
+    // the injection plants exactly this lifecycle: beta retired at the
+    // midpoint, k_v2 born there, k stable throughout
+    assert(byKey.keySet == Set("beta", "k", "k_v2"))
+    assert(byKey("k").getString(5) == "stable")
+    assert(byKey("beta").getString(5) == "retired")
+    assert(byKey("k_v2").getString(5) == "new")
+    assert(byKey("beta").getString(2) < byKey("k_v2").getString(1),
+      "beta's last day precedes k_v2's first day (the rollout boundary)")
+    // every event carries exactly one of k/k_v2
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(byKey("k").getLong(4) + byKey("k_v2").getLong(4) == total)
+    val streamed = graft.streaming.Streaming.streamSchemaDrift(spark, sf)
+      .collect()
+    assert(batch.map(_.toString).toSeq == streamed.map(_.toString).toSeq)
+  }
+
   test("stream_garbage_mix: streamed per-source registers are bit-identical to batch") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val batch = Round6Ops12.garbageMixFinalize(
