@@ -36,7 +36,14 @@ object PlanAudit {
           qe.optimizedPlan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
         Some((name, n("\\) Exchange"), n("\\) BroadcastHashJoin"),
               n("\\) SortMergeJoin"), n("\\) ShuffledHashJoin"),
-              n("\\(\\d+\\) Scan parquet"), n("\\) Window"), driverFinal))
+              // exclude WindowGroupLimit: it is Spark's rank-limit
+              // PUSHDOWN helper (a streaming top-k filter before the
+              // real window sort), not a window execution — counting it
+              // double-reported every rank()<=k plan (round-8 fix: the
+              // shipped ann_pq plan has exactly 1 WindowExec but
+              // regex-read as 2)
+              n("\\(\\d+\\) Scan parquet"), n("\\) Window(?!GroupLimit)"),
+              driverFinal))
       }
     }
     println(f"${"query"}%-24s exch  bhj  smj  shj  scan  win")
