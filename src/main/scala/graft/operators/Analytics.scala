@@ -374,6 +374,56 @@ object Analytics {
 
   /** DuckDB oracle for [[dedupClusters]]: min label over the recursive
     * transitive closure of the same edge set. */
+  /** #286 corpus_dedup_weight: duplication-aware SAMPLING WEIGHTS —
+    * instead of hard-dropping near-duplicates (#55's keep-first), every
+    * doc keeps weight 1/|its #42 cluster|, so each duplicated content
+    * unit contributes exactly one doc-equivalent of training mass
+    * however many copies exist (the soft-dedup reweighting used when
+    * dropping is too blunt — near-dups may differ in the tails worth
+    * keeping). Report per source: raw docs, effective docs (the 6dp
+    * weight mass, decimal-summed), docs sitting in dup clusters, and
+    * the effective ratio — the number that says which source's
+    * apparent volume is actually redundancy.
+    *
+    * Scale shape: rides #42's persisted label table; sizes are one
+    * cluster-keyed rollup joined back co-keyed; the source report is
+    * one bounded rollup. No new expensive stage — the reweighting is
+    * an identity-away from the clustering it reads. */
+  def corpusDedupWeight(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    val labels = dedupClusters(s, dir, tau)
+    val sizes = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val weighted = labels.join(sizes, "cluster")
+      .withColumn("weight", r(lit(1.0) / col("cluster_size"), 6))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(weighted, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           dsum(col("weight"), 6).as("effective_docs"),
+           count(when(col("cluster_size") > 1, 1)).as("n_in_dup_clusters"))
+      .withColumn("effective_ratio",
+        r(col("effective_docs") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  def corpusDedupWeightSql(tau: Double = 0.3): String =
+    s"""WITH cl AS (${dedupClustersSql(tau)}),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY 1),
+       |w AS (
+       |  SELECT cl.doc_id, sizes.cluster_size,
+       |         floor((1.0 / sizes.cluster_size) * 1e6 + 0.5) / 1e6 AS weight
+       |  FROM cl JOIN sizes USING (cluster)),
+       |g AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |         ${sqlSum("weight", 6)} AS effective_docs,
+       |         CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_in_dup_clusters
+       |  FROM documents d JOIN w USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT source, n_docs, effective_docs, n_in_dup_clusters,
+       |       ${sqlR("effective_docs / n_docs", 6)} AS effective_ratio
+       |FROM g ORDER BY source""".stripMargin
+
   def dedupClustersSql(tau: Double = 0.3): String =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents

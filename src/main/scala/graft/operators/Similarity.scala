@@ -327,8 +327,9 @@ object Similarity {
     * assignment) — init cells = first `nCells` vectors, assignment via
     * the sequential-fold FloatDot mirror, centroid means via the
     * decimal-exact 8dp average quantized to float. */
-  private[graft] def ivfChainSql(nCells: Int, iters: Int, sfx: String = ""): String =
-    "WITH " + ivfChainBody(nCells, iters, sfx)
+  private[graft] def ivfChainSql(nCells: Int, iters: Int, sfx: String = "",
+                                 trainWhere: String = "TRUE"): String =
+    "WITH " + ivfChainBody(nCells, iters, sfx, trainWhere)
 
   /** The k-means CTE chain WITHOUT the leading WITH, so two chains (the
     * #198 stability probe trains full + half) can share one WITH list.
@@ -373,6 +374,76 @@ object Similarity {
     * probe CTE below). */
   private def ivfScoreSql(emb: String): String =
     s"(${sqlDotSeq(emb, "c.c")} - ${sqlHalfNormSeq("c.c")})"
+
+  /** #287 emb_ivf_incremental: the IVF index-MAINTENANCE readout — the
+    * coarse quantizer trains on the existing INDEX slice only (the
+    * amortized day-1 model; delta vectors must not retrain it), every
+    * vector assigns to its nearest cell, and the per-cell report
+    * compares index vs delta occupancy: counts, shares, the
+    * delta/index share drift, and a rebalance flag (a cell drawing ≥2×
+    * its index share from the incoming batch, or delta landing in an
+    * index-empty cell). This is the monitor that decides when a
+    * deployed IVF index re-trains: #31b assumes the cell layout fits
+    * the data; this detects when the incoming distribution has walked
+    * away from it (the #282 companion for the vector side).
+    *
+    * Scale shape: training scans only the index slice (bounded Lloyd
+    * rounds, model-sized collects); assignment is the same map-only
+    * literal argmax as #31b; the readout is one ≤nCells rollup with
+    * driver-scalar totals. */
+  def embIvfIncremental(s: SparkSession, dir: String, nCells: Int = 16,
+                        iters: Int = 3, mod: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+    val isDelta = pmod(col("vec_id"), lit(mod.toLong)) === (mod - 1)
+    val cents = trainCentroids(corpus.filter(!isDelta), nCells, iters)
+    val ti = corpus.filter(!isDelta).count()
+    val td = corpus.filter(isDelta).count()
+    assignNearest(corpus, cents)
+      .groupBy(col("cluster").cast("long").as("cl"))
+      .agg(count(when(!isDelta, 1)).as("n_index"),
+           count(when(isDelta, 1)).as("n_delta"))
+      .withColumn("share_index", r(col("n_index") / lit(ti.toDouble), 6))
+      .withColumn("share_delta", r(col("n_delta") / lit(td.toDouble), 6))
+      .withColumn("drift",
+        when(col("share_index") > 0,
+             r(col("share_delta") / col("share_index"), 6)))
+      .withColumn("rebalance",
+        col("n_delta") > 0 &&
+          (col("n_index") === 0 || coalesce(col("drift") >= 2.0, lit(false))))
+      .orderBy(col("cl"))
+  }
+
+  /** Oracle: the shared k-means chain restricted to index-slice
+    * TRAINING (assignment still covers the corpus), then the same
+    * occupancy report. */
+  def embIvfIncrementalSql(nCells: Int = 16, iters: Int = 3,
+                           mod: Int = 5): String = {
+    val delta = s"vec_id % $mod = ${mod - 1}"
+    ivfChainSql(nCells, iters, trainWhere = s"vec_id % $mod <> ${mod - 1}") +
+    s""",
+       |g AS (
+       |  SELECT cl,
+       |         CAST(sum(CASE WHEN $delta THEN 0 ELSE 1 END) AS BIGINT) AS n_index,
+       |         CAST(sum(CASE WHEN $delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+       |  FROM bucketed GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(n_index) AS DOUBLE) AS ti,
+       |         CAST(sum(n_delta) AS DOUBLE) AS td FROM g),
+       |sh AS (
+       |  SELECT cl, n_index, n_delta,
+       |         ${sqlR("n_index / ti", 6)} AS share_index,
+       |         ${sqlR("n_delta / td", 6)} AS share_delta
+       |  FROM g CROSS JOIN t),
+       |dr AS (
+       |  SELECT *, CASE WHEN share_index > 0
+       |                 THEN ${sqlR("share_delta / share_index", 6)} END AS drift
+       |  FROM sh)
+       |SELECT cl, n_index, n_delta, share_index, share_delta, drift,
+       |       n_delta > 0 AND (n_index = 0 OR coalesce(drift >= 2.0, false))
+       |         AS rebalance
+       |FROM dr ORDER BY cl""".stripMargin
+  }
 
   /** DuckDB oracle for [[annIvf]]: the identical deterministic k-means
     * ([[ivfChainSql]]), then the same probe + exact cosine + top-k. */

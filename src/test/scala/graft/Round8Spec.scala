@@ -95,6 +95,45 @@ class Round8Spec extends AnyFunSuite {
     assert(batch.map(_.toString).toSeq == streamed.map(_.toString).toSeq)
   }
 
+  test("corpus_dedup_weight: weight mass reconciles with the cluster count; ratios bounded") {
+    import graft.operators.Analytics
+    val rows = Analytics.corpusDedupWeight(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == docs, "every doc weighted exactly once")
+    // each cluster contributes exactly 1 doc-equivalent (σ 1/|c| over
+    // members), so total effective mass = number of clusters (up to the
+    // 6dp per-doc rounding)
+    val nClusters = Analytics.dedupClusters(spark, sf)
+      .select("cluster").distinct().count()
+    val eff = rows.map(_.getDouble(2)).sum
+    assert(math.abs(eff - nClusters) < 0.01,
+      s"effective mass $eff vs $nClusters clusters")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getLong(1) + 1e-9)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+      if (r.getLong(3) == 0) assert(r.getDouble(4) == 1.0,
+        "a source with no dup-cluster docs keeps full effective ratio")
+    }
+  }
+
+  test("emb_ivf_incremental: occupancy reconciles; drift flags only delta-bearing cells") {
+    import graft.operators.Similarity
+    val rows = Similarity.embIvfIncremental(spark, sf).collect()
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val total = emb.count()
+    val nDelta = total / 5 + (if (total % 5 > 4) 1 else 0)
+    assert(rows.map(_.getLong(1)).sum + rows.map(_.getLong(2)).sum == total)
+    assert(rows.map(_.getLong(2)).sum ==
+      emb.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(5L)) === 4).count())
+    rows.foreach { r =>
+      if (r.getBoolean(6)) assert(r.getLong(2) > 0,
+        "rebalance only fires on cells receiving delta traffic")
+      if (!r.isNullAt(5)) assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
   test("stream_garbage_mix: streamed per-source registers are bit-identical to batch") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val batch = Round6Ops12.garbageMixFinalize(
