@@ -88,6 +88,92 @@ object Round8Ops {
     schemaDriftFinalize(schemaRegisters(ev, feedMidDay(ev)))
   }
 
+  // --------------------------------------------- #288 corpus_pii_audit
+
+  /** Deterministic PII injection (the synthetic corpus is PII-free, so
+    * the audit would read zero everywhere): every 13th doc gains an
+    * email, every 17th a phone number (both at lcm 221) — id-derived
+    * so incidence is exact ground truth at every SF. Fenced here,
+    * mirrored verbatim in the oracle; the audit reads only the
+    * injected column. */
+  private[graft] def injectedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text2", concat(col("text"),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit(" reach user"), col("doc_id").cast("string"),
+               lit("@example.org"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(lit(" call +1 202 555 01"),
+               lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+        .otherwise(lit(""))))
+
+  /** Mergeable per-source PII registers: doc counts, docs carrying ≥1
+    * email / phone / any PII, and total hit counts — all merge by
+    * addition; the regex screens are the #24e fragments, map-only per
+    * doc. Also the #289 streaming state. */
+  private[graft] def piiRegisters(docs: DataFrame): DataFrame = {
+    val ne = regexp_count(col("text2"), lit(TextOps.emailRe))
+    val np = regexp_count(col("text2"), lit(TextOps.phoneRe))
+    injectedPii(docs)
+      .select(col("source"), ne.as("ne"), np.as("np"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("ne") > 0, 1L).otherwise(0L)).as("n_email_docs"),
+           sum(when(col("np") > 0, 1L).otherwise(0L)).as("n_phone_docs"),
+           sum(when(col("ne") > 0 || col("np") > 0, 1L).otherwise(0L))
+             .as("n_pii_docs"),
+           sum(col("ne").cast("long")).as("n_emails"),
+           sum(col("np").cast("long")).as("n_phones"))
+  }
+
+  /** Incidence-rate readout over the ≤|sources| register table. */
+  private[graft] def piiAuditFinalize(regs: DataFrame): DataFrame = {
+    import graft.Parity.r
+    regs.select(col("source"), col("n_docs"), col("n_pii_docs"),
+                col("n_emails"), col("n_phones"),
+                r(col("n_email_docs") / col("n_docs").cast("double"), 6)
+                  .as("email_rate"),
+                r(col("n_phone_docs") / col("n_docs").cast("double"), 6)
+                  .as("phone_rate"),
+                r(col("n_pii_docs") / col("n_docs").cast("double"), 6)
+                  .as("pii_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** #288 corpus_pii_audit: PII INCIDENCE per source — the compliance
+    * report a curation run publishes alongside the #24e redaction
+    * (redaction masks the hits; this says which sources carry them and
+    * at what rate, the number that routes a source to legal review
+    * rather than a regex). One scan, the #24e regex fragments as
+    * conditional sums, one bounded source rollup — the register/
+    * finalize contract, so #289 streams it unchanged. */
+  def corpusPiiAudit(s: SparkSession, dir: String): DataFrame =
+    piiAuditFinalize(piiRegisters(Tables.documents(s, dir)))
+
+  val corpusPiiAuditSql: String = {
+    import graft.Parity.sqlR
+    val withPii =
+      "text || (CASE WHEN doc_id % 13 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 17 = 0 THEN ' call +1 202 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END)"
+    s"""WITH f AS (
+       |  SELECT source,
+       |         len(regexp_extract_all($withPii, '${TextOps.emailRe}')) AS ne,
+       |         len(regexp_extract_all($withPii, '${TextOps.phoneRe}')) AS np
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+       |         CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+       |         CAST(sum(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+       |         CAST(sum(ne) AS BIGINT) AS n_emails,
+       |         CAST(sum(np) AS BIGINT) AS n_phones
+       |  FROM f GROUP BY 1)
+       |SELECT source, n_docs, n_pii_docs, n_emails, n_phones,
+       |       ${sqlR("n_email_docs / CAST(n_docs AS DOUBLE)", 6)} AS email_rate,
+       |       ${sqlR("n_phone_docs / CAST(n_docs AS DOUBLE)", 6)} AS phone_rate,
+       |       ${sqlR("n_pii_docs / CAST(n_docs AS DOUBLE)", 6)} AS pii_rate
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   /** Oracle: identical injection (regex mirrored), DuckDB json_keys,
     * same rollup + verdicts. */
   val dqSchemaDriftSql: String =

@@ -511,8 +511,8 @@ object TextOps {
   /** Email / phone patterns shared by both engines. Kept to syntax that
     * Java regex and RE2 (DuckDB) match identically: character classes,
     * bounded counted repeats, no lookaround. */
-  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val phoneRe = "\\+[0-9][0-9 ]{7,}[0-9]"
+  private[graft] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val phoneRe = "\\+[0-9][0-9 ]{7,}[0-9]"
 
   /** #72 PII redaction: count and mask email addresses and
     * international-format phone numbers — the scrub pass every

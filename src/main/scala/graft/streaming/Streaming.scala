@@ -434,6 +434,19 @@ object Streaming {
       graft.operators.Round6Ops22.burnRegisters(eventsStream(s, dir)),
       graft.operators.Round6Ops22.burnFinalize)
 
+  /** #289 stream_pii_mix: the #288 PII audit LIVE — per-source doc/
+    * hit counters AS streaming state (the regex screens are map-only
+    * per arriving doc; counters merge by addition; the injection is
+    * id-derived, needing no corpus scalar), incidence rates batch-side
+    * over the drained ≤|sources| sink, bit-identical to batch and
+    * sharing #288's oracle. The compliance alarm at the crawler's
+    * edge: a source whose PII rate steps up mid-crawl gets quarantined
+    * before the batch gate would see it. */
+  def streamPiiMix(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "pii",
+      graft.operators.Round8Ops.piiRegisters(docsStream(s, dir)),
+      graft.operators.Round8Ops.piiAuditFinalize)
+
   /** #285 stream_schema_drift: the #284 JSON-schema drift monitor LIVE
     * — the (day, key) count registers ARE the streaming state (the key
     * explode is map-only per arriving event; counts merge by addition),

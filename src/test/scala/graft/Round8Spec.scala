@@ -134,6 +134,26 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("corpus_pii_audit: injected incidence is exact; stream twin is bit-identical") {
+    import graft.operators.Round8Ops
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val batch = Round8Ops.corpusPiiAudit(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(batch.map(_.getLong(1)).sum == docs.count())
+    // injection ground truth: docs with id % 13 == 0 or % 17 == 0
+    val expected = docs.filter(
+      pmod(col("doc_id"), lit(13)) === 0 || pmod(col("doc_id"), lit(17)) === 0)
+      .count()
+    assert(batch.map(_.getLong(2)).sum == expected,
+      "PII doc count must equal the planted set exactly")
+    batch.foreach { r =>
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    val streamed = graft.streaming.Streaming.streamPiiMix(spark, sf).collect()
+    assert(batch.map(_.toString).toSeq == streamed.map(_.toString).toSeq)
+  }
+
   test("stream_garbage_mix: streamed per-source registers are bit-identical to batch") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val batch = Round6Ops12.garbageMixFinalize(
