@@ -152,4 +152,102 @@ object Partitioned {
        |FROM events
        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-13'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ #290 events_erase_user
+
+  /** Erase one user from a partitioned copy at `path`: recompute each
+    * AFFECTED day from the source of truth minus the user and
+    * dynamic-overwrite only those partitions; a day the user owns
+    * ENTIRELY is tombstoned by explicit directory delete, because
+    * dynamic overwrite only replaces partitions present in the written
+    * data — an empty recomputed day would otherwise leave the old
+    * files (and the user's rows) on disk, the silent GDPR hole this
+    * helper exists to close. Idempotent on retry: every write derives
+    * from the original table, never from the copy. */
+  private[graft] def eraseUserFromCopy(ev: DataFrame, path: String,
+                                       uid: Long): Unit = {
+    val s = ev.sparkSession
+    val dated = ev.withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+    // ≤days rows: (day, total, user's share) — drives both the rewrite
+    // and the tombstone decision
+    val affected = dated.groupBy(col("p_date"))
+      .agg(count(lit(1)).as("n_total"),
+           count(when(col("user_id") === uid, 1)).as("n_user"))
+      .filter(col("n_user") > 0)
+      .collect()
+    val (owned, mixed) = affected.partition(r => r.getLong(1) == r.getLong(2))
+    if (mixed.nonEmpty) {
+      val days = mixed.map(_.getString(0))
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        dated.filter(col("p_date").isin(days.map(x => x: Any): _*) &&
+                     col("user_id") =!= uid)
+          .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+    owned.foreach { r =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$path/p_date=${r.getString(0)}"))
+    }
+  }
+
+  /** #290 events_erase_user: the GDPR/right-to-be-forgotten move on a
+    * partitioned lake table — locate the target user's partitions,
+    * recompute them from the source of truth WITHOUT the user, and
+    * dynamic-overwrite only those directories (plus explicit tombstones
+    * for fully-owned days — see [[eraseUserFromCopy]]). The third
+    * mutation operator under the SURVEY §5 commit protocol: same
+    * derive-from-truth idempotence as #103's backfill, same
+    * single-writer contract. Target = the feed's minimum user id
+    * (deterministic at every SF). Report per affected day: surviving
+    * events in the copy and the erased count — the copy must land on
+    * the relational fixed point the oracle computes from the original
+    * table, which is the proof the erasure is complete AND touched
+    * nothing else. */
+  def eventsEraseUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val uid = ev.agg(min(col("user_id"))).collect()(0).getLong(0)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_erase$tag/events"
+    val src = s"$dir/events.parquet"
+    if (!Staging.isFresh(path, src)) {
+      ev.withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+      Staging.markStaged(path, src)
+    }
+    eraseUserFromCopy(ev, path, uid)
+    // report: before-counts from the source of truth, after-counts from
+    // the materialized copy (LEFT join — a tombstoned day reads 0)
+    val before = ev.filter(col("user_id") === uid)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("p_date"))
+      .agg(count(lit(1)).as("n_erased"))
+    val totals = ev
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("p_date"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = s.read.parquet(path)
+      .groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(totals, "p_date").join(after, Seq("p_date"), "left")
+      .select(col("p_date"),
+              coalesce(col("n_after"), lit(0L)).as("n_events"),
+              col("n_erased"))
+      .orderBy(col("p_date"))
+  }
+
+  /** Oracle: the same report relationally — surviving = day total minus
+    * the target user's events; the Spark side must read these numbers
+    * back from the PHYSICAL copy. */
+  val eventsEraseUserSql: String =
+    s"""WITH target AS (SELECT min(user_id) AS uid FROM events),
+       |days AS (
+       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS p_date,
+       |         count(*) AS n_before,
+       |         CAST(sum(CASE WHEN user_id = uid THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_erased
+       |  FROM events CROSS JOIN target GROUP BY 1)
+       |SELECT p_date, n_before - n_erased AS n_events, n_erased
+       |FROM days WHERE n_erased > 0 ORDER BY 1""".stripMargin
 }

@@ -154,6 +154,43 @@ class Round8Spec extends AnyFunSuite {
     assert(batch.map(_.toString).toSeq == streamed.map(_.toString).toSeq)
   }
 
+  test("events_erase_user: erasure is complete, surgical, idempotent; owned days tombstone") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Partitioned
+    // synthetic copy: user 1 owns ALL of day 2 (the tombstone case) and
+    // shares day 1; user 2 is untouched traffic
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 1.0),
+      (2L, 2L, "2024-01-01 11:00:00", "view", 2.0),
+      (3L, 1L, "2024-01-02 10:00:00", "click", 3.0),
+      (4L, 1L, "2024-01-02 11:00:00", "view", 4.0),
+      (5L, 2L, "2024-01-03 09:00:00", "view", 5.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val path = java.nio.file.Files.createTempDirectory("graft_er").toString + "/events"
+    ev.withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("p_date").parquet(path)
+    val day3 = new java.io.File(s"$path/p_date=2024-01-03")
+    val mtimes = day3.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Partitioned.eraseUserFromCopy(ev, path, 1L)
+    val left = spark.read.parquet(path)
+    assert(left.filter(col("user_id") === 1L).count() == 0, "user fully erased")
+    assert(left.count() == 2, "other users' events survive")
+    assert(!new java.io.File(s"$path/p_date=2024-01-02").exists(),
+      "a fully-owned day tombstones (dynamic overwrite alone would leak it)")
+    // untouched partitions are PHYSICALLY untouched (the #103 pin)
+    day3.listFiles().foreach(f =>
+      assert(mtimes.get(f.getName).contains(f.lastModified),
+        s"day-3 file ${f.getName} was rewritten"))
+    // retry is a no-op fixed point
+    Partitioned.eraseUserFromCopy(ev, path, 1L)
+    assert(spark.read.parquet(path).count() == 2)
+    // the shipped query reconciles against the oracle's relational view
+    val report = Partitioned.eventsEraseUser(spark, sf).collect()
+    report.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(2) > 0))
+  }
+
   test("stream_garbage_mix: streamed per-source registers are bit-identical to batch") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val batch = Round6Ops12.garbageMixFinalize(
