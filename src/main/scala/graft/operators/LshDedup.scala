@@ -706,8 +706,15 @@ object LshDedup {
   def dedupMinhashIncremental(s: SparkSession, dir: String,
                               tau: Double = 0.3, k: Int = 64,
                               bands: Int = 32, maxBucket: Int = 256,
-                              mod: Int = 5): DataFrame = {
-    val input = Tables.documents(s, dir)
+                              mod: Int = 5): DataFrame =
+    dedupMinhashIncrementalDf(Tables.documents(s, dir), tau, k, bands,
+                              maxBucket, mod)
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def dedupMinhashIncrementalDf(input: DataFrame, tau: Double = 0.3,
+                                k: Int = 64, bands: Int = 32,
+                                maxBucket: Int = 256,
+                                mod: Int = 5): DataFrame = {
     val rows = k / bands
     val (docs, sigs, _) = minhashParts(input, k, bands, maxBucket)
     val bandKeys = sigs.select(col("doc_id"),

@@ -134,6 +134,63 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash_incremental: saturated index buckets are stop-buckets; unsaturated probe finds matches") {
+    import graft.operators.LshDedup
+    import spark.implicits._
+    // adversarial: 600 clones — every index band bucket collapses onto
+    // one key and exceeds the cap, so the probe must SKIP them (the
+    // stop-bucket contract) instead of going quadratic per delta doc
+    val n = 600
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until n).map(i => (i.toLong, s"$body extra$i"))
+      .toDF("doc_id", "text")
+    val saturated = LshDedup.dedupMinhashIncrementalDf(docs, maxBucket = 64)
+      .collect()
+    assert(saturated.length == n / 5, "every delta doc reports once")
+    assert(saturated.forall(!_.getBoolean(3)),
+      "stop-buckets engaged: saturated index buckets are never probed")
+    // with the cap above the bucket size the same probe finds the dups
+    val open = LshDedup.dedupMinhashIncrementalDf(docs, maxBucket = n + 1)
+      .collect()
+    assert(open.forall(_.getBoolean(3)),
+      "clones must all match once buckets are probed")
+  }
+
+  test("register streams: (day, key) counters merge by addition across multiple micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.Round8Ops
+    // the per-op twin tests drive a single-file feed (often one
+    // micro-batch); this pins the Complete-mode MERGE itself: two
+    // staged files, one per trigger, must drain to the identical
+    // register table the batch build computes
+    val ev = graft.sources.Tables.events(spark, sf)
+    val mid = Round8Ops.feedMidDay(ev)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)")
+      .collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_regm").toString
+    Seq("b=0" -> ev.filter(unix_micros(col("ts")) <= cut),
+        "b=1" -> ev.filter(unix_micros(col("ts")) > cut))
+      .foreach { case (sub, df) => df.coalesce(1).write.parquet(s"$dir/in/$sub") }
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val name = s"regmerge_${System.nanoTime()}"
+    val q = Round8Ops.schemaRegisters(stream, mid)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the split must actually arrive as multiple micro-batches")
+    val streamed = spark.table(name)
+      .orderBy("day", "key").collect().map(_.toString).toSeq
+    val batch = Round8Ops.schemaRegisters(ev, mid)
+      .orderBy("day", "key").collect().map(_.toString).toSeq
+    assert(streamed == batch,
+      "cross-batch register merge diverged from the batch build")
+  }
+
   test("corpus_pii_audit: injected incidence is exact; stream twin is bit-identical") {
     import graft.operators.Round8Ops
     import org.apache.spark.sql.functions.{col, pmod, lit}
