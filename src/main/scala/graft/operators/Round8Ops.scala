@@ -88,6 +88,94 @@ object Round8Ops {
     schemaDriftFinalize(schemaRegisters(ev, feedMidDay(ev)))
   }
 
+  // ------------------------------------- #291 lineitem_zorder_locality
+
+  /** Bit-interleave of two `bits`-wide non-negative longs — the Z-order
+    * (Morton) key, as a plain sum of shift/mask terms (codegen'd; the
+    * identical expression renders in SQL). */
+  private def zinterleave(a: org.apache.spark.sql.Column,
+                          b: org.apache.spark.sql.Column,
+                          bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** #291 lineitem_zorder_locality: WHY a lake table Z-orders — measured
+    * relationally. File pruning skips a file when the predicate misses
+    * its min/max range, so the quantity that decides pruning power is
+    * the per-file VALUE SPAN of each filtered column. This op encodes
+    * "files" deterministically as equal-width buckets over a layout's
+    * sort key (value-based, map-only — no global rank) and compares two
+    * layouts of lineitem: time-sorted (by ship day) vs Z-ordered
+    * (12-bit Morton interleave of ship day × part key). Readout per
+    * layout: bucket count and the exact total min-max span of BOTH
+    * columns across buckets — time-sort gives minimal day spans but
+    * every bucket covers the whole part range (date predicates prune,
+    * part predicates scan everything); Z-order bounds both, the
+    * two-predicate pruning win that pays for the pricier write. The
+    * #97/#99/#102 physical-layout family's missing fourth member:
+    * bucketing kills the join shuffle, partitioning kills the time
+    * scan, footer stats kill the metadata query — Z-order kills the
+    * second predicate's full scan. Scale shape: two broadcast 1-row
+    * aggs, map-only keys/buckets, one ≤nBuckets rollup per layout. */
+  def lineitemZorderLocality(s: SparkSession, dir: String,
+                             bits: Int = 12, nBuckets: Int = 32): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_shipdate"))
+    val d0 = li.agg(min(to_date(col("l_shipdate"))).as("d0"))
+    val keyed = li.crossJoin(broadcast(d0))
+      .select(datediff(to_date(col("l_shipdate")), col("d0")).cast("long").as("pd"),
+              col("l_partkey").cast("long").as("pk"))
+      .withColumn("zkey", zinterleave(col("pd"), col("pk"), bits))
+    def layoutReport(key: String, name: String): DataFrame = {
+      val mm = keyed.agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
+      keyed.crossJoin(broadcast(mm))
+        .withColumn("bucket", least(lit(nBuckets - 1),
+          floor((col(key) - col("kmin")).cast("double") * nBuckets /
+                (col("kmax") - col("kmin") + lit(1L)).cast("double"))
+            .cast("int")))
+        .groupBy(col("bucket"))
+        .agg((max(col("pd")) - min(col("pd"))).as("span_days"),
+             (max(col("pk")) - min(col("pk"))).as("span_part"))
+        .agg(count(lit(1)).as("n_buckets"),
+             sum(col("span_days")).as("total_span_days"),
+             sum(col("span_part")).as("total_span_part"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+                col("total_span_days"), col("total_span_part"))
+    }
+    layoutReport("pd", "time_sorted")
+      .unionByName(layoutReport("zkey", "zorder"))
+      .orderBy(col("layout"))
+  }
+
+  def lineitemZorderLocalitySql(bits: Int = 12, nBuckets: Int = 32): String = {
+    val zi = (0 until bits).map(i =>
+      s"(((pd >> $i) & 1) << ${2 * i}) + (((pk >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    def report(key: String, name: String) =
+      s"""SELECT '$name' AS layout, count(*) AS n_buckets,
+         |       CAST(sum(span_days) AS BIGINT) AS total_span_days,
+         |       CAST(sum(span_part) AS BIGINT) AS total_span_part
+         |FROM (
+         |  SELECT LEAST(${nBuckets - 1}, CAST(floor(
+         |           CAST($key - (SELECT min($key) FROM keyed) AS DOUBLE) * $nBuckets /
+         |           CAST((SELECT max($key) FROM keyed) - (SELECT min($key) FROM keyed) + 1 AS DOUBLE))
+         |         AS INT)) AS bucket,
+         |         max(pd) - min(pd) AS span_days,
+         |         max(pk) - min(pk) AS span_part
+         |  FROM keyed GROUP BY 1)""".stripMargin
+    s"""WITH d0 AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0 FROM lineitem),
+       |base AS (
+       |  SELECT CAST(datediff('day', d0, CAST(l_shipdate AS DATE)) AS BIGINT) AS pd,
+       |         CAST(l_partkey AS BIGINT) AS pk
+       |  FROM lineitem CROSS JOIN d0),
+       |keyed AS (SELECT pd, pk, $zi AS zkey FROM base)
+       |${report("pd", "time_sorted")}
+       |UNION ALL
+       |${report("zkey", "zorder")}
+       |ORDER BY layout""".stripMargin
+  }
+
   // --------------------------------------------- #288 corpus_pii_audit
 
   /** Deterministic PII injection (the synthetic corpus is PII-free, so

@@ -191,6 +191,21 @@ class Round8Spec extends AnyFunSuite {
       "cross-batch register merge diverged from the batch build")
   }
 
+  test("lineitem_zorder_locality: z-order bounds the second column's spans; time-sort does not") {
+    import graft.operators.Round8Ops
+    val rows = Round8Ops.lineitemZorderLocality(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (ts, zo) = (rows("time_sorted"), rows("zorder"))
+    // the whole point: z-order trades day locality for part locality
+    assert(zo.getLong(3) < ts.getLong(3),
+      "z-order must shrink total part-key spans vs time-sort")
+    assert(zo.getLong(2) > ts.getLong(2),
+      "the day-span cost of interleaving must be visible, not free")
+    // time-sort keeps day spans near-minimal: avg bucket day span below
+    // the even-split width x2
+    assert(ts.getLong(2) / ts.getLong(1) < 2L * 2500 / 32)
+  }
+
   test("corpus_pii_audit: injected incidence is exact; stream twin is bit-identical") {
     import graft.operators.Round8Ops
     import org.apache.spark.sql.functions.{col, pmod, lit}
