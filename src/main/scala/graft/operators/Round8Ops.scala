@@ -88,6 +88,67 @@ object Round8Ops {
     schemaDriftFinalize(schemaRegisters(ev, feedMidDay(ev)))
   }
 
+  // ---------------------------------------- #292 corpus_split_leakage
+
+  /** The #82 split assignment (md5-uniform on doc_id, 80/10/10) for an
+    * arbitrary id column — must stay bit-identical to corpus_split's
+    * expression or the audit would grade a split nobody ships. */
+  private def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("bigint").cast("double") / math.pow(2, 60)
+    when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+  }
+
+  private def splitOfSql(id: String): String =
+    s"""CASE WHEN CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |            / ${math.pow(2, 60)} < 0.8 THEN 'train'
+       |     WHEN CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |            / ${math.pow(2, 60)} < 0.9 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** #292 corpus_split_leakage: INTERNAL split leakage — the #27
+    * near-duplicate pairs graded by which #82 splits their two sides
+    * land in. Decontamination (#24d/#264) guards against EXTERNAL
+    * benchmarks; this audits the corpus's own train/val/test split: a
+    * near-dup pair straddling train and val is an eval row the model
+    * has effectively seen, the silent inflation random document-level
+    * splits always carry. Readout per unordered split pair: verified
+    * pair count, mean Jaccard, and the cross-split flag — the
+    * cross rows are the leak report, the within-train row is the
+    * (harmless) bulk. Scale shape: rides the #27 banded pair table
+    * unchanged; split labels are map-only md5 expressions on the pair
+    * ids (no join back to documents); one ≤3×3 rollup. */
+  def corpusSplitLeakage(s: SparkSession, dir: String,
+                         tau: Double = 0.3): DataFrame = {
+    import graft.Parity.{davg, r}
+    val pairs = LshDedup.dedupMinhash(s, dir, tau)
+    pairs
+      .withColumn("sa", splitOf(col("id_a")))
+      .withColumn("sb", splitOf(col("id_b")))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+              greatest(col("sa"), col("sb")).as("split_hi"),
+              col("jaccard"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+           davg(col("jaccard"), 6).as("mean_jaccard"))
+      .withColumn("is_cross", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  def corpusSplitLeakageSql(tau: Double = 0.3): String = {
+    import graft.Parity.sqlAvg
+    s"""WITH p AS (${LshDedup.dedupMinhashSql(tau)}),
+       |sp AS (
+       |  SELECT jaccard,
+       |         LEAST(${splitOfSql("id_a")}, ${splitOfSql("id_b")}) AS split_lo,
+       |         GREATEST(${splitOfSql("id_a")}, ${splitOfSql("id_b")}) AS split_hi
+       |  FROM p)
+       |SELECT split_lo, split_hi, count(*) AS n_pairs,
+       |       ${sqlAvg("jaccard", 6)} AS mean_jaccard,
+       |       split_lo <> split_hi AS is_cross
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------- #291 lineitem_zorder_locality
 
   /** Bit-interleave of two `bits`-wide non-negative longs — the Z-order

@@ -206,6 +206,19 @@ class Round8Spec extends AnyFunSuite {
     assert(ts.getLong(2) / ts.getLong(1) < 2L * 2500 / 32)
   }
 
+  test("corpus_split_leakage: pair accounting reconciles with #27; splits match #82's assignment") {
+    import graft.operators.{LshDedup, Round8Ops}
+    val grid = Round8Ops.corpusSplitLeakage(spark, sf).collect()
+    val allPairs = LshDedup.dedupMinhash(spark, sf).count()
+    assert(grid.map(_.getLong(2)).sum == allPairs,
+      "every verified near-dup pair lands in exactly one split cell")
+    grid.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "cells are unordered pairs")
+      assert(r.getBoolean(4) == (r.getString(0) != r.getString(1)))
+      assert(r.getDouble(3) >= 0.3, "mean Jaccard respects the tau floor")
+    }
+  }
+
   test("corpus_pii_audit: injected incidence is exact; stream twin is bit-identical") {
     import graft.operators.Round8Ops
     import org.apache.spark.sql.functions.{col, pmod, lit}
