@@ -250,4 +250,83 @@ object Partitioned {
        |  FROM events CROSS JOIN target GROUP BY 1)
        |SELECT p_date, n_before - n_erased AS n_events, n_erased
        |FROM days WHERE n_erased > 0 ORDER BY 1""".stripMargin
+
+  // ------------------------------------ #293 events_compact_partitions
+
+  /** Parquet data files under one partition directory. */
+  private def dataFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Compact every partition under `path` holding more than `maxFiles`
+    * data files into a single file via dynamic partition overwrite.
+    * Skips already-compact partitions entirely (no read, no rewrite —
+    * reruns are physical no-ops, pinned by mtime in the spec). Returns
+    * the per-day (files_before, files_after) map for the report. */
+  private[graft] def compactCopy(s: SparkSession, path: String,
+                                 maxFiles: Int): Map[String, (Int, Int)] = {
+    val parts = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+    val before = parts.map(p =>
+      p.getName.stripPrefix("p_date=") -> dataFiles(p).length).toMap
+    val fat = before.filter(_._2 > maxFiles).keys.toSeq.sorted
+    if (fat.nonEmpty) {
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // one file per compacted partition: repartition BY the partition
+        // column so each day lands in exactly one task's writer
+        s.read.parquet(path)
+          .filter(col("p_date").isin(fat.map(x => x: Any): _*))
+          .repartition(fat.size, col("p_date"))
+          .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+    parts.map { p =>
+      val d = p.getName.stripPrefix("p_date=")
+      d -> (before(d), dataFiles(p).length)
+    }.toMap
+  }
+
+  /** #293 events_compact_partitions: the lake OPTIMIZE move — the
+    * third maintenance mutation beside #103's backfill and #290's
+    * erasure. A streaming/backfill-written partition accumulates one
+    * file per writer task per batch; small files poison scans (one
+    * scheduler task + one footer read each) and at 100 TB the
+    * compactor IS the difference between a listing-bound and an
+    * IO-bound table. Partitions over the file threshold rewrite to one
+    * file each (repartition on the partition column → one writer per
+    * day, dynamic overwrite → untouched days keep their files,
+    * spec-pinned by mtime); already-compact partitions are skipped
+    * without a read, so reruns are physical no-ops. The report is the
+    * DATA readout per day — the oracle recomputes it from the original
+    * table, proving compaction moved bytes, not values; the file-count
+    * collapse itself is spec-pinned (physical state is invisible to a
+    * relational oracle). */
+  def eventsCompactPartitions(s: SparkSession, dir: String,
+                              maxFiles: Int = 1): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_compact$tag/events"
+    val src = s"$dir/events.parquet"
+    if (!Staging.isFresh(path, src)) {
+      // stage WITHOUT coalescing: every upstream task writes its slice
+      // of every day — the natural small-file debris this op cleans
+      ev.withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+      Staging.markStaged(path, src)
+    }
+    compactCopy(s, path, maxFiles)
+    s.read.parquet(path)
+      .groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("p_date"))
+  }
+
+  val eventsCompactPartitionsSql: String =
+    s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS p_date,
+       |       count(*) AS n_events,
+       |       ${sqlR(sqlSum("value"), 4)} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -219,6 +219,37 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("events_compact_partitions: files collapse, data identical, rerun is a physical no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Partitioned
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+    val path = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/events"
+    // natural small-file debris: 8 upstream tasks x every day
+    ev.repartition(8).write.partitionBy("p_date").parquet(path)
+    def snap() = spark.read.parquet(path)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    val beforeData = snap()
+    val report = Partitioned.compactCopy(spark, path, maxFiles = 1)
+    assert(report.exists(_._2._1 > 1), "staging must have produced small files")
+    report.foreach { case (d, (b, a)) =>
+      if (b > 1) assert(a == 1, s"day $d not compacted: $b -> $a")
+      else assert(a == b, s"already-compact day $d was rewritten")
+    }
+    assert(snap() == beforeData, "compaction must move bytes, not values")
+    // rerun: nothing over the threshold -> no partition rewrites at all
+    val mt = new java.io.File(path).listFiles().filter(_.getName.startsWith("p_date="))
+      .map(d => d.getName -> d.listFiles().map(f => f.getName -> f.lastModified).toMap)
+      .toMap
+    Partitioned.compactCopy(spark, path, maxFiles = 1)
+    new java.io.File(path).listFiles().filter(_.getName.startsWith("p_date="))
+      .foreach { d =>
+        d.listFiles().foreach(f =>
+          assert(mt(d.getName).get(f.getName).contains(f.lastModified),
+            s"rerun touched ${d.getName}/${f.getName}"))
+      }
+  }
+
   test("corpus_pii_audit: injected incidence is exact; stream twin is bit-identical") {
     import graft.operators.Round8Ops
     import org.apache.spark.sql.functions.{col, pmod, lit}
