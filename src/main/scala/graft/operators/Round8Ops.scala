@@ -32,14 +32,18 @@ object Round8Ops {
     * the midpoint day (a retired experiment), and every 7th event
     * ON/AFTER it renames "k" to "k_v2" (a producer rollout). Map-only,
     * fenced here, mirrored verbatim in the oracle; the monitor reads
-    * only the injected column. */
+    * only the injected column. Both rewrite patterns are ^-anchored so
+    * at most one match exists per value — Spark's regexp_replace is
+    * global while DuckDB's default is first-match-only, and an
+    * unanchored pattern would silently diverge the engines on any
+    * future payload containing the needle twice. */
   private[graft] def injectedProps(ev: DataFrame, mid: java.sql.Date): DataFrame = {
     val d = to_date(col("ts"))
     ev.withColumn("props2",
       when(d < lit(mid) && pmod(col("event_id"), lit(11)) === 0,
            regexp_replace(col("props"), "^\\{", "{\"beta\": 1,"))
         .when(d >= lit(mid) && pmod(col("event_id"), lit(7)) === 0,
-              regexp_replace(col("props"), "\"k\"", "\"k_v2\""))
+              regexp_replace(col("props"), "^\\{\"k\":", "{\"k_v2\":"))
         .otherwise(col("props")))
   }
 
@@ -183,11 +187,27 @@ object Round8Ops {
   def lineitemZorderLocality(s: SparkSession, dir: String,
                              bits: Int = 12, nBuckets: Int = 32): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_shipdate"))
-    val d0 = li.agg(min(to_date(col("l_shipdate"))).as("d0"))
-    val keyed = li.crossJoin(broadcast(d0))
+    // Range stats for BOTH columns: each is normalized into [0, 2^bits)
+    // before interleaving. Raw interleave truncates to the low `bits`
+    // bits, so any key exceeding 2^bits-1 (l_partkey tops 19999 at
+    // sf0.1 vs 4095 for bits=12) aliases mod 2^bits and the Z-curve
+    // stops bounding that column's span — normalization makes the
+    // Morton key scale-invariant. Integer `div` (not floor-of-double)
+    // so Spark and DuckDB agree bit-for-bit.
+    val side = 1L << bits
+    val stats = li.agg(
+      min(to_date(col("l_shipdate"))).as("d0"),
+      (datediff(max(to_date(col("l_shipdate"))),
+                min(to_date(col("l_shipdate")))) + lit(1)).cast("long").as("pd_n"),
+      min(col("l_partkey")).cast("long").as("pk0"),
+      (max(col("l_partkey")) - min(col("l_partkey")) + lit(1)).cast("long").as("pk_n"))
+    val keyed = li.crossJoin(broadcast(stats))
       .select(datediff(to_date(col("l_shipdate")), col("d0")).cast("long").as("pd"),
-              col("l_partkey").cast("long").as("pk"))
-      .withColumn("zkey", zinterleave(col("pd"), col("pk"), bits))
+              col("l_partkey").cast("long").as("pk"),
+              col("pd_n"), col("pk0"), col("pk_n"))
+      .withColumn("npd", expr(s"pd * $side div pd_n"))
+      .withColumn("npk", expr(s"(pk - pk0) * $side div pk_n"))
+      .withColumn("zkey", zinterleave(col("npd"), col("npk"), bits))
     def layoutReport(key: String, name: String): DataFrame = {
       val mm = keyed.agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
       keyed.crossJoin(broadcast(mm))
@@ -211,7 +231,7 @@ object Round8Ops {
 
   def lineitemZorderLocalitySql(bits: Int = 12, nBuckets: Int = 32): String = {
     val zi = (0 until bits).map(i =>
-      s"(((pd >> $i) & 1) << ${2 * i}) + (((pk >> $i) & 1) << ${2 * i + 1})")
+      s"(((npd >> $i) & 1) << ${2 * i}) + (((npk >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
     def report(key: String, name: String) =
       s"""SELECT '$name' AS layout, count(*) AS n_buckets,
@@ -225,12 +245,24 @@ object Round8Ops {
          |         max(pd) - min(pd) AS span_days,
          |         max(pk) - min(pk) AS span_part
          |  FROM keyed GROUP BY 1)""".stripMargin
-    s"""WITH d0 AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0 FROM lineitem),
+    val side = 1L << bits
+    s"""WITH stats AS (
+       |  SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+       |         CAST(datediff('day', min(CAST(l_shipdate AS DATE)),
+       |                       max(CAST(l_shipdate AS DATE))) + 1 AS BIGINT) AS pd_n,
+       |         CAST(min(l_partkey) AS BIGINT) AS pk0,
+       |         CAST(max(l_partkey) - min(l_partkey) + 1 AS BIGINT) AS pk_n
+       |  FROM lineitem),
        |base AS (
        |  SELECT CAST(datediff('day', d0, CAST(l_shipdate AS DATE)) AS BIGINT) AS pd,
-       |         CAST(l_partkey AS BIGINT) AS pk
-       |  FROM lineitem CROSS JOIN d0),
-       |keyed AS (SELECT pd, pk, $zi AS zkey FROM base)
+       |         CAST(l_partkey AS BIGINT) AS pk, pd_n, pk0, pk_n
+       |  FROM lineitem CROSS JOIN stats),
+       |norm AS (
+       |  SELECT pd, pk,
+       |         (pd * $side) // pd_n AS npd,
+       |         ((pk - pk0) * $side) // pk_n AS npk
+       |  FROM base),
+       |keyed AS (SELECT pd, pk, $zi AS zkey FROM norm)
        |${report("pd", "time_sorted")}
        |UNION ALL
        |${report("zkey", "zorder")}
@@ -337,7 +369,7 @@ object Round8Ops {
        |           WHEN CAST(ts AS DATE) < mid AND event_id % 11 = 0
        |             THEN regexp_replace(props, '^\\{', '{"beta": 1,')
        |           WHEN CAST(ts AS DATE) >= mid AND event_id % 7 = 0
-       |             THEN regexp_replace(props, '"k"', '"k_v2"')
+       |             THEN regexp_replace(props, '^\\{"k":', '{"k_v2":')
        |           ELSE props END AS props2
        |  FROM events CROSS JOIN mid),
        |keyed AS (

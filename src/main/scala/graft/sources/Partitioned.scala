@@ -181,8 +181,11 @@ object Partitioned {
       val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
       try {
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // null-safe inequality: =!= evaluates to NULL for NULL user ids,
+        // which a plain filter drops — silently deleting every
+        // anonymous row alongside the target user
         dated.filter(col("p_date").isin(days.map(x => x: Any): _*) &&
-                     col("user_id") =!= uid)
+                     !(col("user_id") <=> lit(uid)))
           .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
       } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     }
@@ -224,13 +227,10 @@ object Partitioned {
     val before = ev.filter(col("user_id") === uid)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("p_date"))
       .agg(count(lit(1)).as("n_erased"))
-    val totals = ev
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("p_date"))
-      .agg(count(lit(1)).as("n_before"))
     val after = s.read.parquet(path)
       .groupBy(col("p_date").cast("string").as("p_date"))
       .agg(count(lit(1)).as("n_after"))
-    before.join(totals, "p_date").join(after, Seq("p_date"), "left")
+    before.join(after, Seq("p_date"), "left")
       .select(col("p_date"),
               coalesce(col("n_after"), lit(0L)).as("n_events"),
               col("n_erased"))
@@ -271,16 +271,34 @@ object Partitioned {
       p.getName.stripPrefix("p_date=") -> dataFiles(p).length).toMap
     val fat = before.filter(_._2 > maxFiles).keys.toSeq.sorted
     if (fat.nonEmpty) {
-      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-      try {
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        // one file per compacted partition: repartition BY the partition
-        // column so each day lands in exactly one task's writer
-        s.read.parquet(path)
-          .filter(col("p_date").isin(fat.map(x => x: Any): _*))
-          .repartition(fat.size, col("p_date"))
-          .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
-      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      // Stage the compacted partitions in a sibling directory, then
+      // swap each one in with a rename. A same-path read-and-overwrite
+      // only works because dynamic overwrite defers partition deletion
+      // to commit time (after all read tasks finish) — it is the
+      // self-overwrite pattern Spark rejects on the SQL INSERT path,
+      // and a crash between a partition's delete and rename at commit
+      // loses that day with no staged copy to recover from. With the
+      // sibling stage, a crash at any point leaves the original
+      // partition intact or fully replaced, never half-gone.
+      val tmp = s"$path.compact_tmp"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+      // one file per compacted partition: repartition BY the partition
+      // column so each day lands in exactly one task's writer
+      s.read.parquet(path)
+        .filter(col("p_date").isin(fat.map(x => x: Any): _*))
+        .repartition(fat.size, col("p_date"))
+        .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(tmp)
+      fat.foreach { d =>
+        val dst = new java.io.File(s"$path/p_date=$d")
+        val stg = new java.io.File(s"$tmp/p_date=$d")
+        rm(dst)
+        if (!stg.renameTo(dst))
+          throw new java.io.IOException(s"compact: staged rename failed for day $d")
+      }
+      rm(new java.io.File(tmp))
     }
     parts.map { p =>
       val d = p.getName.stripPrefix("p_date=")

@@ -204,6 +204,14 @@ class Round8Spec extends AnyFunSuite {
     // time-sort keeps day spans near-minimal: avg bucket day span below
     // the even-split width x2
     assert(ts.getLong(2) / ts.getLong(1) < 2L * 2500 / 32)
+    // scale guard (the bits-overflow regression): at sf0.1 l_partkey
+    // tops 19999 >> 2^12 — a raw un-normalized interleave aliases
+    // partkeys mod 4096 and the z-order stops bounding their spans;
+    // the range-normalized key must still bound them decisively there
+    val big = Round8Ops.lineitemZorderLocality(spark, "/root/testdata/sf0.1")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(big("zorder").getLong(3) * 2 < big("time_sorted").getLong(3),
+      "normalized z-order must bound part spans at key ranges beyond 2^bits")
   }
 
   test("corpus_split_leakage: pair accounting reconciles with #27; splits match #82's assignment") {
