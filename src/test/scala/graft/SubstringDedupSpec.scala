@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SubstringDedup
+
+/** #294 dedup_substring pins: interval-union span accounting, the
+  * boundary-straddling catch that #24i text_passage_dedup provably
+  * misses, and the k-token floor. */
+class SubstringDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  test("boundary-straddling repeat: found here, invisible to the fixed passage grid") {
+    // Doc A: 40 unique tokens. Doc B: a verbatim copy of A's tokens
+    // 11..30 — a 20-token run straddling A's chunk boundary at 20|21 —
+    // padded with unique tokens so B has no aligned 20-chunk of A.
+    val a = words("a", 40)
+    val run = a.slice(10, 30) // A tokens 11..30
+    val b = words("b", 5) ++ run ++ words("c", 5)
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+
+    // The passage grid (#24i's exact chunking rule — ceil(n/20) fixed
+    // 20-word chunks from offset 1, partial tail kept) shares NO chunk
+    // between the docs.
+    val t = split(lower(trim(col("text"))), " ")
+    val nChunks = ceil(size(t).cast("double") / 20).cast("int")
+    val chunks = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(t, i * 20 + 1, lit(20))))).as("chunk"))
+    val shared = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).count()
+    assert(shared == 0L, "the straddling repeat must be invisible to the chunk grid")
+
+    // The rolling-gram index finds it: exactly one 20-token span per doc.
+    val rows = SubstringDedup.dedupSubstringDf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    rows.values.foreach { r =>
+      assert(r.getLong(3) == 1L, "one merged span")
+      assert(r.getLong(4) == 20L, "span covers exactly the 20 repeated tokens")
+      assert(r.getLong(2) == 1L, "a 20-token run has exactly one 20-gram")
+    }
+  }
+
+  test("interval union merges overlapping gram covers; distinct spans stay split") {
+    // Doc A = 60 unique tokens; doc B copies A's tokens 1..25 and,
+    // after a 30-token unique gap, A's tokens 41..60. In A: positions
+    // 1..6 duplicated (from the 25-run) and 41 duplicated (20-run) —
+    // gap 41-6=35 > 19 keeps two spans; within the first span positions
+    // 1..6 OVERLAP in tokens and must merge to one 25-token interval.
+    val a = words("a", 60)
+    val b = a.slice(0, 25) ++ words("u", 30) ++ a.slice(40, 60)
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = SubstringDedup.dedupSubstringDf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ra = rows(1L)
+    assert(ra.getLong(3) == 2L, "two separated spans in A")
+    assert(ra.getLong(4) == 45L, "25 + 20 removable tokens, overlap-merged")
+    assert(ra.getLong(2) == 7L, "6 + 1 duplicated gram positions")
+    // frac = 45/60
+    assert(math.abs(ra.getDouble(5) - 0.75) < 1e-9)
+  }
+
+  test("k-token floor: short docs emit nothing even when identical") {
+    val docs = Seq((1L, words("x", 19).mkString(" ")),
+                   (2L, words("x", 19).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(SubstringDedup.dedupSubstringDf(docs).count() == 0L)
+  }
+
+  test("within-doc repeats alone do not mark (cross-doc semantics)") {
+    val run = words("r", 20)
+    val docs = Seq(
+      (1L, (run ++ words("m", 5) ++ run).mkString(" ")),
+      (2L, words("z", 30).mkString(" "))).toDF("doc_id", "text")
+    assert(SubstringDedup.dedupSubstringDf(docs).count() == 0L)
+  }
+}
