@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.sources.Tables
+
+/** #295 bpe_encode / #296 corpus_bpe_fertility — APPLYING the trained
+  * tokenizer, closing the BPE chain: #112 counts one round's pairs,
+  * #153 trains the merge table, these ENCODE the corpus with it and
+  * re-base the token-economics views on REAL BPE counts instead of the
+  * whitespace proxy (#77's budget and #163's fertility both count
+  * ws-tokens; a tokenizer decision needs the counts the model will
+  * actually see — Sennrich et al. 2016).
+  *
+  * Encoding runs over the WHOLE document string at once in the #153
+  * boundary-delimited form (`|a|b| |c…`): every char becomes one
+  * `|`-prefixed symbol, and fusing merge (a,b) IS
+  * `replace('|a|b' → '|ab')` — left-to-right non-overlapping in both
+  * engines, the exact greedy fuse rule #153 already pins. Spaces are
+  * symbols too, and since training restricts the vocabulary to purely
+  * alphabetic words, no merge can involve a space — so word boundaries
+  * are respected with NO per-word explode: applying the k merges is k
+  * literal string replaces per document, map-only. Real BPE token
+  * count = symbols − spaces = count('|') − count(' ').
+  *
+  * The merge table is a driver-side model artifact (#153's collect —
+  * bounded by contract), memoized per (session, dir, steps) so the
+  * encode queries and the trainer share one training run per session.
+  * Scale shape: training per round is a vocab-sized rollup + 1-row
+  * collect; encoding is one map-only scan with k inlined literal
+  * replaces (the ann_pq inlined-LUT discipline); the fertility readout
+  * is a |langs|-key rollup of integer-exact sums. */
+object BpeEncode {
+
+  private val memo =
+    new scala.collection.concurrent.TrieMap[(String, String, Int),
+                                            Seq[(String, String)]]
+
+  /** #153's trained merge table, in merge order, memoized. */
+  private[graft] def trainedMerges(s: SparkSession, dir: String,
+                                   steps: Int): Seq[(String, String)] =
+    memo.getOrElseUpdate((s.sparkContext.applicationId, dir, steps),
+      TextOps2.bpeTrainMerges(s, dir, steps).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Per-doc symbol table: normalized text, boundary encoding after all
+    * merges, space count — shared by both readouts. DataFrame-generic
+    * so the spec can pin the fuse rule on a hand-built merge table. */
+  private[graft] def encodedDf(docs: DataFrame,
+                               merges: Seq[(String, String)]): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("t"))
+      .withColumn("e", regexp_replace(col("t"), "(.)", "|$1"))
+    val fused = merges.foldLeft(base) { case (df, (a, b)) =>
+      df.withColumn("e", expr(s"replace(e, '|$a|$b', '|$a$b')"))
+    }
+    fused
+      .withColumn("n_spaces", length(col("t")) - length(regexp_replace(col("t"), " ", "")))
+      .withColumn("n_chars", length(col("t")) - col("n_spaces"))
+      .withColumn("n_ws_tokens", size(split(col("t"), " ")).cast("long"))
+      .withColumn("n_bpe_tokens",
+        (length(col("e")) - length(regexp_replace(col("e"), "\\|", ""))
+          - col("n_spaces")).cast("long"))
+  }
+
+  private def encoded(s: SparkSession, dir: String, steps: Int): DataFrame =
+    encodedDf(Tables.documents(s, dir), trainedMerges(s, dir, steps))
+
+  /** #295 bpe_encode: per-doc REAL BPE token counts under #153's merge
+    * table, beside the ws proxy. n_chars − n_bpe_tokens = merge
+    * applications in that doc (each fuse removes one symbol). */
+  def bpeEncode(s: SparkSession, dir: String,
+                steps: Int = TextOps2.BpeSteps): DataFrame =
+    encoded(s, dir, steps)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+              col("n_ws_tokens"), col("n_bpe_tokens"),
+              r(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)
+                .as("bpe_per_word"))
+      .orderBy(col("doc_id"))
+
+  /** #296 corpus_bpe_fertility: #163's per-language fertility table
+    * re-based on real BPE tokens, ws-proxy columns side by side — the
+    * gap between chars_per_ws_token and chars_per_bpe_token is what
+    * the proxy overstates per language. */
+  def corpusBpeFertility(s: SparkSession, dir: String,
+                         steps: Int = TextOps2.BpeSteps): DataFrame =
+    encoded(s, dir, steps)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("n_chars"),
+           sum(col("n_ws_tokens")).as("n_ws_tokens"),
+           sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+              col("n_ws_tokens"), col("n_bpe_tokens"),
+              r(col("n_chars").cast("double") / col("n_ws_tokens"), 6)
+                .as("chars_per_ws_token"),
+              r(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+                .as("chars_per_bpe_token"),
+              r(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)
+                .as("bpe_per_ws_token"))
+      .orderBy(col("lang"))
+
+  /** Shared oracle prefix: #153's training CTE chain (verbatim replay)
+    * + whole-doc boundary encode + the k replaces via win-k scalar
+    * subqueries + per-doc counters. */
+  private def encodedSql(steps: Int): String = {
+    val train = TextOps2.bpeTrainMergesSql(steps)
+      .linesIterator.toSeq
+      .takeWhile(l => !l.startsWith("SELECT CAST(")) // keep CTEs, drop readout
+      .mkString("\n")
+      .stripSuffix("\n")
+    val encChain = (1 to steps).map { k =>
+      s"""enc$k AS (
+         |  SELECT doc_id, lang, t,
+         |         replace(e, '|' || (SELECT sym_a FROM win$k) || '|' || (SELECT sym_b FROM win$k),
+         |                    '|' || (SELECT sym_a FROM win$k) || (SELECT sym_b FROM win$k)) AS e
+         |  FROM enc${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""$train,
+       |enc0 AS (
+       |  SELECT doc_id, lang, lower(trim(text)) AS t,
+       |         regexp_replace(lower(trim(text)), '(.)', '|\\1', 'g') AS e
+       |  FROM documents),
+       |$encChain,
+       |counts AS (
+       |  SELECT doc_id, lang,
+       |         length(t) - length(replace(t, ' ', '')) AS n_spaces,
+       |         length(replace(t, ' ', '')) AS n_chars,
+       |         len(string_split(t, ' ')) AS n_ws_tokens,
+       |         length(e) - length(replace(e, '|', ''))
+       |           - (length(t) - length(replace(t, ' ', ''))) AS n_bpe_tokens
+       |  FROM enc$steps)""".stripMargin
+  }
+
+  def bpeEncodeSql(steps: Int = TextOps2.BpeSteps): String =
+    s"""${encodedSql(steps)}
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |       CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+       |       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       |       ${sqlR("CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens", 6)} AS bpe_per_word
+       |FROM counts ORDER BY doc_id""".stripMargin
+
+  def corpusBpeFertilitySql(steps: Int = TextOps2.BpeSteps): String =
+    s"""${encodedSql(steps)}
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_ws_tokens) AS BIGINT) AS n_ws_tokens,
+       |       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |       ${sqlR("CAST(sum(n_chars) AS DOUBLE) / sum(n_ws_tokens)", 6)} AS chars_per_ws_token,
+       |       ${sqlR("CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe_tokens)", 6)} AS chars_per_bpe_token,
+       |       ${sqlR("CAST(sum(n_bpe_tokens) AS DOUBLE) / sum(n_ws_tokens)", 6)} AS bpe_per_ws_token
+       |FROM counts GROUP BY lang ORDER BY lang""".stripMargin
+}

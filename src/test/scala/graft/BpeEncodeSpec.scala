@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeEncode
+
+/** #295/#296 pins: the whole-doc fuse rule on a hand-built merge table,
+  * count identities, and monotone compression as merges accumulate. */
+class BpeEncodeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hand-built merges: whole-doc fuse matches per-word greedy BPE") {
+    val docs = Seq((1L, "en", "abc ab x"), (2L, "en", "ba ab abab"))
+      .toDF("doc_id", "lang", "text")
+    val rows = BpeEncode.encodedDf(docs, Seq(("a", "b"), ("ab", "c")))
+      .select("doc_id", "e", "n_chars", "n_ws_tokens", "n_bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: |a|b|c| |a|b| |x -> |ab|c| |ab| |x -> |abc| |ab| |x
+    assert(rows(1L).getString(1) == "|abc| |ab| |x")
+    assert(rows(1L).getLong(4) == 3L)
+    // doc 2: "ba" has no |a|b boundary pair ('b','a' is not the merge);
+    // "abab" fuses twice (left-to-right non-overlapping); no 'abc'
+    assert(rows(2L).getString(1) == "|b|a| |ab| |ab|ab")
+    assert(rows(2L).getLong(4) == 5L)
+  }
+
+  test("count identities on real data: chars bound bpe bound ws") {
+    val enc = BpeEncode.bpeEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (chars, ws, bpe) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bpe <= chars, "a merge can only shrink the symbol count")
+      assert(bpe >= ws, "every word is at least one token")
+    }
+  }
+
+  test("compression is monotone in the number of applied merges") {
+    val totals = (0 to 3).map { k =>
+      BpeEncode.bpeEncode(spark, sf, steps = k)
+        .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"))
+        .collect()(0).getLong(0)
+    }
+    assert(totals.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"more merges must never add tokens: $totals")
+    assert(totals.last < totals.head, "3 merges must fuse something at sf0.001")
+  }
+
+  test("fertility rollup reconciles with the per-doc encode") {
+    val perDoc = BpeEncode.bpeEncode(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"),
+           org.apache.spark.sql.functions.sum("n_ws_tokens"))
+      .collect()(0)
+    val fert = BpeEncode.corpusBpeFertility(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"),
+           org.apache.spark.sql.functions.sum("n_ws_tokens"))
+      .collect()(0)
+    assert(perDoc.getLong(0) == fert.getLong(0))
+    assert(perDoc.getLong(1) == fert.getLong(1))
+  }
+}
