@@ -94,6 +94,16 @@ object Bench {
     // the timings map would poison any consumer summing per-query times
     val timed = results.filter(_._2 >= 0)
     val total = if (timed.nonEmpty) timed.map(_._2).sum else 0.0
+    // Host-contention indicator (SURVEY §5 protocol memo): whole-process
+    // wall (JVM uptime — includes sbt/compile/warmup/settle) over the
+    // timed total. A loaded gate host inflates the suite diffusely; the
+    // min-of-two harness bounds per-query noise but cannot subtract a
+    // host-wide slowdown, so cross-round per-query deltas are only
+    // trustworthy when this ratio is comparable between the rounds
+    // (r6's drift episode: 5.0x vs r7's 3.2x with identical code).
+    val wallSec =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
+    val wallRatio = if (total > 0) wallSec / total else -1.0
     def queriesJson(dp: Int): String = timed
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
@@ -119,6 +129,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec",""" +
       s""""queries":${queriesJson(dp)},"sf":"$sfDir","n_queries":${queries.size},""" +
       s""""n_timed":${timed.size},"posture":"$posture",""" +
+      s""""wall_sec":${fmt(wallSec, 1)},"wall_timed_ratio":${fmt(wallRatio, 2)},""" +
       s""""n_errors":${errors.size},"errors":$errJson,"cache":$cacheJson}"""
     // Full-precision copy to a file: the driver tail-captures only the
     // last ~2000 chars of stdout, and a full 150-query map is ~4 KB —
@@ -155,6 +166,7 @@ object Bench {
     val head =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${queries.size},"n_timed":${timed.size},""" +
+      s""""wall_sec":${fmt(wallSec, 1)},"wall_timed_ratio":${fmt(wallRatio, 2)},""" +
       s""""n_errors":${errors.size},"errored":$errNames,"cache":$cacheJson,""" +
       s""""queries_full":"$outFile","queries":{"""
     val entries = timed.sortBy { case (_, v) => -v }
