@@ -104,6 +104,100 @@ object SubstringDedup {
   /** Oracle: CTE replay of the same index → mark → interval-merge →
     * per-doc rollup (DuckDB lateral via unnest(range), same md5 keys,
     * same gap > k−1 break). */
+  /** #297 corpus_dedup_ladder: the MARGINAL-catch report over the now
+    * complete dedup ladder — exact (#25) → substring (#294) → MinHash
+    * near-dup (#27) → semantic (#31f). #128's funnel reports pipeline
+    * SURVIVAL under a fixed drop rule; this reports what each rung
+    * UNIQUELY catches, per source: a doc counts at the FIRST rung that
+    * flags it (exact dup; substring-affected but not an exact dup;
+    * τ-near-dup caught by neither; semantically redundant only). The
+    * table that justifies running the expensive later rungs at all —
+    * if m_near ≈ 0 after substring, the banded join can be skipped for
+    * that source. Composes the four already-scale-shaped operators and
+    * adds only id-keyed left joins + one |sources| rollup. */
+  def corpusDedupLadder(s: SparkSession, dir: String,
+                        tau: Double = 0.3): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+    val keep = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val flaggedEx = base.join(keep, "fp")
+      .select(col("doc_id"), col("source"),
+              (col("doc_id") =!= col("keep_id")).as("is_exact"))
+    val sub = dedupSubstring(s, dir)
+      .select(col("doc_id")).withColumn("is_sub", lit(1))
+    val pairs = LshDedup.dedupMinhash(s, dir, tau)
+    val near = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .distinct().withColumn("is_near", lit(1))
+    val sem = Similarity.embSemanticDedup(s, dir)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id")).withColumn("is_sem", lit(1))
+    flaggedEx
+      .join(sub, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("is_exact"), 1L).otherwise(0L)).as("m_exact"),
+           sum(when(!col("is_exact") && col("is_sub").isNotNull, 1L)
+                 .otherwise(0L)).as("m_substring"),
+           sum(when(!col("is_exact") && col("is_sub").isNull &&
+                    col("is_near").isNotNull, 1L).otherwise(0L)).as("m_near"),
+           sum(when(!col("is_exact") && col("is_sub").isNull &&
+                    col("is_near").isNull && col("is_sem").isNotNull, 1L)
+                 .otherwise(0L)).as("m_semantic"))
+      .withColumn("n_clean",
+        col("n_docs") - col("m_exact") - col("m_substring") -
+          col("m_near") - col("m_semantic"))
+      .withColumn("flagged_share",
+        r((col("n_docs") - col("n_clean")).cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the four rungs' own oracle SQLs composed as CTE
+    * subqueries (the #128 pattern), then the identical first-rung
+    * attribution rollup. */
+  def corpusDedupLadderSql(tau: Double = 0.3): String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, source,
+       |         doc_id <> min(doc_id) OVER (
+       |           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |         ) AS is_exact
+       |  FROM documents),
+       |sub AS (SELECT doc_id FROM (
+       |${dedupSubstringSql()}
+       |) subq),
+       |mh AS (SELECT id_a, id_b FROM (
+       |${LshDedup.dedupMinhashSql(tau)}
+       |) mhq),
+       |near AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT id_a AS doc_id FROM mh UNION ALL SELECT id_b FROM mh)),
+       |sem AS (SELECT vec_id AS doc_id FROM (
+       |${Similarity.embSemanticDedupSql()}
+       |) semq WHERE NOT kept),
+       |flagged AS (
+       |  SELECT e.source, e.is_exact,
+       |         s.doc_id IS NOT NULL AS is_sub,
+       |         n.doc_id IS NOT NULL AS is_near,
+       |         m.doc_id IS NOT NULL AS is_sem
+       |  FROM ex e
+       |  LEFT JOIN sub s ON e.doc_id = s.doc_id
+       |  LEFT JOIN near n ON e.doc_id = n.doc_id
+       |  LEFT JOIN sem m ON e.doc_id = m.doc_id),
+       |rolled AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS m_exact,
+       |         CAST(sum(CASE WHEN NOT is_exact AND is_sub THEN 1 ELSE 0 END) AS BIGINT) AS m_substring,
+       |         CAST(sum(CASE WHEN NOT is_exact AND NOT is_sub AND is_near THEN 1 ELSE 0 END) AS BIGINT) AS m_near,
+       |         CAST(sum(CASE WHEN NOT is_exact AND NOT is_sub AND NOT is_near AND is_sem THEN 1 ELSE 0 END) AS BIGINT) AS m_semantic
+       |  FROM flagged GROUP BY 1)
+       |SELECT source, n_docs, m_exact, m_substring, m_near, m_semantic,
+       |       n_docs - m_exact - m_substring - m_near - m_semantic AS n_clean,
+       |       ${sqlR("CAST(m_exact + m_substring + m_near + m_semantic AS DOUBLE) / n_docs", 6)} AS flagged_share
+       |FROM rolled ORDER BY source""".stripMargin
+
   def dedupSubstringSql(k: Int = 20): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),

@@ -77,6 +77,23 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(SubstringDedup.dedupSubstringDf(docs).count() == 0L)
   }
 
+  test("corpus_dedup_ladder: first-rung attribution partitions the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = SubstringDedup.corpusDedupLadder(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ex, sub, near, sem, clean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(ex + sub + near + sem + clean == n, "rungs + clean partition the docs")
+      assert(clean >= 0)
+    }
+    // m_exact reconciles with #25: total exact dups = sum over groups (n_dups - 1)
+    val exTotal = rows.map(_.getLong(2)).sum
+    val exOp = graft.operators.TextOps.dedupExact(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("n_dups") - 1)).collect()(0).getLong(0)
+    assert(exTotal == exOp, s"ladder m_exact $exTotal vs #25 $exOp")
+  }
+
   test("within-doc repeats alone do not mark (cross-doc semantics)") {
     val run = words("r", 20)
     val docs = Seq(
