@@ -51,7 +51,7 @@ object BpeEncode {
   private[graft] def encodedDf(docs: DataFrame,
                                merges: Seq[(String, String)]): DataFrame = {
     val base = docs
-      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("t"))
+      .withColumn("t", lower(trim(col("text"))))
       .withColumn("e", regexp_replace(col("t"), "(.)", "|$1"))
     val fused = merges.foldLeft(base) { case (df, (a, b)) =>
       df.withColumn("e", expr(s"replace(e, '|$a|$b', '|$a$b')"))
@@ -101,6 +101,71 @@ object BpeEncode {
               r(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)
                 .as("bpe_per_ws_token"))
       .orderBy(col("lang"))
+
+  /** #298 corpus_token_budget_bpe: the #77 budget DECISION re-based on
+    * real BPE tokens, proxy side by side. The budget a training run
+    * actually has is model tokens; #77 approximates it in ws-tokens.
+    * Per quality bucket (⌊q·100⌋, ≤101 rows): doc/ws/BPE masses,
+    * cumulative-from-the-top totals, and TWO selections — `sel_real`
+    * (cumulative real tokens fit the budget) vs `sel_proxy` (the same
+    * budget converted to ws units by the corpus-level bpe/ws ratio,
+    * #77's rule) — buckets where they disagree are the mass the proxy
+    * mis-budgets. Same 100 TB shape as #77: one scan into bounded
+    * registers, the window rides the ≤101-row table (the documented
+    * partition-less exception), no global rank. */
+  def corpusTokenBudgetBpe(s: SparkSession, dir: String,
+                           budgetBpe: Long = 100000,
+                           steps: Int = TextOps2.BpeSteps): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val regs = encoded(s, dir, steps)
+      .select(floor(TextOps.qualityCol * 100).cast("long").as("qb"),
+              col("n_ws_tokens").as("ws"), col("n_bpe_tokens").as("bpe"))
+      .groupBy(col("qb"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws")).as("ws_tok"), sum(col("bpe")).as("bpe_tok"))
+    val totals = regs.agg(sum(col("ws_tok")).as("tot_ws"),
+                          sum(col("bpe_tok")).as("tot_bpe"))
+    val wDesc = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    regs
+      .withColumn("cum_ws", sum(col("ws_tok")).over(wDesc))
+      .withColumn("cum_bpe", sum(col("bpe_tok")).over(wDesc))
+      .crossJoin(broadcast(totals))
+      // proxy budget in ws units by the corpus ratio — integer div so
+      // both engines land on the identical threshold
+      .withColumn("sel_proxy",
+        col("cum_ws") <= expr(s"($budgetBpe * tot_ws) div tot_bpe"))
+      .withColumn("sel_real", col("cum_bpe") <= budgetBpe)
+      .select(col("qb"), col("n_docs"), col("ws_tok"), col("bpe_tok"),
+              col("cum_ws"), col("cum_bpe"), col("sel_proxy"), col("sel_real"))
+      .orderBy(col("qb").desc)
+  }
+
+  def corpusTokenBudgetBpeSql(budgetBpe: Long = 100000,
+                              steps: Int = TextOps2.BpeSteps): String =
+    s"""${encodedSql(steps)},
+       |regs AS (
+       |  SELECT CAST(floor((${TextOps.qualitySqlFrag}) * 100) AS BIGINT) AS qb,
+       |         count(*) AS n_docs,
+       |         CAST(sum(c.n_ws_tokens) AS BIGINT) AS ws_tok,
+       |         CAST(sum(c.n_bpe_tokens) AS BIGINT) AS bpe_tok
+       |  FROM counts c JOIN documents d ON c.doc_id = d.doc_id
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(ws_tok) AS BIGINT) AS tot_ws,
+       |         CAST(sum(bpe_tok) AS BIGINT) AS tot_bpe
+       |  FROM regs),
+       |cum AS (
+       |  SELECT qb, n_docs, ws_tok, bpe_tok,
+       |         CAST(sum(ws_tok) OVER (ORDER BY qb DESC
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ws,
+       |         CAST(sum(bpe_tok) OVER (ORDER BY qb DESC
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bpe
+       |  FROM regs)
+       |SELECT qb, n_docs, ws_tok, bpe_tok, cum_ws, cum_bpe,
+       |       cum_ws <= ($budgetBpe * tot_ws) // tot_bpe AS sel_proxy,
+       |       cum_bpe <= $budgetBpe AS sel_real
+       |FROM cum CROSS JOIN tot ORDER BY qb DESC""".stripMargin
 
   /** Shared oracle prefix: #153's training CTE chain (verbatim replay)
     * + whole-doc boundary encode + the k replaces via win-k scalar

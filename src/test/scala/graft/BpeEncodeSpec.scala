@@ -50,6 +50,22 @@ class BpeEncodeSpec extends AnyFunSuite {
     assert(totals.last < totals.head, "3 merges must fuse something at sf0.001")
   }
 
+  test("token budget on real tokens: prefix selections, real fits budget") {
+    val budget = 20000L
+    val rows = BpeEncode.corpusTokenBudgetBpe(spark, sf, budgetBpe = budget)
+      .collect() // already qb-descending
+    assert(rows.nonEmpty)
+    def prefixThenOff(sel: Array[Boolean]): Boolean =
+      sel.zip(sel.tail).forall { case (a, b) => a || !b } // no false->true
+    assert(prefixThenOff(rows.map(_.getBoolean(7))), "sel_real is a top prefix")
+    assert(prefixThenOff(rows.map(_.getBoolean(6))), "sel_proxy is a top prefix")
+    val realMass = rows.filter(_.getBoolean(7)).map(_.getLong(3)).sum
+    assert(realMass <= budget, "selected real-token mass fits the budget")
+    // whole-bucket semantics: adding the first rejected bucket overflows
+    val firstOut = rows.find(!_.getBoolean(7))
+    firstOut.foreach(r => assert(realMass + r.getLong(3) > budget))
+  }
+
   test("fertility rollup reconciles with the per-doc encode") {
     val perDoc = BpeEncode.bpeEncode(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"),
