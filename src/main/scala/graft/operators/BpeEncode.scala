@@ -38,7 +38,13 @@ object BpeEncode {
     new scala.collection.concurrent.TrieMap[(String, String, Int),
                                             Seq[(String, String)]]
 
-  /** #153's trained merge table, in merge order, memoized. */
+  /** #153's trained merge table, in merge order, memoized. The trainer
+    * enforces the fuse-boundary guard (no merge's right symbol is a
+    * proper prefix of an earlier merged symbol — see
+    * [[TextOps2.bpeTrainMerges]]), which is exactly the condition under
+    * which applying these merges as whole-doc literal replaces is the
+    * exact per-symbol greedy fuse (property-pinned in
+    * SubstringPropertySpec). */
   private[graft] def trainedMerges(s: SparkSession, dir: String,
                                    steps: Int): Seq[(String, String)] =
     memo.getOrElseUpdate((s.sparkContext.applicationId, dir, steps),

@@ -40,11 +40,13 @@ import graft.sources.Tables
   *      boilerplate-heavy corpus can mark most positions — so no
   *      broadcast, same reasoning as #24i);
   *   4. per-doc interval merge: one window (partitionBy doc_id), state
-  *      bounded by doc length — the gaps-and-islands break fires when
-  *      the next duplicated offset starts beyond the previous gram's
-  *      last covered token (gap > k−1), i.e. true interval union, not
-  *      mere offset adjacency (offsets i and i+2 overlap in tokens for
-  *      any k ≥ 3 and must merge).
+  *      bounded by doc length — the gaps-and-islands break fires only
+  *      when the next duplicated offset leaves an uncovered token
+  *      (offset gap > k), i.e. true interval union including
+  *      adjacency: spans are MAXIMAL CONTIGUOUS removable runs
+  *      (offsets i and i+2 overlap in tokens for any k ≥ 3; offsets
+  *      i and i+k touch end-to-start — both merge; property-pinned
+  *      against a plain-Scala connected-components reference).
   * Gram key = full md5 hex (128-bit): exact for any realistic corpus;
   * a 32-bit truncation would false-positive at ~2^16 distinct grams.
   * At 100 TB the dominant cost is the map-side O(n·k) gram hashing —
@@ -75,9 +77,11 @@ object SubstringDedup {
     val spans = marked
       .withColumn("prev", lag(col("pos"), 1).over(byPos))
       // interval-union break: the previous gram covers tokens up to
-      // prev+k-1; a new span starts only past that
+      // prev+k-1, so coverage stays contiguous while the next offset is
+      // at most prev+k (overlapping OR adjacent); a new span starts only
+      // past that — spans are maximal contiguous removable runs
       .withColumn("brk",
-        when(col("prev").isNull || col("pos") > col("prev") + lit(k - 1), 1)
+        when(col("prev").isNull || col("pos") > col("prev") + lit(k), 1)
           .otherwise(0))
       .withColumn("grp", sum(col("brk"))
         .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -101,9 +105,6 @@ object SubstringDedup {
   def dedupSubstring(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     dedupSubstringDf(Tables.documents(s, dir), k)
 
-  /** Oracle: CTE replay of the same index → mark → interval-merge →
-    * per-doc rollup (DuckDB lateral via unnest(range), same md5 keys,
-    * same gap > k−1 break). */
   /** #297 corpus_dedup_ladder: the MARGINAL-catch report over the now
     * complete dedup ladder — exact (#25) → substring (#294) → MinHash
     * near-dup (#27) → semantic (#31f). #128's funnel reports pipeline
@@ -198,6 +199,9 @@ object SubstringDedup {
        |       ${sqlR("CAST(m_exact + m_substring + m_near + m_semantic AS DOUBLE) / n_docs", 6)} AS flagged_share
        |FROM rolled ORDER BY source""".stripMargin
 
+  /** Oracle: CTE replay of the same index → mark → interval-merge →
+    * per-doc rollup (DuckDB lateral via unnest(range), same md5 keys,
+    * same gap > k adjacency-merging break). */
   def dedupSubstringSql(k: Int = 20): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
@@ -210,7 +214,7 @@ object SubstringDedup {
        |brks AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-       |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + ${k - 1}
+       |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k
        |              THEN 1 ELSE 0 END AS brk
        |  FROM marked),
        |grps AS (

@@ -228,6 +228,21 @@ object TextOps2 {
         .orderBy(col("n").desc, col("sym_a"), col("sym_b"))
         .limit(1).collect()(0)
       val (a, b, n) = (win.getString(0), win.getString(1), win.getLong(2))
+      // Boundary-collision guard: the single-delimiter fuse pattern
+      // '|a|b' also matches where the NEXT symbol merely STARTS with b
+      // — '|a|bc' for an earlier merged symbol bc — and would corrupt
+      // that occurrence into one three-way symbol. Corruption requires
+      // some earlier merge result to have b as a proper prefix (single
+      // chars can't — they are never longer than b); no trained merge
+      // table at any shipped SF/step count trips this, and the guard
+      // turns a silent mis-encode into a loud failure if a deeper
+      // vocabulary ever would (the fix then is a per-symbol delimited
+      // encoding, '|a||b|' → '|ab|').
+      val earlier = merges.result().map(m => m._2 + m._3)
+      require(!earlier.exists(sym => sym != b && sym.startsWith(b)),
+        s"BPE fuse-boundary collision at step $step: pattern (|$a|$b) " +
+          s"would false-match earlier merged symbol(s) " +
+          earlier.filter(sym => sym != b && sym.startsWith(b)).mkString(","))
       merges += ((step, a, b, n))
       words = words.select(
         expr(s"replace(w, '|$a|$b', '|$a$b')").as("w"), col("freq"))
