@@ -119,16 +119,25 @@ object BpeEncode {
     * mis-budgets. Same 100 TB shape as #77: one scan into bounded
     * registers, the window rides the ≤101-row table (the documented
     * partition-less exception), no global rank. */
-  def corpusTokenBudgetBpe(s: SparkSession, dir: String,
-                           budgetBpe: Long = 100000,
-                           steps: Int = TextOps2.BpeSteps): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val regs = encoded(s, dir, steps)
+  /** #298's MERGEABLE registers (doc count + ws/BPE token sums per
+    * ⌊q·100⌋ bucket, ≤101 rows, all merge by addition) — also the #299
+    * streaming state. The encode is map-only per arriving doc (the
+    * merge table is a batch-trained literal, the #285 mid-day
+    * discipline), so the register stream is one stateful aggregate. */
+  private[graft] def budgetRegisters(docs: DataFrame,
+                                     merges: Seq[(String, String)]): DataFrame =
+    encodedDf(docs, merges)
       .select(floor(TextOps.qualityCol * 100).cast("long").as("qb"),
               col("n_ws_tokens").as("ws"), col("n_bpe_tokens").as("bpe"))
       .groupBy(col("qb"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("ws")).as("ws_tok"), sum(col("bpe")).as("bpe_tok"))
+
+  /** #298/#299 readout over the drained ≤101-row register table: the
+    * partition-less window rides a bounded input (the documented
+    * exception), totals derive from the same registers. */
+  private[graft] def budgetFinalize(budgetBpe: Long)(regs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val totals = regs.agg(sum(col("ws_tok")).as("tot_ws"),
                           sum(col("bpe_tok")).as("tot_bpe"))
     val wDesc = Window.orderBy(col("qb").desc)
@@ -146,6 +155,12 @@ object BpeEncode {
               col("cum_ws"), col("cum_bpe"), col("sel_proxy"), col("sel_real"))
       .orderBy(col("qb").desc)
   }
+
+  def corpusTokenBudgetBpe(s: SparkSession, dir: String,
+                           budgetBpe: Long = 100000,
+                           steps: Int = TextOps2.BpeSteps): DataFrame =
+    budgetFinalize(budgetBpe)(
+      budgetRegisters(Tables.documents(s, dir), trainedMerges(s, dir, steps)))
 
   def corpusTokenBudgetBpeSql(budgetBpe: Long = 100000,
                               steps: Int = TextOps2.BpeSteps): String =

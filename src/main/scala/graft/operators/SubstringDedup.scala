@@ -63,11 +63,22 @@ object SubstringDedup {
         i => md5(concat_ws(" ", slice(w, i, lit(k))).cast("binary"))))
       .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
 
+  /** Persisted (doc_id, pos, h) rolling-gram table, memoized per input
+    * plan — #294, #297's ladder and #300's pair search share one
+    * evaluation of the corpus-wide gram hashing (the shingleTable
+    * discipline). */
+  private[graft] def gramTable(docs: DataFrame, k: Int): DataFrame =
+    graft.Caches.persisted(docs.sparkSession,
+        ("substr_grams", k, docs.semanticHash())) {
+      docs.select(col("doc_id"), lowerTokens(col("text")).as("w"))
+        .select(col("doc_id"),
+                posexplode(gramHashes(col("w"), k)).as(Seq("pos", "h")))
+    }
+
   /** DataFrame-generic core: expects canonical (doc_id, text). */
   def dedupSubstringDf(docs: DataFrame, k: Int = 20): DataFrame = {
     val toks = docs.select(col("doc_id"), lowerTokens(col("text")).as("w"))
-    val grams = toks
-      .select(col("doc_id"), posexplode(gramHashes(col("w"), k)).as(Seq("pos", "h")))
+    val grams = gramTable(docs, k)
     val dup = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
@@ -104,6 +115,98 @@ object SubstringDedup {
 
   def dedupSubstring(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     dedupSubstringDf(Tables.documents(s, dir), k)
+
+  /** Document-frequency cap for #300's postings self-join — the #26
+    * discipline: an uncapped inverted index lets ONE corpus-common gram
+    * generate df² pairs; with the cap, candidates are bounded by
+    * maxDf · |postings|, linear in corpus size. Grams above the cap are
+    * boilerplate by definition (their repeats are better handled by
+    * #294's per-doc report, which has no cap and no pair join). */
+  private[graft] val PairsMaxDf = 16
+
+  /** #300 dedup_substring_pairs: WHO shares long exact runs with whom —
+    * the pair-level companion to #294's per-doc report (Lee et al.'s
+    * cluster view). Postings of df-capped duplicated grams self-join on
+    * the hash; an aligned pair of occurrences lives on a DIAGONAL
+    * (pos_a − pos_b constant: consecutive aligned grams are the same
+    * copied run), so per (pair, diagonal) a gaps-and-islands window
+    * (break at offset gap > k, the #294 adjacency-merge rule) merges
+    * aligned grams into maximal shared runs. Report per doc pair:
+    * aligned gram count, run count, longest shared run in tokens.
+    * Scale shape: the capped self-join is linear in postings; the
+    * window partitions on (pair, diagonal) — state bounded by the
+    * shorter doc's length. */
+  def dedupSubstringPairsDf(docs: DataFrame, k: Int = 20,
+                            maxDf: Int = PairsMaxDf): DataFrame = {
+    val grams = gramTable(docs, k)
+    val keep = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("h"))
+    val posting = grams.join(keep, "h")
+    val pairs = posting.as("a").join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+              col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    val byDiag = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("prev", lag(col("pos_a"), 1).over(byDiag))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos_a") > col("prev") + lit(k), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk"))
+        .over(byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("s"), max(col("pos_a")).as("e"),
+           count(lit(1)).as("nal"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("nal")).as("n_aligned_grams"),
+           count(lit(1)).as("n_runs"),
+           max(col("e") - col("s") + lit(k)).cast("long")
+             .as("longest_run_tokens"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def dedupSubstringPairs(s: SparkSession, dir: String, k: Int = 20,
+                          maxDf: Int = PairsMaxDf): DataFrame =
+    dedupSubstringPairsDf(Tables.documents(s, dir), k, maxDf)
+
+  /** Oracle: the same index → cap → diagonal-islands → pair rollup. */
+  def dedupSubstringPairsSql(k: Int = 20, maxDf: Int = PairsMaxDf): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |         md5(array_to_string(w[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')) AS h
+       |  FROM toks, unnest(range(1, greatest(len(w) - ${k - 2}, 1))) t(i)),
+       |keep AS (
+       |  SELECT h FROM grams GROUP BY h
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $maxDf),
+       |posting AS (SELECT g.doc_id, g.pos, g.h FROM grams g JOIN keep USING (h)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+       |         a.pos - b.pos AS diag
+       |  FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |brks AS (
+       |  SELECT id_a, id_b, diag, pos_a,
+       |         CASE WHEN lag(pos_a) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) IS NULL
+       |                OR pos_a > lag(pos_a) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) + $k
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM pairs),
+       |grps AS (
+       |  SELECT id_a, id_b, diag, pos_a,
+       |         sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a
+       |           ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM brks),
+       |runs AS (
+       |  SELECT id_a, id_b, diag, grp, min(pos_a) AS s, max(pos_a) AS e,
+       |         count(*) AS nal
+       |  FROM grps GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, CAST(sum(nal) AS BIGINT) AS n_aligned_grams,
+       |       count(*) AS n_runs,
+       |       CAST(max(e - s + $k) AS BIGINT) AS longest_run_tokens
+       |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** #297 corpus_dedup_ladder: the MARGINAL-catch report over the now
     * complete dedup ladder — exact (#25) → substring (#294) → MinHash

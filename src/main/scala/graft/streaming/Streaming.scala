@@ -479,6 +479,25 @@ object Streaming {
       graft.operators.Curation.tokenBudgetRegisters(docsStream(s, dir)),
       graft.operators.Curation.tokenBudgetFinalize(budget))
 
+  /** #299 stream_token_budget_bpe: the #298 REAL-token budget decision
+    * LIVE — the BPE merge table is trained batch-side (a model
+    * artifact, the #285 literal discipline), each arriving doc is
+    * encoded map-only and lands in the ⌊q·100⌋ register (doc count +
+    * ws/BPE token sums, all merging by addition), and the proxy-vs-real
+    * selection readout runs batch-side over the drained ≤101-row sink —
+    * bit-identical to batch, #298's oracle shared. What the budget
+    * owner watches as the crawl lands: the real-token cutoff moving
+    * while the ws-proxy cutoff stands still is fertility drift at the
+    * ingest edge. */
+  def streamTokenBudgetBpe(s: SparkSession, dir: String,
+                           budget: Long = 100000): DataFrame = {
+    val merges = graft.operators.BpeEncode.trainedMerges(
+      s, dir, graft.operators.TextOps2.BpeSteps)
+    runRegisterStream(s, "tokbudgetbpe",
+      graft.operators.BpeEncode.budgetRegisters(docsStream(s, dir), merges),
+      graft.operators.BpeEncode.budgetFinalize(budget))
+  }
+
   /** #280 stream_disposition: the #266 curation decision table LIVE —
     * per-(source, route) doc/token counters ARE the streaming state
     * (the route is a first-match map-only expression on each arriving

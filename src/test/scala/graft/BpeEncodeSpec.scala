@@ -66,6 +66,13 @@ class BpeEncodeSpec extends AnyFunSuite {
     firstOut.foreach(r => assert(realMass + r.getLong(3) > budget))
   }
 
+  test("stream_token_budget_bpe is bit-identical to the batch decision table") {
+    val batch = BpeEncode.corpusTokenBudgetBpe(spark, sf).collect().toSeq
+    val streamed = graft.streaming.Streaming.streamTokenBudgetBpe(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch, "drained register readout diverged from batch")
+  }
+
   test("fertility rollup reconciles with the per-doc encode") {
     val perDoc = BpeEncode.bpeEncode(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"),

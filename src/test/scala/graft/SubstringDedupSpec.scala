@@ -77,6 +77,35 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(SubstringDedup.dedupSubstringDf(docs).count() == 0L)
   }
 
+  test("dedup_substring_pairs: the straddling run reads as one aligned run of 20 tokens") {
+    val a = words("a", 40)
+    val b = words("b", 5) ++ a.slice(10, 30) ++ words("c", 5)
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = SubstringDedup.dedupSubstringPairsDf(docs).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(3) == 1L, "one maximal shared run")
+    assert(r.getLong(4) == 20L, "run spans exactly the copied 20 tokens")
+    assert(r.getLong(2) == 1L, "a 20-token run has one aligned 20-gram")
+  }
+
+  test("dedup_substring_pairs reconciles with the per-doc report on real data") {
+    val perDoc = SubstringDedup.dedupSubstring(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = SubstringDedup.dedupSubstringPairs(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(pairs.nonEmpty)
+    val pairDocs = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairDocs.subsetOf(perDoc),
+      "every doc in a capped pair is flagged by the uncapped per-doc report")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(4) >= 20L, "a shared run is at least one gram wide")
+    }
+  }
+
   test("corpus_dedup_ladder: first-rung attribution partitions the corpus") {
     import org.apache.spark.sql.functions._
     val rows = SubstringDedup.corpusDedupLadder(spark, "/root/testdata/sf0.001").collect()
