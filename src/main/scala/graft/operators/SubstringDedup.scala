@@ -116,6 +116,112 @@ object SubstringDedup {
   def dedupSubstring(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     dedupSubstringDf(Tables.documents(s, dir), k)
 
+  /** #301 corpus_span_removal_plan: the REMOVAL POLICY on top of
+    * #294's marks — Lee et al.'s headline statistic ("N% of tokens
+    * removed") needs a keep rule, not just marks: under KEEP-FIRST,
+    * each duplicated gram's occurrences in its MINIMUM doc id are
+    * canonical (kept); every occurrence in any other doc is removable.
+    * Per source: flagged docs, total tokens, dup-span tokens under
+    * mark-all (#294's union — the upper bound) and under keep-first
+    * (what a dedup pass would actually delete), and the keep-first
+    * savings fraction. mark-all ≥ keep-first always (keep-first marks
+    * a subset of positions; interval union is monotone — spec-pinned).
+    * Scale shape: one extra min(doc_id) alongside the #294 gram
+    * rollup, the same position join, and a second islands window over
+    * the keep-first subset; all other costs shared with #294 via the
+    * persisted gram table. */
+  def corpusSpanRemovalPlan(s: SparkSession, dir: String,
+                            k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = gramTable(docs, k)
+    val gstats = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+           min(col("doc_id")).as("canon_doc"))
+      .filter(col("df") >= 2)
+      .select(col("h"), col("canon_doc"))
+    val marked = grams.join(gstats, "h")
+      .select(col("doc_id"), col("pos"),
+              (col("doc_id") =!= col("canon_doc")).as("removable"))
+    def unionTokens(pos: DataFrame, name: String): DataFrame = {
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      pos
+        .withColumn("prev", lag(col("pos"), 1).over(byPos))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") > col("prev") + lit(k), 1)
+            .otherwise(0))
+        .withColumn("grp", sum(col("brk"))
+          .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg((max(col("pos")) - min(col("pos")) + lit(k)).as("span_tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_tok")).as(name))
+    }
+    val markAll = unionTokens(marked.select(col("doc_id"), col("pos")), "markall_tok")
+    val keepFirst = unionTokens(
+      marked.filter(col("removable")).select(col("doc_id"), col("pos")),
+      "keepfirst_tok")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(lowerTokens(col("text"))).cast("long").as("n_tok"))
+    toks.join(markAll, Seq("doc_id"), "inner")
+      .join(keepFirst, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_flagged"),
+           sum(col("n_tok")).as("total_tokens"),
+           sum(col("markall_tok")).as("markall_dup_tokens"),
+           sum(coalesce(col("keepfirst_tok"), lit(0L))).as("keepfirst_dup_tokens"))
+      .withColumn("keepfirst_savings_frac",
+        r(col("keepfirst_dup_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: #294's CTE chain with the canon-doc column, both union
+    * flavors replayed, per-source rollup. */
+  def corpusSpanRemovalPlanSql(k: Int = 20): String = {
+    def union(src: String, name: String) =
+      s"""${name}_brks AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM $src),
+         |${name}_grps AS (
+         |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM ${name}_brks),
+         |${name}_spans AS (
+         |  SELECT doc_id, grp, max(pos) - min(pos) + $k AS span_tok
+         |  FROM ${name}_grps GROUP BY 1, 2),
+         |$name AS (
+         |  SELECT doc_id, CAST(sum(span_tok) AS BIGINT) AS tok
+         |  FROM ${name}_spans GROUP BY 1)"""
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |         md5(array_to_string(w[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')) AS h
+       |  FROM toks, unnest(range(1, greatest(len(w) - ${k - 2}, 1))) t(i)),
+       |gstats AS (
+       |  SELECT h, min(doc_id) AS canon_doc FROM grams
+       |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |marked AS (
+       |  SELECT g.doc_id, g.pos, g.doc_id <> s.canon_doc AS removable
+       |  FROM grams g JOIN gstats s USING (h)),
+       |ma_src AS (SELECT doc_id, pos FROM marked),
+       |kf_src AS (SELECT doc_id, pos FROM marked WHERE removable),
+       |${union("ma_src", "markall")},
+       |${union("kf_src", "keepfirst")}
+       |SELECT t.source, count(*) AS n_docs_flagged,
+       |       CAST(sum(len(t.w)) AS BIGINT) AS total_tokens,
+       |       CAST(sum(m.tok) AS BIGINT) AS markall_dup_tokens,
+       |       CAST(sum(coalesce(kf.tok, 0)) AS BIGINT) AS keepfirst_dup_tokens,
+       |       ${sqlR("CAST(sum(coalesce(kf.tok, 0)) AS DOUBLE) / sum(len(t.w))", 6)} AS keepfirst_savings_frac
+       |FROM toks t
+       |JOIN markall m USING (doc_id)
+       |LEFT JOIN keepfirst kf USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Document-frequency cap for #300's postings self-join — the #26
     * discipline: an uncapped inverted index lets ONE corpus-common gram
     * generate df² pairs; with the cap, candidates are bounded by

@@ -106,6 +106,47 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_span_removal_plan: keep-first bounded by mark-all; totals reconcile") {
+    val sfDir = "/root/testdata/sf0.001"
+    val plan = SubstringDedup.corpusSpanRemovalPlan(spark, sfDir).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val (markall, keepfirst, total) = (r.getLong(3), r.getLong(4), r.getLong(2))
+      assert(keepfirst <= markall, "keep-first marks a subset of positions")
+      assert(markall <= total, "union cannot exceed the tokens present")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // mark-all reconciles with #294's per-doc report, per source
+    val perDoc = SubstringDedup.dedupSubstring(spark, sfDir)
+      .join(graft.sources.Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("dup_tokens").as("ma"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach(r => assert(r.getLong(3) == perDoc(r.getString(0)),
+      s"mark-all mismatch for ${r.getString(0)}"))
+  }
+
+  test("corpus_span_removal_plan: canonical doc keeps its copy on the hand-built pair") {
+    val a = words("a", 40)
+    val b = words("b", 5) ++ a.slice(10, 30) ++ words("c", 5)
+    // doc 1 is the gram's min doc -> canonical; only doc 2 removable
+    val docs = Seq((1L, "s", a.mkString(" ")), (2L, "s", b.mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    // exercise the Df path via the public entry on a temp dir is overkill;
+    // replicate through the operator's building blocks instead
+    val plan = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_srp").toString
+      docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SubstringDedup.corpusSpanRemovalPlan(spark, dir).collect()
+    }
+    assert(plan.length == 1)
+    val r = plan(0)
+    assert(r.getLong(1) == 2L, "both docs flagged under mark-all")
+    assert(r.getLong(3) == 40L, "mark-all: 20 tokens in each doc")
+    assert(r.getLong(4) == 20L, "keep-first: only the non-canonical copy removable")
+  }
+
   test("corpus_dedup_ladder: first-rung attribution partitions the corpus") {
     import org.apache.spark.sql.functions._
     val rows = SubstringDedup.corpusDedupLadder(spark, "/root/testdata/sf0.001").collect()
