@@ -524,6 +524,24 @@ object Streaming {
       graft.operators.Round6Ops12.garbageRegisters(docsStream(s, dir)),
       graft.operators.Round6Ops12.garbageMixFinalize)
 
+  /** #308 stream_classifier_calibration: the #305-trained quality
+    * classifier SCORING THE FEED LIVE — the batch training pass exports
+    * the model (weights + standardization scalars) as literals (the
+    * #284 literal-scalar discipline: a stream cannot re-aggregate its
+    * own corpus moments), each arriving doc is scored map-only, and the
+    * ≤10 (score-decile) count/positive registers ARE the streaming
+    * state (both merge by addition). The drained reliability diagram is
+    * bit-identical to a batch pass, so #305's full training chain is
+    * the oracle. The calibration-drift alarm a deployed filter needs:
+    * a bucket whose live positive rate leaves its score band means the
+    * model no longer fits the feed. */
+  def streamClassifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val (means, sds, w) = graft.operators.Round9Ops3.classifierModel(s, dir)
+    runRegisterStream(s, "qcal",
+      graft.operators.Round9Ops3.calibRegisters(docsStream(s, dir), means, sds, w),
+      graft.operators.Round9Ops3.calibFinalize)
+  }
+
   /** #259 stream_lang_mix: the #258 predicted-language mix as a
     * CONTINUOUS ingest monitor — per-(source, language) counts ARE the
     * streaming state (count merges; the prediction is a map-only
