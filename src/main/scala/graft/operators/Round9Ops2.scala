@@ -47,9 +47,14 @@ object Round9Ops2 {
 
   /** DataFrame-generic core: expects a DIRECTED edge list (src, dst);
     * symmetrizes internally. */
-  def labelPropDf(edges: DataFrame, iters: Int): DataFrame = {
-    val und = edges.union(edges.select(col("dst"), col("src")))
-      .distinct().transform(graft.Lineage.cut)
+  def labelPropDf(edges: DataFrame, iters: Int): DataFrame =
+    labelPropUnd(edges.union(edges.select(col("dst"), col("src")))
+      .distinct().transform(graft.Lineage.cut), iters)
+
+  /** Core over an ALREADY-SYMMETRIZED (and lineage-pinned) edge table —
+    * composing operators (#313 modularity) reuse their own `und`
+    * instead of paying the symmetrize+cut twice. */
+  private[graft] def labelPropUnd(und: DataFrame, iters: Int): DataFrame = {
     var lab = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
       .transform(graft.Lineage.cut)
@@ -201,15 +206,27 @@ object Round9Ops2 {
     * come off exact decimal moments; outputs round 6dp at the edge. */
   def eventsDiffInDiff(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val mid = Round8Ops.feedMidDay(ev)
-    val users = ev.select(col("user_id")).distinct()
-      .withColumn("arm", Round6Ops2.armExprSalted("did:"))
-    val uy = ev
-      .withColumn("period",
+    didFinalize(didRegisters(ev, Round8Ops.feedMidDay(ev)))
+  }
+
+  /** #304/#311's registers: per-(user, type, period) decimal value
+    * sums — the outcome table IS the streaming state (decimal sums
+    * merge by addition; the period tag is a map-only comparison against
+    * the exported rollout-day literal, the #284 discipline). User-keyed
+    * like #271's ICC registers: state proportional to the user
+    * dimension, not the event stream. */
+  private[graft] def didRegisters(ev: DataFrame,
+                                  mid: java.sql.Date): DataFrame =
+    ev.withColumn("period",
         when(to_date(col("ts")) < lit(mid), "pre").otherwise("post"))
       .groupBy(col("user_id"), col("event_type"), col("period"))
       .agg(dsum(col("value")).as("y"))
-      .join(graft.Hints.keyDim(users), "user_id")
+
+  /** The DiD readout over the drained register table: arm assignment is
+    * a map-only salted-md5 expression on the register's user key (no
+    * user dim, no join), then the four-cell pivot. */
+  private[graft] def didFinalize(regs: DataFrame): DataFrame = {
+    val uy = regs.withColumn("arm", Round6Ops2.armExprSalted("did:"))
     val cells = uy
       .groupBy(col("event_type"), col("arm"), col("period"))
       .agg(count(lit(1)).cast("double").as("n"),
@@ -264,20 +281,21 @@ object Round9Ops2 {
        |         CAST(floor(datediff('day', min(CAST(ts AS DATE)),
        |                             max(CAST(ts AS DATE))) / 2) AS INT) AS mid
        |  FROM events),
-       |${Round6Ops2.armSqlCteSalted("did:")},
        |uy AS (
-       |  SELECT e.user_id, e.event_type,
+       |  SELECT e.user_id,
+       |         ('0x' || substr(md5('did:' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+       |         e.event_type,
        |         CASE WHEN CAST(e.ts AS DATE) < mid THEN 'pre' ELSE 'post' END AS period,
        |         ${sqlSum("e.value")} AS y
        |  FROM events e CROSS JOIN mid
-       |  GROUP BY 1, 2, 3),
+       |  GROUP BY 1, 2, 3, 4),
        |cells AS (
-       |  SELECT u.event_type, us.arm, u.period,
+       |  SELECT u.event_type, u.arm, u.period,
        |         CAST(count(*) AS DOUBLE) AS n,
        |         ${sqlSum("u.y")} / CAST(count(*) AS DOUBLE) AS mean,
        |         (${sqlSum("u.y * u.y")} - ${sqlSum("u.y")} * ${sqlSum("u.y")}
        |            / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1) AS var
-       |  FROM uy u JOIN users us USING (user_id)
+       |  FROM uy u
        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2),
        |p AS (
        |  SELECT event_type,

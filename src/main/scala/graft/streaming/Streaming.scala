@@ -422,6 +422,23 @@ object Streaming {
       graft.operators.Round6Ops26.iccRegisters(eventsStream(s, dir)),
       graft.operators.Round6Ops26.iccFinalize)
 
+  /** #311 stream_diff_in_diff: the #304 causal readout MAINTAINED LIVE
+    * — per-(user, type, period) decimal outcome sums ARE the streaming
+    * state (sums merge by addition; the period tag compares each
+    * arriving event against the exported rollout-day literal, the #284
+    * discipline), user-keyed like #271's ICC registers; arm assignment
+    * and the four-cell pivot run batch-side over the drained register
+    * table, bit-identical to #304 and sharing its oracle. The live
+    * experiment readout a rollout owner polls while the treatment is
+    * still landing. */
+  def streamDiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val mid = graft.operators.Round8Ops.feedMidDay(
+      graft.sources.Tables.events(s, dir))
+    runRegisterStream(s, "did",
+      graft.operators.Round9Ops2.didRegisters(eventsStream(s, dir), mid),
+      graft.operators.Round9Ops2.didFinalize)
+  }
+
   /** #265 stream_slo_burn: the #261 burn-rate alert as a LIVE monitor
     * — per-(window, start) total/error counts ARE the streaming state
     * (both merge by addition; the ×2 window fan is map-side on each
