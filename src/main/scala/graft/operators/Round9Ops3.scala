@@ -107,8 +107,10 @@ object Round9Ops3 {
   def docKeyphraseRake(s: SparkSession, dir: String, topK: Int = 3): DataFrame =
     rakeDf(Tables.documents(s, dir), topK)
 
-  /** DataFrame-generic core: expects canonical (doc_id, text). */
-  def rakeDf(docs: DataFrame, topK: Int = 3): DataFrame = {
+  /** The shared RAKE chain up to per-(doc, phrase-occurrence) scores:
+    * (doc_id, grp, score, phrase, n_words). #307 ranks per doc, #315
+    * rolls up the corpus index. */
+  private[graft] def rakePhraseScores(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
               posexplode(split(lower(trim(col("text"))), " ")).as(Seq("pos0", "tok")))
@@ -122,23 +124,18 @@ object Round9Ops3 {
       .transform(graft.Lineage.pinLazy)
     val wstats = occP.groupBy(col("tok"))
       .agg(r(sum(col("plen")).cast("double") / count(lit(1)), 6).as("wscore"))
-    val pscore = occP.join(wstats, "tok")
+    occP.join(wstats, "tok")
       .groupBy(col("doc_id"), col("grp"))
       .agg(dsum(col("wscore"), 6).as("score"),
            concat_ws(" ",
              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
                        x => x.getField("tok"))).as("phrase"),
            count(lit(1)).as("n_words"))
-    val rw = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("phrase"))
-    pscore.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= topK)
-      .select(col("doc_id"), col("rank").cast("int").as("rank"),
-              col("phrase"), col("n_words"), col("score"))
-      .orderBy(col("doc_id"), col("rank"))
   }
 
-  def docKeyphraseRakeSql(topK: Int = 3): String = {
+  /** The RAKE CTE prefix shared by #307's and #315's oracles — ends
+    * with `ps` (doc_id, grp, score, phrase, n_words). */
+  private[graft] val rakeChainSql: String = {
     val stopList = stopwordsEn.map(w => s"'$w'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id,
@@ -160,7 +157,22 @@ object Round9Ops3 {
        |         string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase,
        |         count(*) AS n_words
        |  FROM occp o JOIN wstats w USING (tok)
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  def rakeDf(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val rw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    rakePhraseScores(docs).withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+              col("phrase"), col("n_words"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def docKeyphraseRakeSql(topK: Int = 3): String = {
+    s"""$rakeChainSql,
        |rk AS (
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY score DESC, phrase) AS rank
