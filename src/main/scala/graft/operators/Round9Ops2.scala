@@ -396,6 +396,19 @@ object Round9Ops2 {
     hist.toSeq
   }
 
+  private val wMemo = new scala.collection.concurrent.TrieMap[
+    (String, String, Int, Double), Seq[Array[Double]]]
+
+  /** The trained weight history for a corpus, memoized per (session,
+    * dir, steps, lr) — #305/#308/#309 and the scoring stream all read
+    * the same model; without the memo each re-ran the `steps` GD scans
+    * (the #153 merge-table discipline: the model is a driver-side
+    * artifact, train once per session). */
+  private[graft] def trainedWeights(s: SparkSession, dir: String,
+                                    steps: Int, lr: Double): Seq[Array[Double]] =
+    wMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, steps, lr),
+      trainWeights(classifierFeatures(Tables.documents(s, dir)), steps, lr))
+
   /** σ(z) under weight vector `w`, with the shared stage roundings:
     * z 6dp (left-assoc sum, matching the SQL text), p 6dp. */
   private[graft] def pOf(w: Array[Double]): Column = {
@@ -430,7 +443,7 @@ object Round9Ops2 {
   def corpusQualityClassifier(s: SparkSession, dir: String, steps: Int = 8,
                               lr: Double = 0.5): DataFrame = {
     val x = classifierFeatures(Tables.documents(s, dir))
-    val w = trainWeights(x, steps, lr).last
+    val w = trainedWeights(s, dir, steps, lr).last
     val score = pOf(w)
     x.select(col("doc_id"), col("x1"), col("x2"), col("x3"),
              score.as("score"),

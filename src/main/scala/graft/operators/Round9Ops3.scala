@@ -212,7 +212,7 @@ object Round9Ops3 {
   def corpusClassifierSample(s: SparkSession, dir: String, steps: Int = 8,
                              lr: Double = 0.5): DataFrame = {
     val x = Round9Ops2.classifierFeatures(Tables.documents(s, dir))
-    val w = Round9Ops2.trainWeights(x, steps, lr).last
+    val w = Round9Ops2.trainedWeights(s, dir, steps, lr).last
     val keep = uniformOf(col("doc_id")) < col("score")
     x.select(col("doc_id"), Round9Ops2.pOf(w).as("score"))
       .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
@@ -254,8 +254,7 @@ object Round9Ops3 {
                                      steps: Int = 8, lr: Double = 0.5)
       : (Array[Double], Array[Double], Array[Double]) = {
     val docs = Tables.documents(s, dir)
-    val x = Round9Ops2.classifierFeatures(docs)
-    val w = Round9Ops2.trainWeights(x, steps, lr).last
+    val w = Round9Ops2.trainedWeights(s, dir, steps, lr).last
     val st = Round9Ops2.classifierStats(docs).collect()(0)
     val n = st.getDouble(0)
     val means = Array.tabulate(3)(j => r6d(st.getDouble(1 + 2 * j) / n))

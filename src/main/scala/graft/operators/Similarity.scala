@@ -891,7 +891,13 @@ object Similarity {
     * engines. */
   def knnGraph(s: SparkSession, dir: String, k: Int = 3,
                tables: Int = 8, bits: Int = 6): DataFrame =
-    knnGraphDf(Tables.embeddings(s, dir), k, tables, bits)
+    // memoized per (corpus, params): eight graph-battery operators
+    // (#158/#171/#302/#303/#313/#314, kNN eval chains) consume this
+    // table; without the registry each rebuilt the full LSH bucket
+    // self-join + exact re-rank per query (~2-3 s apiece at sf0.1)
+    graft.Caches.persisted(s, ("knn_graph", dir, k, tables, bits)) {
+      knnGraphDf(Tables.embeddings(s, dir), k, tables, bits)
+    }
 
   /** DataFrame-generic core: expects (vec_id, embedding). */
   def knnGraphDf(emb: DataFrame, k: Int = 3,
