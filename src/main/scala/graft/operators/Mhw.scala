@@ -612,6 +612,45 @@ object Mhw {
     detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
       .drop("severity_max")
 
+  /** Query #317 mhw_onset_composite: SUPERPOSED EPOCH ANALYSIS around
+    * event onsets — for each day offset in [−before, +after] relative
+    * to every detected event's start, the composite (cross-event) mean
+    * anomaly and severity. The canonical "what does an average MHW look
+    * like as it spins up and decays" figure of the Hobday-school
+    * literature: the pre-onset ramp (offsets < 0) shows how much
+    * warning the threshold gives, the post-onset tail how events decay
+    * relative to the duration filter. Same detection parameterization
+    * as #10 (pctile 0.6, minDuration 3, maxGap 2) so the composite
+    * describes exactly the events #10 reports; the severity composite
+    * is the robust panel under that parameterization (the 0.6 quantile
+    * can sit below the mean, where the anomaly's sign flips with the
+    * denominator — severity is what detection thresholds on).
+    *
+    * Scale shape: the event table is per-key (keyDim-gated broadcast,
+    * the detectEvents span-join discipline); the composite is one
+    * range-join of the persisted severity table against it plus a
+    * ≤(before+after+1)-row rollup — no window, nothing collected. */
+  def mhwOnsetComposite(s: SparkSession, dir: String, before: Int = 10,
+                        after: Int = 20): DataFrame = {
+    val sev = severityChain(s, dir, 0.6)
+    val ev = detectEvents(sev, minDuration = 3, maxGap = 2)
+      .select(col("user_id").as("ev_uid"), col("index_start"))
+    val origin = sev.agg(min(col("d")).as("d0"))
+    val si = sev.crossJoin(broadcast(origin))
+      .withColumn("idx", datediff(col("d"), col("d0")))
+    si.join(graft.Hints.keyDim(ev),
+        col("user_id") === col("ev_uid") &&
+        col("idx").between(col("index_start") - before,
+                           col("index_start") + after))
+      .select((col("idx") - col("index_start")).cast("int").as("offset"),
+              col("t_anom"), col("severity"))
+      .groupBy(col("offset"))
+      .agg(count(lit(1)).as("n_obs"),
+           davg(col("t_anom"), 6).as("mean_anom"),
+           davg(col("severity"), 6).as("mean_severity"))
+      .orderBy(col("offset"))
+  }
+
   /** Query #11: Hobday-2018 category distribution over detected events. */
   def mhwCategory(s: SparkSession, dir: String): DataFrame =
     detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)

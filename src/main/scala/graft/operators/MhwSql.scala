@@ -332,6 +332,20 @@ object MhwSql {
       |       intensity_max, intensity_mean, intensity_cumul
       |FROM evm""".stripMargin
 
+  def mhwOnsetComposite(before: Int = 10, after: Int = 20): String =
+    chain(0.6) +
+    s""", comp AS (
+       |  SELECT CAST(s.idx - e.index_start AS INT) AS "offset",
+       |         s.t_anom, s.severity
+       |  FROM events_tbl e
+       |  JOIN sev s ON s.user_id = e.user_id
+       |            AND s.idx BETWEEN e.index_start - $before
+       |                          AND e.index_start + $after)
+       |SELECT "offset", count(*) AS n_obs,
+       |       ${davg("t_anom", 6)} AS mean_anom,
+       |       ${davg("severity", 6)} AS mean_severity
+       |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+
   val mhwSpatialExtent: String =
     chain(0.9) +
     s"""SELECT d, n_series, n_mhw,

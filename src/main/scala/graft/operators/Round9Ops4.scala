@@ -38,18 +38,37 @@ object Round9Ops4 {
 
   /** DataFrame-generic core: expects (event_type, ts, value). */
   def dqValuePsiDf(ev: DataFrame): DataFrame = {
-    import Round6Ops.KsBins
     val dated = ev.withColumn("d", to_date(col("ts")))
     val bounds = dated.agg(
       min(col("d")).as("dmin"), max(col("d")).as("dmax"),
       min(col("value")).as("lo"), max(col("value")).as("hi"))
       .withColumn("mid", date_add(col("dmin"),
         (datediff(col("dmax"), col("dmin")) / 2).cast("int")))
-    val binned = dated.crossJoin(broadcast(bounds))
+    psiFinalize(psiRegisterCounts(dated.crossJoin(broadcast(bounds))))
+  }
+
+  /** The (type, half, bin) count rollup over a frame that already
+    * carries `d`, `mid`, `lo`, `hi` columns — broadcast-joined in the
+    * batch build, literal columns in the #316 stream (the #284
+    * exported-scalar discipline). Counts merge by addition: this IS
+    * the streaming state, ≤ types × 2 × 64 registers. */
+  private[graft] def psiRegisterCounts(withBounds: DataFrame): DataFrame =
+    withBounds
       .withColumn("half", when(col("d") <= col("mid"), 1).otherwise(2))
       .withColumn("bin", Round6Ops.ksBin)
       .groupBy(col("event_type"), col("half"), col("bin"))
       .agg(count(lit(1)).as("c"))
+
+  /** PSI readout over the drained register table: dense-grid fill,
+    * Laplace-smoothed shares, the (q−p)·ln(q/p) sum and verdict. The
+    * register table is pinned first: it is consumed on BOTH sides of
+    * the grid left-join, and a streaming memory-sink view cannot
+    * self-join (no MultiInstanceRelation — Catalyst's conflicting-
+    * references error); the pin also keeps the batch build from
+    * computing the rollup twice. */
+  private[graft] def psiFinalize(binnedIn: DataFrame): DataFrame = {
+    import Round6Ops.KsBins
+    val binned = graft.Lineage.pin(binnedIn)
     val grid = binned.select(col("event_type")).distinct()
       .crossJoin(binned.sparkSession.range(2)
         .select((col("id") + 1).cast("int").as("half")))
@@ -76,6 +95,29 @@ object Round9Ops4 {
           .otherwise("major"))
       .orderBy(col("event_type"))
   }
+
+  /** The feed's (mid, lo, hi) scalars collected batch-side — the
+    * binning contract a PSI stream ships (a stream cannot re-aggregate
+    * its own range; the #284 exported-scalar discipline). */
+  private[graft] def psiBounds(ev: DataFrame): (java.sql.Date, Double, Double) = {
+    val row = ev.withColumn("d", to_date(col("ts")))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+           min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .withColumn("mid", date_add(col("dmin"),
+        (datediff(col("dmax"), col("dmin")) / 2).cast("int")))
+      .collect()(0)
+    (row.getAs[java.sql.Date]("mid"), row.getAs[Double]("lo"),
+     row.getAs[Double]("hi"))
+  }
+
+  /** #316's registers: the shared rollup under literal bounds. */
+  private[graft] def psiRegistersLit(ev: DataFrame, mid: java.sql.Date,
+                                     lo: Double, hi: Double): DataFrame =
+    psiRegisterCounts(ev
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("mid", lit(mid))
+      .withColumn("lo", lit(lo))
+      .withColumn("hi", lit(hi)))
 
   val dqValuePsiSql: String = {
     import Round6Ops.KsBins

@@ -439,6 +439,22 @@ object Streaming {
       graft.operators.Round9Ops2.didFinalize)
   }
 
+  /** #316 stream_value_psi: the #310 PSI drift scorecard LIVE — the
+    * batch pass exports the feed's binning contract (midpoint day +
+    * value range) as literals (the #284 discipline), each arriving
+    * event lands in its (type, half, bin) count register (≤ types×2×64
+    * state, counts merge by addition), and the Laplace-smoothed
+    * PSI/verdict readout runs batch-side over the drained grid —
+    * bit-identical to #310, sharing its oracle. The drift pager a
+    * model-risk team actually wires up. */
+  def streamValuePsi(s: SparkSession, dir: String): DataFrame = {
+    val (mid, lo, hi) = graft.operators.Round9Ops4.psiBounds(
+      graft.sources.Tables.events(s, dir))
+    runRegisterStream(s, "psi",
+      graft.operators.Round9Ops4.psiRegistersLit(eventsStream(s, dir), mid, lo, hi),
+      graft.operators.Round9Ops4.psiFinalize)
+  }
+
   /** #265 stream_slo_burn: the #261 burn-rate alert as a LIVE monitor
     * — per-(window, start) total/error counts ARE the streaming state
     * (both merge by addition; the ×2 window fan is map-side on each
