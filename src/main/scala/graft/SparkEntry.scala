@@ -149,6 +149,10 @@ object SparkEntry {
     // Round-9 batch 8 (#320-#321)
     "events_retention_halflife" -> ((s, d) => Round9Ops8.eventsRetentionHalflife(s, d)),
     "ts_max_drawdown" -> (Round9Ops8.tsMaxDrawdown _),
+    // Round-9 batch 9 (#322-#324)
+    "emb_cka_matrix" -> ((s, d) => Round9Ops9.embCkaMatrix(s, d)),
+    "stream_retention_halflife" -> (graft.streaming.Streaming.streamRetentionHalflife _),
+    "stream_hurst" -> (graft.streaming.Streaming.streamHurst _),
     "dedup_incremental" -> (TextOps.dedupIncremental _),
     "text_repetition" -> (TextOps.textRepetition _),
     "text_contamination" -> (TextOps.textContamination _),
@@ -629,6 +633,10 @@ object SparkEntry {
     // Round-9 batch 8 (#320-#321)
     "events_retention_halflife" -> Round9Ops8.eventsRetentionHalflifeSql(),
     "ts_max_drawdown" -> Round9Ops8.tsMaxDrawdownSql,
+    // Round-9 batch 9 (#322-#324)
+    "emb_cka_matrix" -> Round9Ops9.embCkaMatrixSql(),
+    "stream_retention_halflife" -> Round9Ops8.eventsRetentionHalflifeSql(),
+    "stream_hurst" -> Round9Ops7.tsHurstSql,
     "dedup_incremental" -> TextOps.dedupIncrementalSql,
     "text_repetition" -> TextOps.textRepetitionSql,
     "text_contamination" -> TextOps.textContaminationSql,

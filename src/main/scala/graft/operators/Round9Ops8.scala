@@ -39,10 +39,16 @@ object Round9Ops8 {
     retentionHalflifeDf(Tables.events(s, dir), maxK)
 
   /** DataFrame-generic core: expects (user_id, ts). */
-  def retentionHalflifeDf(evIn: DataFrame, maxK: Int = 14): DataFrame = {
+  def retentionHalflifeDf(evIn: DataFrame, maxK: Int = 14): DataFrame =
+    halflifeFromDays(
+      evIn.select(col("user_id"), to_date(col("ts")).as("d")).distinct(), maxK)
+
+  /** The readout over a distinct (user_id, d) activity ledger — shared
+    * with the #323 stream twin, whose registers ARE this ledger. */
+  private[graft] def halflifeFromDays(evIn: DataFrame,
+                                      maxK: Int = 14): DataFrame = {
     val s = evIn.sparkSession
-    val ev = evIn.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      .transform(graft.Lineage.pinLazy)
+    val ev = evIn.transform(graft.Lineage.pinLazy)
     val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
     val maxd = ev.agg(max(col("d")).as("maxd"))
     val sizes = first.groupBy(col("cohort"))

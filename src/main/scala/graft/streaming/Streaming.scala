@@ -439,6 +439,34 @@ object Streaming {
       graft.operators.Round9Ops2.didFinalize)
   }
 
+  /** #323 stream_retention_halflife: the #320 growth decision number
+    * LIVE — the distinct (user, active-day) ledger IS the streaming
+    * state (count registers; the readout needs only key existence),
+    * and the whole #320 chain (cohorts, censored eligibility, pooled
+    * rates, exponential fit) runs batch-side over the drained ledger:
+    * every scalar it needs (cohort mins, the max observed day) is
+    * derivable from the register keys, so nothing is exported.
+    * Bit-identical to #320, sharing its oracle — the live retention
+    * curve a growth dashboard refreshes as events land. */
+  def streamRetentionHalflife(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "ret",
+      graft.operators.Round9Ops9.activeDayRegisters(eventsStream(s, dir)),
+      graft.operators.Round9Ops9.retentionHalflifeFinalize)
+
+  /** #324 stream_hurst: the #319 long-range-dependence panel LIVE —
+    * per-(user, day) decimal value moments ARE the streaming state
+    * (count + sum merge by addition, the #126 day-partial state
+    * class); finalize rebuilds the daily means with the shared 6dp
+    * rounding and runs the whole #319 chain (block means, aggregated
+    * variances, log-log fit) over the drained table — bit-identical to
+    * batch, sharing #319's oracle. A regime flip (noise → persistent)
+    * mid-stream is a structural change in the feed the variance-scale
+    * ladder catches before any single-lag monitor. */
+  def streamHurst(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "hurst",
+      graft.operators.Round9Ops9.dailyMomentRegisters(eventsStream(s, dir)),
+      graft.operators.Round9Ops9.hurstFinalize)
+
   /** #316 stream_value_psi: the #310 PSI drift scorecard LIVE — the
     * batch pass exports the feed's binning contract (midpoint day +
     * value range) as literals (the #284 discipline), each arriving
