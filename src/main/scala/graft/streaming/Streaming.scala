@@ -483,6 +483,20 @@ object Streaming {
       graft.operators.Round9Ops4.psiFinalize)
   }
 
+  /** #326 stream_freshness: the #325 feed-liveness scorecard as a
+    * CONTINUOUS monitor — the shape freshness checks actually deploy
+    * as (a batch freshness audit is stale by construction; the monitor
+    * has to ride the feed). The per-type (count, first, last) epoch
+    * registers ARE the streaming state (count merges by addition,
+    * first/last by min/max — ≤|types| rows), so the drained register
+    * table is bit-identical to the batch build and the lag/staleness/
+    * verdict readout runs batch-side over the bounded sink, sharing
+    * #325's oracle. */
+  def streamFreshness(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "fresh",
+      graft.operators.Round9Ops10.freshnessRegisters(eventsStream(s, dir)),
+      graft.operators.Round9Ops10.freshnessFinalize)
+
   /** #265 stream_slo_burn: the #261 burn-rate alert as a LIVE monitor
     * — per-(window, start) total/error counts ARE the streaming state
     * (both merge by addition; the ×2 window fan is map-side on each
