@@ -483,6 +483,20 @@ object Streaming {
       graft.operators.Round9Ops4.psiFinalize)
   }
 
+  /** #332 stream_ab_monitor: the #330 corrected A/B readout LIVE —
+    * continuous experiment monitoring with family-wise control, the
+    * deployment shape that actually prevents peeking errors (the
+    * dashboard refreshes corrected p-values, not raw ones). Per-type
+    * Welch moments (n, Σx, Σx²) ARE the streaming state (count +
+    * decimal sums merge by addition, ≤|types| rows); the finalize
+    * replays #104's scalar expressions over the drained moments and
+    * runs #330's Holm/BH chain — bit-identical to batch, sharing
+    * #330's oracle. */
+  def streamAbMonitor(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "abmon",
+      graft.operators.Round9Ops13.welchMomentRegisters(eventsStream(s, dir)),
+      graft.operators.Round9Ops13.abMonitorFinalize)
+
   /** #326 stream_freshness: the #325 feed-liveness scorecard as a
     * CONTINUOUS monitor — the shape freshness checks actually deploy
     * as (a batch freshness audit is stale by construction; the monitor
