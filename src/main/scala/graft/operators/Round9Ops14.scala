@@ -34,9 +34,18 @@ object Round9Ops14 {
     overdispersionDf(Tables.events(s, dir))
 
   /** DataFrame-generic core: expects (event_type, ts). */
-  def overdispersionDf(ev: DataFrame): DataFrame = {
-    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+  def overdispersionDf(ev: DataFrame): DataFrame =
+    overdispersionFinalize(dailyCountRegisters(ev))
+
+  /** The (type, day) count registers — count merges by addition (the
+    * #126 day-partial state class), so this IS the #338 streaming
+    * state: ≤ types × days rows, calendar-bounded. */
+  private[graft] def dailyCountRegisters(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("c"))
+
+  /** Dispersion readout over the drained (type, day, c) registers. */
+  private[graft] def overdispersionFinalize(daily: DataFrame): DataFrame = {
     val n = count(lit(1)).cast("double")
     val mean = dsum(col("c")) / n
     val svar = (dsum(col("c") * col("c")) - dsum(col("c")) * dsum(col("c")) / n) /

@@ -483,6 +483,20 @@ object Streaming {
       graft.operators.Round9Ops4.psiFinalize)
   }
 
+  /** #338 stream_overdispersion: the #334 noise-model test LIVE — the
+    * per-(type, day) count registers ARE the streaming state (count
+    * merges by addition, the #126 day-partial class; late events land
+    * in their day's register), so the drained daily table is
+    * bit-identical to the batch build and the dispersion/z/verdict
+    * readout runs batch-side over the calendar-bounded sink, sharing
+    * #334's oracle. The monitor that tells the volume monitor what
+    * alert bands it is allowed to use, kept current as the feed
+    * drifts. */
+  def streamOverdispersion(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "odisp",
+      graft.operators.Round9Ops14.dailyCountRegisters(eventsStream(s, dir)),
+      graft.operators.Round9Ops14.overdispersionFinalize)
+
   /** #332 stream_ab_monitor: the #330 corrected A/B readout LIVE —
     * continuous experiment monitoring with family-wise control, the
     * deployment shape that actually prevents peeking errors (the
