@@ -671,6 +671,47 @@ object Mhw {
            sum(when(col("severity") > 1, 1L).otherwise(0L)).as("n_mhw"))
       .withColumn("mhw_frac", r(col("n_mhw") / col("n_series"), 6))
 
+  /** #341 mhw_event_sync: pairwise EVENT SYNCHRONY — for every series
+    * pair that is ever in MHW state on the same day, the Jaccard
+    * overlap of their event-day sets (co-event days / union of event
+    * days). #11d answers "how much of the basin is burning TODAY";
+    * this answers "WHICH CELLS burn TOGETHER" — the spatial-coherence
+    * readout behind regional event attribution (a basin-wide forcing
+    * shows as a dense high-Jaccard block, local noise as isolated
+    * pairs). Pairs that never co-occur are absent — identically in
+    * both engines.
+    *
+    * Scale shape: the event-day table is DETECTION OUTPUT (tiny vs
+    * facts); the co-occurrence join is day-keyed, so the per-day fan
+    * is (active series)² — the standard sparse-event synchrony shape,
+    * bounded by event density, never series². Per-series day counts
+    * are a key-proportional rollup joined back on the pair keys. */
+  def mhwEventSync(s: SparkSession, dir: String): DataFrame =
+    eventSyncDf(severityChain(s, dir, 0.9)
+      .filter(col("severity") > 1)
+      .select(col("user_id"), col("d")))
+
+  /** DataFrame-generic core: expects a (user_id, d) event-day set. */
+  private[graft] def eventSyncDf(evdIn: DataFrame): DataFrame = {
+    val evd = graft.Lineage.pin(evdIn)
+    val cnt = evd.groupBy(col("user_id")).agg(count(lit(1)).as("nd"))
+    evd.select(col("user_id").as("user_a"), col("d"))
+      .join(evd.select(col("user_id").as("user_b"), col("d")), Seq("d"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("days_both"))
+      .join(cnt.select(col("user_id").as("user_a"), col("nd").as("days_a")),
+            "user_a")
+      .join(cnt.select(col("user_id").as("user_b"), col("nd").as("days_b")),
+            "user_b")
+      .withColumn("jaccard",
+        r(col("days_both").cast("double") /
+          (col("days_a") + col("days_b") - col("days_both")), 6))
+      .select(col("user_a"), col("user_b"), col("days_a"), col("days_b"),
+              col("days_both"), col("jaccard"))
+      .orderBy(col("user_a"), col("user_b"))
+  }
+
   /** Query #11e mhw_annual_stats: per-series annual event block stats —
     * event count, total MHW days, mean/max peak intensity, summed
     * cumulative intensity — the `blockAverage` analog of the public

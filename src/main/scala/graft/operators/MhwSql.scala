@@ -355,6 +355,26 @@ object MhwSql {
        |         CAST(sum(CASE WHEN severity > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mhw
        |  FROM sev GROUP BY 1)""".stripMargin
 
+  /** Pairwise event-day Jaccard — mirrors Mhw.mhwEventSync. */
+  val mhwEventSync: String =
+    chain(0.9) +
+    s"""SELECT p.user_a, p.user_b, ca.nd AS days_a, cb.nd AS days_b,
+       |       p.days_both,
+       |       ${rr("CAST(p.days_both AS DOUBLE) / (ca.nd + cb.nd - p.days_both)", 6)}
+       |         AS jaccard
+       |FROM (
+       |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+       |         count(*) AS days_both
+       |  FROM (SELECT user_id, d FROM sev WHERE severity > 1) a
+       |  JOIN (SELECT user_id, d FROM sev WHERE severity > 1) b
+       |    ON a.d = b.d AND a.user_id < b.user_id
+       |  GROUP BY 1, 2) p
+       |JOIN (SELECT user_id, count(*) AS nd FROM sev WHERE severity > 1
+       |      GROUP BY 1) ca ON ca.user_id = p.user_a
+       |JOIN (SELECT user_id, count(*) AS nd FROM sev WHERE severity > 1
+       |      GROUP BY 1) cb ON cb.user_id = p.user_b
+       |ORDER BY p.user_a, p.user_b""".stripMargin
+
   val mhwAnnualStats: String =
     chain(0.6) +
     s"""SELECT user_id, year(date_start) AS yr, count(*) AS n_events,
