@@ -172,26 +172,46 @@ object Round9Ops15 {
     robustCenterDf(Tables.events(s, dir))
 
   /** DataFrame-generic core: expects (event_type, value). */
-  def robustCenterDf(ev: DataFrame): DataFrame = {
-    val bounds = ev.groupBy(col("event_type"))
+  def robustCenterDf(ev: DataFrame): DataFrame =
+    robustFinalize(robustRegisters(ev, robustBounds(ev)))
+
+  /** The per-type exact bounds — the MODEL side of the operator. A
+    * streaming deployment computes these batch-side and ships them
+    * into the register stream as the static half of a stream-static
+    * join (the #83b exported-model discipline). */
+  private[graft] def robustBounds(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("value"))).as("vs"))
       .select(col("event_type"),
               r(linQuantile(col("vs"), 0.05), 6).as("p05"),
               r(linQuantile(col("vs"), 0.95), 6).as("p95"))
+
+  /** The per-type moment registers under fixed bounds — count and
+    * decimal sums all merge by addition, so this IS the #342
+    * streaming state (≤|types| rows; bounds ride the group keys). */
+  private[graft] def robustRegisters(ev: DataFrame,
+                                     bounds: DataFrame): DataFrame =
     ev.join(broadcast(bounds), "event_type")
       .withColumn("vw", least(greatest(col("value"), col("p05")), col("p95")))
       .groupBy(col("event_type"), col("p05"), col("p95"))
       .agg(count(lit(1)).as("n"),
-           r(dsum(col("value")) / count(lit(1)), 6).as("mean"),
-           r(dsum(col("vw")) / count(lit(1)), 6).as("mean_winsor"),
-           r(dsum(when(col("value").between(col("p05"), col("p95")),
-                       col("value"))) /
-             count(when(col("value").between(col("p05"), col("p95")), lit(1))),
-             6).as("mean_trimmed"))
-      .select(col("event_type"), col("n"), col("mean"), col("p05"),
-              col("p95"), col("mean_winsor"), col("mean_trimmed"))
+           dsum(col("value")).as("sv"),
+           dsum(col("vw")).as("sw"),
+           dsum(when(col("value").between(col("p05"), col("p95")),
+                     col("value"))).as("si"),
+           count(when(col("value").between(col("p05"), col("p95")), lit(1)))
+             .as("ni"))
+
+  /** Readout over the drained registers — shared verbatim by batch
+    * and the #342 stream twin. */
+  private[graft] def robustFinalize(regs: DataFrame): DataFrame =
+    regs
+      .select(col("event_type"), col("n"),
+              r(col("sv") / col("n"), 6).as("mean"),
+              col("p05"), col("p95"),
+              r(col("sw") / col("n"), 6).as("mean_winsor"),
+              r(col("si") / col("ni"), 6).as("mean_trimmed"))
       .orderBy(col("event_type"))
-  }
 
   val eventsRobustCenterSql: String = {
     def q(p: Double): String = {

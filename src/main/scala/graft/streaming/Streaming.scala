@@ -483,6 +483,24 @@ object Streaming {
       graft.operators.Round9Ops4.psiFinalize)
   }
 
+  /** #342 stream_robust_center: the #337 robust KPI panel LIVE — the
+    * batch pass exports the per-type p05/p95 bounds as the static half
+    * of a stream-static broadcast join (the #83b exported-model
+    * discipline: a stream cannot re-rank its own history), each
+    * arriving event lands clamped/trimmed into its type's moment
+    * registers (count + decimal sums, all merging by addition,
+    * ≤|types| rows), and the mean/winsor/trimmed readout runs
+    * batch-side over the bounded sink — bit-identical to #337, sharing
+    * its oracle. The outlier-robust KPI a live dashboard should quote
+    * instead of the raw mean. */
+  def streamRobustCenter(s: SparkSession, dir: String): DataFrame = {
+    val bounds = graft.operators.Round9Ops15.robustBounds(
+      graft.sources.Tables.events(s, dir))
+    runRegisterStream(s, "robust",
+      graft.operators.Round9Ops15.robustRegisters(eventsStream(s, dir), bounds),
+      graft.operators.Round9Ops15.robustFinalize)
+  }
+
   /** #338 stream_overdispersion: the #334 noise-model test LIVE — the
     * per-(type, day) count registers ARE the streaming state (count
     * merges by addition, the #126 day-partial class; late events land
