@@ -355,6 +355,10 @@ object MhwSql {
        |         CAST(sum(CASE WHEN severity > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mhw
        |  FROM sev GROUP BY 1)""".stripMargin
 
+  /** The severity/detection CTE prefix, exposed for oracles composed
+    * outside this file (the `sev`/`evm` relations). */
+  private[graft] def chainPrefix(p: Double): String = chain(p)
+
   /** Pairwise event-day Jaccard — mirrors Mhw.mhwEventSync. */
   val mhwEventSync: String =
     chain(0.9) +
