@@ -36,11 +36,22 @@ object Round9Ops18 {
     styleDivergenceDf(Tables.documents(s, dir))
 
   /** DataFrame-generic core: expects (source, text). */
-  def styleDivergenceDf(docs: DataFrame): DataFrame = {
-    val cnt = docs
+  def styleDivergenceDf(docs: DataFrame): DataFrame =
+    styleFinalize(charCountRegisters(docs))
+
+  /** The (source, char) count registers — count merges by addition
+    * and the register table is alphabet-bounded, so this IS the #346
+    * streaming state. */
+  private[graft] def charCountRegisters(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(split(lower(col("text")), "")).as("ch"))
       .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("c"))
-      .transform(graft.Lineage.pin)
+
+  /** JS readout over the drained register table — shared verbatim by
+    * batch and the #346 stream twin (pinned: it feeds totals, shares,
+    * the grid spine and both join sides). */
+  private[graft] def styleFinalize(cntIn: DataFrame): DataFrame = {
+    val cnt = graft.Lineage.pin(cntIn)
     val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val sh = cnt.join(tot, "source")
       .select(col("source"), col("ch"),

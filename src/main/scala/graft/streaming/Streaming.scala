@@ -483,6 +483,20 @@ object Streaming {
       graft.operators.Round9Ops4.psiFinalize)
   }
 
+  /** #346 stream_style_divergence: the #343 corpus-homogeneity audit
+    * LIVE — the (source, char) count registers ARE the streaming state
+    * (count merges by addition; the register table is alphabet-bounded
+    * per source), so the drained table is bit-identical to the batch
+    * build and the whole JS readout (shares, dense pair × alphabet
+    * grid, divergence fold, top-char pick) runs batch-side over the
+    * model-sized sink, sharing #343's oracle. The ingest monitor that
+    * notices a crawler feed changing script or turning to markup soup
+    * while it happens. */
+  def streamStyleDivergence(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "style",
+      graft.operators.Round9Ops18.charCountRegisters(docsStream(s, dir)),
+      graft.operators.Round9Ops18.styleFinalize)
+
   /** #342 stream_robust_center: the #337 robust KPI panel LIVE — the
     * batch pass exports the per-type p05/p95 bounds as the static half
     * of a stream-static broadcast join (the #83b exported-model
