@@ -202,18 +202,29 @@ object Round6Ops11 {
     *
     * Scale shape: one map-only projection, one (source, modality)
     * groupBy; shares are windows over the ≤ sources×4 rollup. */
-  def mmModalityBalance(s: SparkSession, dir: String): DataFrame = {
+  def mmModalityBalance(s: SparkSession, dir: String): DataFrame =
+    modalityBalanceFinalize(modalityRegisters(Tables.documents(s, dir)))
+
+  /** The (source, modality) inventory registers — counts and byte/frame
+    * sums all merge by addition, so this IS the #352 streaming state
+    * (≤ sources × 4 rows). */
+  private[graft] def modalityRegisters(docs: DataFrame): DataFrame = {
     val modality = element_at(
       array(lit("text"), lit("image"), lit("audio"), lit("video")),
       (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2),
             16, 10).cast("int") % 4 + 1))
     val bytes = octet_length(col("text").cast("binary"))
-    val g = Tables.documents(s, dir)
+    docs
       .select(col("source"), modality.as("modality"), bytes.as("b"),
               (lit(1L) + floor(bytes / lit(100)).cast("long")).as("frames"))
       .groupBy(col("source"), col("modality"))
       .agg(count(lit(1)).as("n_docs"), sum(col("b")).cast("long").as("n_bytes"),
            sum(col("frames")).as("n_frames"))
+  }
+
+  /** Share readout over the drained registers — shared verbatim by
+    * batch and the #352 stream twin. */
+  private[graft] def modalityBalanceFinalize(g: DataFrame): DataFrame = {
     val wSrc = Window.partitionBy(col("source"))
     val wMod = Window.partitionBy(col("modality"))
     val wAll = Window.partitionBy()

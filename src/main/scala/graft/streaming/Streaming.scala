@@ -483,6 +483,20 @@ object Streaming {
       graft.operators.Round9Ops4.psiFinalize)
   }
 
+  /** #352 stream_modality_balance: the #219 multimodal inventory as a
+    * CONTINUOUS ingest monitor — the (source, modality) doc/byte/frame
+    * registers ARE the streaming state (all merge by addition,
+    * ≤ sources × 4 rows), so the drained inventory is bit-identical to
+    * the batch build and the three share panels (within-source,
+    * within-modality, corpus) run batch-side over the bounded sink,
+    * sharing the batch oracle. The mix dashboard a multimodal crawl
+    * lands on — a camera feed flooding one modality shows up in
+    * minutes, not at the nightly batch. */
+  def streamModalityBalance(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "modal",
+      graft.operators.Round6Ops11.modalityRegisters(docsStream(s, dir)),
+      graft.operators.Round6Ops11.modalityBalanceFinalize)
+
   /** #346 stream_style_divergence: the #343 corpus-homogeneity audit
     * LIVE — the (source, char) count registers ARE the streaming state
     * (count merges by addition; the register table is alphabet-bounded
