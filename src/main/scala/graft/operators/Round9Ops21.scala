@@ -53,7 +53,15 @@ object Round9Ops21 {
     bootstrapCiDf(Tables.events(s, dir), reps)
 
   /** DataFrame-generic core: expects (event_id, event_type, value). */
-  def bootstrapCiDf(ev: DataFrame, reps: Int = 100): DataFrame = {
+  def bootstrapCiDf(ev: DataFrame, reps: Int = 100): DataFrame =
+    bootstrapFinalize(bootstrapRegisters(ev, reps))
+
+  /** The per-(type, replica) weighted-moment registers — decimal sums
+    * and counts all merge by addition, so this IS the #354 streaming
+    * state (≤|types|×(B+1) rows). Replica −1 carries the plain base
+    * moments (same merge algebra, one register stream). */
+  private[graft] def bootstrapRegisters(ev: DataFrame,
+                                        reps: Int = 100): DataFrame = {
     val fan = ev.withColumn("b",
         explode(array((0 until reps).map(lit): _*)))
     val u = expr("CAST(conv(substring(md5(CAST(concat(CAST(event_id AS STRING), ':', CAST(b AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
@@ -61,11 +69,32 @@ object Round9Ops21 {
     val w = PoisCdf.zipWithIndex.foldRight(lit(5): Column) {
       case ((t, k), rest) => when(u < t, k).otherwise(rest)
     }
-    val repMeans = fan
+    val repRegs = fan
       .withColumn("w", w)
       .groupBy(col("event_type"), col("b"))
-      .agg(r(dsum(col("w") * col("value")) /
-             nullif(sum(col("w")).cast("double"), lit(0d)), 6).as("mb"))
+      .agg(dsum(col("w") * col("value")).as("sv"),
+           sum(col("w")).as("sw"),
+           count(lit(1)).as("c"))
+    val baseRegs = ev.groupBy(col("event_type"))
+      .agg(dsum(col("value")).as("sv"),
+           lit(0L).as("sw"),
+           count(lit(1)).as("c"))
+      .select(col("event_type"), lit(-1).as("b"), col("sv"), col("sw"),
+              col("c"))
+    repRegs.select(col("event_type"), col("b"), col("sv"), col("sw"),
+        col("c"))
+      .unionByName(baseRegs)
+  }
+
+  /** CI readout over the drained registers — shared verbatim by batch
+    * and the #354 stream twin (pinned: consumed by both the base and
+    * replica branches). */
+  private[graft] def bootstrapFinalize(regsIn: DataFrame): DataFrame = {
+    val regs = graft.Lineage.pin(regsIn)
+    val repMeans = regs.filter(col("b") >= 0)
+      .select(col("event_type"),
+              r(col("sv") / nullif(col("sw").cast("double"), lit(0d)), 6)
+                .as("mb"))
     val n = count(lit(1)).cast("double")
     val sd = sqrt(greatest(lit(0d),
       (dsum(col("mb") * col("mb")) - dsum(col("mb")) * dsum(col("mb")) / n) /
@@ -77,9 +106,9 @@ object Round9Ops21 {
       .select(col("event_type"), col("n_replicas"), col("se_boot"),
               r(linQuantile(col("vs"), 0.025), 6).as("ci_lo"),
               r(linQuantile(col("vs"), 0.975), 6).as("ci_hi"))
-    val base = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           r(dsum(col("value")) / count(lit(1)), 6).as("mean"))
+    val base = regs.filter(col("b") === -1)
+      .select(col("event_type"), col("c").as("n"),
+              r(col("sv") / col("c"), 6).as("mean"))
     base.join(ci, "event_type")
       .select(col("event_type"), col("n"), col("mean"), col("se_boot"),
               col("ci_lo"), col("ci_hi"), col("n_replicas"))

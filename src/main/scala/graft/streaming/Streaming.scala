@@ -483,6 +483,21 @@ object Streaming {
       graft.operators.Round9Ops4.psiFinalize)
   }
 
+  /** #354 stream_bootstrap_ci: the #348 distribution-free uncertainty
+    * panel LIVE — every arriving event folds its deterministic
+    * Poisson(1) replica weights into the per-(type, replica) moment
+    * registers (decimal sums + counts, all merging by addition,
+    * ≤|types|×(B+1) rows; the hash IS the randomness, so replaying or
+    * reordering the feed lands on identical registers), and the
+    * SE/percentile-CI readout runs batch-side over the model-sized
+    * sink — bit-identical to #348, sharing its oracle. A live metric
+    * WITH its uncertainty: the dashboard stops flagging noise as
+    * movement. */
+  def streamBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "boot",
+      graft.operators.Round9Ops21.bootstrapRegisters(eventsStream(s, dir)),
+      graft.operators.Round9Ops21.bootstrapFinalize)
+
   /** #352 stream_modality_balance: the #219 multimodal inventory as a
     * CONTINUOUS ingest monitor — the (source, modality) doc/byte/frame
     * registers ARE the streaming state (all merge by addition,

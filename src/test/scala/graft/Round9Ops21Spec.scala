@@ -40,6 +40,13 @@ class Round9Ops21Spec extends AnyFunSuite {
     }
   }
 
+  test("stream_bootstrap_ci: register stream ≡ batch, bit for bit") {
+    val batch = Round9Ops21.eventsBootstrapCi(spark, sf).collect().toSeq
+    val live = graft.streaming.Streaming.streamBootstrapCi(spark, sf)
+      .collect().toSeq
+    assert(live == batch)
+  }
+
   test("events_markov_stationary: sums to 1 and matches empirical occupancy") {
     val out = Round9Ops21.eventsMarkovStationary(spark, sf).collect()
     assert(out.nonEmpty)
