@@ -62,10 +62,22 @@ object Round9Ops21 {
     * moments (same merge algebra, one register stream). */
   private[graft] def bootstrapRegisters(ev: DataFrame,
                                         reps: Int = 100): DataFrame = {
-    val fan = ev.withColumn("b",
-        explode(array((0 until reps).map(lit): _*)))
-    val u = expr("CAST(conv(substring(md5(CAST(concat(CAST(event_id AS STRING), ':', CAST(b AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
-      .cast("double") / math.pow(2, 60)
+    require(reps % 2 == 0, "reps must be even: each md5 feeds two replicas")
+    // one md5 feeds TWO replicas (its 128 bits carry two disjoint
+    // 60-bit uniforms) — the hash is the dominant per-row cost of the
+    // fan, so this halves the operator's price at identical statistics
+    val fan = ev.withColumn("g",
+        explode(array((0 until reps / 2).map(lit): _*)))
+      .withColumn("h", md5(concat(col("event_id").cast("string"), lit(":"),
+        col("g").cast("string")).cast("binary")))
+      .withColumn("p", explode(array(
+        struct((col("g") * 2).as("b"), substring(col("h"), 1, 15).as("hx")),
+        struct((col("g") * 2 + 1).as("b"),
+               substring(col("h"), 17, 15).as("hx")))))
+      .select(col("event_type"), col("value"),
+              col("p.b").as("b"), col("p.hx").as("hx"))
+    val u = conv(col("hx"), 16, 10).cast("long").cast("double") /
+      math.pow(2, 60)
     val w = PoisCdf.zipWithIndex.foldRight(lit(5): Column) {
       case ((t, k), rest) => when(u < t, k).otherwise(rest)
     }
@@ -116,8 +128,8 @@ object Round9Ops21 {
   }
 
   def eventsBootstrapCiSql(reps: Int = 100): String = {
-    val u = "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || " +
-      s"CAST(b AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / ${math.pow(2, 60)}"
+    val u = "CAST(('0x' || substr(h, 1 + o * 16, 15))::BIGINT AS DOUBLE) " +
+      s"/ ${math.pow(2, 60)}"
     val w = PoisCdf.zipWithIndex.foldRight("5") {
       case ((t, k), rest) => s"CASE WHEN u < $t THEN $k ELSE $rest END"
     }
@@ -132,10 +144,15 @@ object Round9Ops21 {
     val n = "CAST(count(*) AS DOUBLE)"
     val sd = s"sqrt(greatest(0.0, (${sqlSum("mb * mb")} - " +
       s"${sqlSum("mb")} * ${sqlSum("mb")} / $n) / ($n - 1)))"
-    s"""WITH fan AS (
-       |  SELECT e.event_type, e.value, g.b, $u AS u
+    s"""WITH hashed AS (
+       |  SELECT e.event_type, e.value, g.g,
+       |         md5(CAST(e.event_id AS VARCHAR) || ':' ||
+       |             CAST(g.g AS VARCHAR)) AS h
        |  FROM events e CROSS JOIN (
-       |    SELECT CAST(range AS INT) AS b FROM range(0, $reps)) g),
+       |    SELECT CAST(range AS INT) AS g FROM range(0, ${reps / 2})) g),
+       |fan AS (
+       |  SELECT event_type, value, g * 2 + o.o AS b, $u AS u
+       |  FROM hashed CROSS JOIN (SELECT unnest([0, 1]) AS o) o),
        |wt AS (SELECT event_type, value, b, $w AS w FROM fan),
        |rep AS (
        |  SELECT event_type, b,
