@@ -67,4 +67,22 @@ object Hints {
 
   def approxQuantiles(s: SparkSession): Boolean =
     s.conf.get(ApproxQuantiles, "false").toBoolean
+
+  /** Conf key capping the PER-DAY ACTIVE-SERIES fan of the event-
+    * synchrony pair join (mhw_event_sync). The join is day-keyed and
+    * its per-day cost is (active series)² — bounded by event sparsity
+    * on quiet days, but a basin-wide event (the operator's own
+    * headline regime) makes active ≈ all series and the hot day IS a
+    * series² skewed-key fan with pair-cardinality output. Default 0 =
+    * exact, every pair (oracle parity). A large deployment sets a
+    * positive K: each day keeps only the K active series with the
+    * smallest md5 rank (hash of the series key alone, so the kept set
+    * is deterministic and low-rank series keep their full day sets),
+    * bounding the day fan at K² and the output at K²·|days|; the
+    * readout degrades to synchrony over a deterministic series
+    * subsample, spec-pinned in PostureSpec. */
+  val SyncDayCap = "spark.graft.syncDayCap"
+
+  def syncDayCap(s: SparkSession): Int =
+    s.conf.get(SyncDayCap, "0").toInt
 }

@@ -683,9 +683,18 @@ object Mhw {
     *
     * Scale shape: the event-day table is DETECTION OUTPUT (tiny vs
     * facts); the co-occurrence join is day-keyed, so the per-day fan
-    * is (active series)² — the standard sparse-event synchrony shape,
-    * bounded by event density, never series². Per-series day counts
-    * are a key-proportional rollup joined back on the pair keys. */
+    * is (active series)². Event sparsity bounds quiet days, but a
+    * basin-wide event makes active ≈ all series — the hot day IS a
+    * series² skewed fan, and the output itself is pair-cardinality.
+    * [[graft.Hints.SyncDayCap]] bounds it: a positive K keeps, per
+    * day, only the K active series with the smallest md5 rank (hash
+    * of the series key alone, so the kept set is deterministic and a
+    * low-rank series keeps its complete day set), capping the day fan
+    * at K² and the output at K²·|days|. Both the pair join AND the
+    * per-series day counts run on the capped table, so the capped
+    * Jaccard is self-consistent (the synchrony of the subsampled
+    * sets, not a biased estimate of the full one). Default 0 = exact,
+    * oracle parity; the degraded plan is pinned in PostureSpec. */
   def mhwEventSync(s: SparkSession, dir: String): DataFrame =
     eventSyncDf(severityChain(s, dir, 0.9)
       .filter(col("severity") > 1)
@@ -693,7 +702,23 @@ object Mhw {
 
   /** DataFrame-generic core: expects a (user_id, d) event-day set. */
   private[graft] def eventSyncDf(evdIn: DataFrame): DataFrame = {
-    val evd = graft.Lineage.pin(evdIn)
+    val cap = graft.Hints.syncDayCap(evdIn.sparkSession)
+    val evdAll = graft.Lineage.pin(evdIn)
+    val evd =
+      if (cap <= 0) evdAll
+      else {
+        // deterministic per-day thinning: rank active series by a hash
+        // of the series key ALONE — the kept set is reproducible, and a
+        // series below the rank cut keeps its entire day set. The
+        // ranking window is day-keyed and linear in actives (the fan it
+        // exists to bound is quadratic).
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d"))
+          .orderBy(md5(col("user_id").cast("string")), col("user_id"))
+        evdAll.withColumn("rk", row_number().over(wd))
+          .filter(col("rk") <= cap)
+          .drop("rk")
+      }
     val cnt = evd.groupBy(col("user_id")).agg(count(lit(1)).as("nd"))
     evd.select(col("user_id").as("user_a"), col("d"))
       .join(evd.select(col("user_id").as("user_b"), col("d")), Seq("d"))

@@ -164,8 +164,9 @@ object Round9Ops15 {
     *
     * Scale shape: bounds from a per-type rollup (the exact path
     * collects per-type value lists — the #49/#92 exact-oracle
-    * contract, swapped for approx_percentile at extreme scale via the
-    * same Hints seam); the ≤|types|-row bounds table broadcasts back
+    * contract — conf-switched to `approx_percentile` sketches via
+    * [[graft.Hints.ApproxQuantiles]], the Analytics2.eventsPercentiles
+    * branch shape); the ≤|types|-row bounds table broadcasts back
     * onto the feed; one final rollup, clamp/trim as map-side
     * expressions. */
   def eventsRobustCenter(s: SparkSession, dir: String): DataFrame =
@@ -178,13 +179,27 @@ object Round9Ops15 {
   /** The per-type exact bounds — the MODEL side of the operator. A
     * streaming deployment computes these batch-side and ships them
     * into the register stream as the static half of a stream-static
-    * join (the #83b exported-model discipline). */
-  private[graft] def robustBounds(ev: DataFrame): DataFrame =
+    * join (the #83b exported-model discipline). Exact sorted-list
+    * interpolation by default (oracle parity); the
+    * [[graft.Hints.ApproxQuantiles]] posture swaps in mergeable
+    * `approx_percentile` sketches so the per-type aggregation buffer
+    * is bounded at any scale. */
+  private[graft] def robustBounds(ev: DataFrame): DataFrame = {
+    // one shared groupBy; only the quantile extractor differs between
+    // postures (the Analytics2.eventsPercentiles discipline)
+    val ex = !graft.Hints.approxQuantiles(ev.sparkSession)
+    val samples =
+      if (ex) sort_array(collect_list(col("value")))
+      else expr("approx_percentile(value, array(0.05, 0.95), 10000)")
+    def pq(p: Double, i: Int) =
+      if (ex) r(linQuantile(col("vs"), p), 6)
+      else r(element_at(col("vs"), i + 1), 6)
     ev.groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .agg(samples.as("vs"))
       .select(col("event_type"),
-              r(linQuantile(col("vs"), 0.05), 6).as("p05"),
-              r(linQuantile(col("vs"), 0.95), 6).as("p95"))
+              pq(0.05, 0).as("p05"),
+              pq(0.95, 1).as("p95"))
+  }
 
   /** The per-type moment registers under fixed bounds — count and
     * decimal sums all merge by addition, so this IS the #342

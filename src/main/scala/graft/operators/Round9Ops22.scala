@@ -100,31 +100,69 @@ object Round9Ops22 {
     * is measured per type (per-feed watermarks, the deployment shape);
     * a global watermark reads the max over rows.
     *
-    * Scale shape: one per-type arrival-ordered running-max window
-    * (key-proportional, never a global sort), one rollup; quantiles
-    * on collected per-type lateness lists (the exact-oracle
-    * contract, Hints-swappable at extreme scale). */
+    * Scale shape: the running high-watermark is a TWO-LEVEL PREFIX
+    * MAX — never a single per-type sort. Rows bucket by event_id
+    * range; the within-bucket running max window is bounded by the
+    * bucket width, the cross-bucket prefix max runs over the
+    * ≤|types|×|buckets| bucket-maxima table, and the combined
+    * watermark is `greatest(within, prefix)` after a
+    * (type, bucket)-keyed join back ([[graft.Hints.keyDim]]-gated:
+    * broadcast at bench scale, co-partitioned shuffle at 100 TB). One
+    * rollup follows; quantiles on collected per-type lateness lists
+    * (exact-oracle contract) conf-switched to `approx_percentile`
+    * sketches via [[graft.Hints.ApproxQuantiles]]. */
   def eventsLatenessAudit(s: SparkSession, dir: String): DataFrame =
     latenessAuditDf(Tables.events(s, dir))
 
+  /** Default event_id bucket width for the two-level watermark scan —
+    * each within-bucket window sorts at most this many rows per type. */
+  val LatenessBucketWidth = 65536L
+
   /** DataFrame-generic core: expects (event_type, event_id, ts). */
-  def latenessAuditDf(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = ev
+  def latenessAuditDf(ev: DataFrame,
+                      bucketWidth: Long = LatenessBucketWidth): DataFrame = {
+    val base = ev
       .select(col("event_type"), col("event_id"),
               unix_timestamp(col("ts")).as("es"))
-      .withColumn("late_s", max(col("es")).over(w) - col("es"))
+      .withColumn("bkt", floor(col("event_id") / lit(bucketWidth)))
+    // level 1: within-bucket running max (window bounded by bucketWidth)
+    val wIn = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = base.withColumn("in_max", max(col("es")).over(wIn))
+    // level 2: prefix max over STRICTLY EARLIER buckets, computed on
+    // the map-side-combined bucket-maxima table (≤ types × buckets)
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = base
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(max(col("es")).as("bm"))
+      .withColumn("pre_max", max(col("bm")).over(wPre))
+      .select(col("event_type"), col("bkt"), col("pre_max"))
+    // greatest() skips NULLs, so the first bucket (pre_max null) falls
+    // back to its within-bucket max — identical to the one-window plan
+    val late = rows
+      .join(graft.Hints.keyDim(pre), Seq("event_type", "bkt"))
+      .withColumn("late_s",
+        greatest(col("in_max"), col("pre_max")) - col("es"))
+    val ex = !graft.Hints.approxQuantiles(ev.sparkSession)
+    val samples =
+      if (ex) sort_array(collect_list(col("late_s").cast("double")))
+      else expr(
+        "approx_percentile(CAST(late_s AS DOUBLE), array(0.5, 0.95, 0.99), 10000)")
+    def pq(p: Double, i: Int) =
+      if (ex) r(linQuantile(col("vs"), p), 6)
+      else r(element_at(col("vs"), i + 1), 6)
     late.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
            r(sum(when(col("late_s") > 0, 1L).otherwise(0L))
                .cast("double") / count(lit(1)), 6).as("late_share"),
-           sort_array(collect_list(col("late_s").cast("double"))).as("vs"),
+           samples.as("vs"),
            max(col("late_s")).as("max_late_s"))
       .select(col("event_type"), col("n"), col("late_share"),
-              r(linQuantile(col("vs"), 0.5), 6).as("p50_late_s"),
-              r(linQuantile(col("vs"), 0.95), 6).as("p95_late_s"),
-              r(linQuantile(col("vs"), 0.99), 6).as("p99_late_s"),
+              pq(0.5, 0).as("p50_late_s"),
+              pq(0.95, 1).as("p95_late_s"),
+              pq(0.99, 2).as("p99_late_s"),
               col("max_late_s"))
       .orderBy(col("event_type"))
   }

@@ -41,7 +41,9 @@ object Round9Ops23 {
     * map-side to per-order maxima BEFORE the join (the aggregate-then-
     * join discipline — lineitem reduces to one row per order first),
     * then a ≤|priorities| rollup; quantiles on per-priority lists
-    * (exact-oracle contract, Hints-swappable). */
+    * (exact-oracle contract) conf-switched to `approx_percentile`
+    * sketches via [[graft.Hints.ApproxQuantiles]] — the five
+    * aggregation buffers stay bounded at any order count. */
   def ordersFulfillmentLag(s: SparkSession, dir: String,
                            slaDays: Int = 90): DataFrame = {
     val lastShip = Tables.lineitem(s, dir)
@@ -53,15 +55,23 @@ object Round9Ops23 {
       .join(lastShip, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority"),
               datediff(col("last_ship"), col("od")).as("lag_d"))
+    val ex = !graft.Hints.approxQuantiles(s)
+    val samples =
+      if (ex) sort_array(collect_list(col("lag_d").cast("double")))
+      else expr(
+        "approx_percentile(CAST(lag_d AS DOUBLE), array(0.5, 0.95), 10000)")
+    def pq(p: Double, i: Int) =
+      if (ex) r(linQuantile(col("vs"), p), 6)
+      else r(element_at(col("vs"), i + 1), 6)
     lag.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-           sort_array(collect_list(col("lag_d").cast("double"))).as("vs"),
+           samples.as("vs"),
            r(sum(when(col("lag_d") > slaDays, 1L).otherwise(0L))
                .cast("double") / count(lit(1)), 6).as("sla_breach_share"),
            max(col("lag_d")).as("max_lag_d"))
       .select(col("o_orderpriority"), col("n_orders"),
-              r(linQuantile(col("vs"), 0.5), 6).as("p50_lag_d"),
-              r(linQuantile(col("vs"), 0.95), 6).as("p95_lag_d"),
+              pq(0.5, 0).as("p50_lag_d"),
+              pq(0.95, 1).as("p95_lag_d"),
               col("sla_breach_share"), col("max_lag_d"))
       .orderBy(col("o_orderpriority"))
   }

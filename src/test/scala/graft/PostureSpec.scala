@@ -164,4 +164,130 @@ class PostureSpec extends AnyFunSuite {
       assert(deciles.nonEmpty && deciles.length <= 10)
     }
   }
+
+  test("approxQuantiles=true: round-9 robust/lateness/lag family runs sketches, no collect_list") {
+    withConf(Hints.ApproxQuantiles, "true") {
+      for (df <- Seq(graft.operators.Round9Ops15.eventsRobustCenter(spark, sf),
+                     graft.operators.Round9Ops22.eventsLatenessAudit(spark, sf),
+                     graft.operators.Round9Ops23.ordersFulfillmentLag(spark, sf))) {
+        val p = plan(df)
+        assert(p.contains("approx_percentile"), "sketch path must be active")
+        assert(!p.contains("collect_list"),
+          "sketch posture must not materialize per-group sample arrays")
+      }
+    }
+  }
+
+  test("approxQuantiles=true: robust center keeps exact moments, sketch bounds bracket exact") {
+    val exact = graft.operators.Round9Ops15.eventsRobustCenter(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val vals = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    withConf(Hints.ApproxQuantiles, "true") {
+      val approx = graft.operators.Round9Ops15.eventsRobustCenter(spark, sf)
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(approx.keySet == exact.keySet)
+      for ((t, ar) <- approx; vs = vals(t); n = vs.length) {
+        // plain mean is bounds-free: bit-identical across postures
+        assert(ar.getAs[Double]("mean") == exact(t).getAs[Double]("mean"))
+        assert(ar.getAs[Long]("n") == exact(t).getAs[Long]("n"))
+        for ((c, p) <- Seq("p05" -> 0.05, "p95" -> 0.95)) {
+          val h = p * (n - 1)
+          val lo = vs(math.max(0, math.floor(h).toInt - 1))
+          val hi = vs(math.min(n - 1, math.ceil(h).toInt + 1))
+          val v = ar.getAs[Double](c)
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+            s"$t $c approx $v outside order-stat bracket [$lo, $hi]")
+        }
+        // robust means stay inside the clamp bounds by construction
+        assert(ar.getAs[Double]("mean_winsor") >= ar.getAs[Double]("p05") - 1e-9)
+        assert(ar.getAs[Double]("mean_winsor") <= ar.getAs[Double]("p95") + 1e-9)
+      }
+    }
+  }
+
+  test("approxQuantiles=true: lateness/lag sketch values stay in order-stat brackets") {
+    // exact per-type lateness replay at tiny SF (the naive running max)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "event_id", "ts").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue,
+                 r.getTimestamp(2).getTime / 1000L))
+      .groupBy(_._1)
+    val lateByType = ev.view.mapValues { rows =>
+      var m = Long.MinValue
+      rows.sortBy(_._2).map { case (_, _, es) =>
+        m = math.max(m, es); (m - es).toDouble
+      }.sorted
+    }.toMap
+    withConf(Hints.ApproxQuantiles, "true") {
+      val rows = graft.operators.Round9Ops22.eventsLatenessAudit(spark, sf)
+        .collect()
+      assert(rows.map(_.getString(0)).toSet == lateByType.keySet)
+      for (r <- rows; vs = lateByType(r.getString(0)); n = vs.length;
+           (c, p) <- Seq("p50_late_s" -> 0.5, "p95_late_s" -> 0.95,
+                         "p99_late_s" -> 0.99)) {
+        val h = p * (n - 1)
+        val lo = vs(math.max(0, math.floor(h).toInt - 1))
+        val hi = vs(math.min(n - 1, math.ceil(h).toInt + 1))
+        val v = r.getAs[Double](c)
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+          s"${r.getString(0)} $c approx $v outside [$lo, $hi]")
+      }
+      val lag = graft.operators.Round9Ops23.ordersFulfillmentLag(spark, sf)
+        .collect()
+      assert(lag.nonEmpty)
+      lag.foreach { r =>
+        assert(r.getAs[Double]("p50_lag_d") <= r.getAs[Double]("p95_lag_d") + 1e-9)
+        assert(r.getAs[Double]("p95_lag_d") <=
+          r.getAs[Number]("max_lag_d").doubleValue + 1e-9)
+      }
+    }
+  }
+
+  // ---------------------------------------------------- syncDayCap posture
+
+  test("syncDayCap: capped pair fan matches a driver replay; cap ≥ actives is exact") {
+    import spark.implicits._
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(n: Int) = new java.sql.Date(d0.getTime + n * 86400000L)
+    // basin-wide day 0 (all six series), sparse days after
+    val evd = (
+      (1 to 6).map(u => (u, day(0))) ++
+      Seq((1, day(1)), (2, day(1)), (3, day(2)), (4, day(2)),
+          (1, day(3)), (5, day(3)), (6, day(3)))
+    ).toDF("user_id", "d")
+    val exact = graft.operators.Mhw.eventSyncDf(evd).collect().toSeq
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def replay(cap: Int): Seq[(Int, Int, Long, Long, Long)] = {
+      val rows = evd.collect().map(r => (r.getInt(0), r.getDate(1).toString))
+      val kept = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(t => (md5hex(t._1.toString), t._1)).take(cap)
+      }
+      val byUser = kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (for {
+        a <- byUser.keys; b <- byUser.keys if a < b
+        both = (byUser(a) intersect byUser(b)).size if both > 0
+      } yield (a, b, byUser(a).size.toLong, byUser(b).size.toLong,
+               both.toLong)).toSeq.sortBy(t => (t._1, t._2))
+    }
+
+    withConf(Hints.SyncDayCap, "3") {
+      val capped = graft.operators.Mhw.eventSyncDf(evd).collect().toSeq
+      val expect = replay(3)
+      assert(capped.map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))) == expect,
+        "capped output must equal the deterministic md5-rank replay")
+      // the basin-wide day now contributes at most C(3,2) pairs
+      assert(capped.size < exact.size)
+    }
+    withConf(Hints.SyncDayCap, "100") {
+      val wide = graft.operators.Mhw.eventSyncDf(evd).collect().toSeq
+      assert(wide == exact, "a cap above the densest day must be exact")
+    }
+  }
 }

@@ -42,6 +42,43 @@ class Round9Ops22Spec extends AnyFunSuite {
     assert(r.getDouble(3) == 5.0, "median of (0, 0, 10, 50)")
   }
 
+  test("events_lateness_audit: two-level watermark — bucketed scan matches the one-bucket plan") {
+    import spark.implicits._
+    // adversarial feed: two types, ids interleaved, late stragglers at
+    // bucket boundaries (id 7→8 crosses the width-4 bucket edge)
+    val ev = (0L until 40L).map { id =>
+      val t = if (id % 2 == 0) "a" else "b"
+      val es = if (id % 7 == 3) id * 10 - 25 else id * 10
+      (t, id, new java.sql.Timestamp(es * 1000L))
+    }.toDF("event_type", "event_id", "ts")
+    val tiny = Round9Ops22.latenessAuditDf(ev, bucketWidth = 4L)
+      .collect().toSeq
+    val one = Round9Ops22.latenessAuditDf(ev, bucketWidth = 1000000L)
+      .collect().toSeq
+    assert(tiny == one, "bucketing must not change the watermark")
+  }
+
+  test("events_lateness_audit: no fact-side window partitioned by event_type alone") {
+    val df = Round9Ops22.eventsLatenessAudit(spark, sf)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        (w.partitionSpec.flatMap(_.references.map(_.name)).toSet, w)
+    }
+    assert(wins.nonEmpty)
+    // the fact-scale window must carry the bucket key; the only
+    // type-partitioned window runs over the aggregated bucket maxima
+    wins.foreach { case (keys, w) =>
+      if (keys == Set("event_type")) {
+        val overAgg = w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.isDefined
+        assert(overAgg,
+          "a type-only window is allowed only over the bucket-maxima rollup")
+      } else assert(keys.contains("bkt"),
+        s"fact-side window must be bucket-partitioned, got $keys")
+    }
+  }
+
   test("events_lateness_audit: corpus run — quantiles ordered, non-negative") {
     val out = Round9Ops22.eventsLatenessAudit(spark, sf).collect()
     assert(out.nonEmpty)
