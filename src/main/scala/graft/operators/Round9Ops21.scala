@@ -56,30 +56,48 @@ object Round9Ops21 {
   def bootstrapCiDf(ev: DataFrame, reps: Int = 100): DataFrame =
     bootstrapFinalize(bootstrapRegisters(ev, reps))
 
+  /** 16-bit Poisson(1) CDF thresholds as 4-char lowercase hex
+    * literals: a replica's uniform is one 16-bit slice of the md5 hex,
+    * and fixed-width lowercase hex compares lexicographically as the
+    * number it encodes — so the weight is a pure STRING compare, no
+    * base-16 decode anywhere in the hot path. Generated from
+    * [[PoisCdf]] so both engines share one source of truth. The
+    * Poisson CDF lookup needs ~6 significant digits; 16 bits quantize
+    * each threshold by < 2⁻¹⁶, identical in both engines. */
+  private[graft] val PoisCdfHex: Seq[String] =
+    PoisCdf.map(t => f"${math.floor(t * 65536).toInt}%04x")
+
   /** The per-(type, replica) weighted-moment registers — decimal sums
     * and counts all merge by addition, so this IS the #354 streaming
     * state (≤|types|×(B+1) rows). Replica −1 carries the plain base
-    * moments (same merge algebra, one register stream). */
-  private[graft] def bootstrapRegisters(ev: DataFrame,
+    * moments (same merge algebra, one register stream).
+    *
+    * Fan economics (ProfBootstrap, sf0.1): one md5 feeds EIGHT
+    * replicas (8 disjoint 16-bit uniforms per 128-bit digest —
+    * ⌈reps/8⌉ hashes per row, any reps value), and the weight is a
+    * 4-char string compare against [[PoisCdfHex]]. But the dominant
+    * cost was never the hash: the ×B row fan inherits the SCAN's
+    * partitioning, and a bench-scale single-split input ran the whole
+    * fan on one core (17 s of an 18 s query). The pre-fan
+    * round-robin repartition costs one shuffle of the 3-column base
+    * projection — 1/B of the fan's rows — and spreads the ×B work
+    * across the cluster; it is the same fix at 100 TB, where a
+    * 128 MB input split otherwise becomes a 12.8 GB fan task. */
+  private[graft] def bootstrapRegisters(ev0: DataFrame,
                                         reps: Int = 100): DataFrame = {
-    require(reps % 2 == 0, "reps must be even: each md5 feeds two replicas")
-    // one md5 feeds TWO replicas (its 128 bits carry two disjoint
-    // 60-bit uniforms) — the hash is the dominant per-row cost of the
-    // fan, so this halves the operator's price at identical statistics
-    val fan = ev.withColumn("g",
-        explode(array((0 until reps / 2).map(lit): _*)))
+    val parts = ev0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ev = ev0.select(col("event_id"), col("event_type"), col("value"))
+      .repartition(parts)
+    val nHash = (reps + 7) / 8
+    val fan = ev.withColumn("g", explode(array((0 until nHash).map(lit): _*)))
       .withColumn("h", md5(concat(col("event_id").cast("string"), lit(":"),
         col("g").cast("string")).cast("binary")))
-      .withColumn("p", explode(array(
-        struct((col("g") * 2).as("b"), substring(col("h"), 1, 15).as("hx")),
-        struct((col("g") * 2 + 1).as("b"),
-               substring(col("h"), 17, 15).as("hx")))))
-      .select(col("event_type"), col("value"),
-              col("p.b").as("b"), col("p.hx").as("hx"))
-    val u = conv(col("hx"), 16, 10).cast("long").cast("double") /
-      math.pow(2, 60)
-    val w = PoisCdf.zipWithIndex.foldRight(lit(5): Column) {
-      case ((t, k), rest) => when(u < t, k).otherwise(rest)
+      .withColumn("o", explode(array((0 until 8).map(lit): _*)))
+      .withColumn("b", col("g") * 8 + col("o"))
+      .filter(col("b") < reps)
+      .withColumn("hx", substring(col("h"), col("o") * 4 + 1, lit(4)))
+    val w = PoisCdfHex.zipWithIndex.foldRight(lit(5): Column) {
+      case ((t, k), rest) => when(col("hx") < t, k).otherwise(rest)
     }
     val repRegs = fan
       .withColumn("w", w)
@@ -103,10 +121,15 @@ object Round9Ops21 {
     * replica branches). */
   private[graft] def bootstrapFinalize(regsIn: DataFrame): DataFrame = {
     val regs = graft.Lineage.pin(regsIn)
+    // a replica whose Poisson weights all land 0 yields NULL mb —
+    // drop it explicitly on BOTH engines (Spark collect_list skips
+    // NULLs but DuckDB list() keeps them, which would misalign the
+    // sorted-list quantile indexing against the NULL-excluding count)
     val repMeans = regs.filter(col("b") >= 0)
       .select(col("event_type"),
               r(col("sv") / nullif(col("sw").cast("double"), lit(0d)), 6)
                 .as("mb"))
+      .filter(col("mb").isNotNull)
     val n = count(lit(1)).cast("double")
     val sd = sqrt(greatest(lit(0d),
       (dsum(col("mb") * col("mb")) - dsum(col("mb")) * dsum(col("mb")) / n) /
@@ -128,10 +151,11 @@ object Round9Ops21 {
   }
 
   def eventsBootstrapCiSql(reps: Int = 100): String = {
-    val u = "CAST(('0x' || substr(h, 1 + o * 16, 15))::BIGINT AS DOUBLE) " +
-      s"/ ${math.pow(2, 60)}"
-    val w = PoisCdf.zipWithIndex.foldRight("5") {
-      case ((t, k), rest) => s"CASE WHEN u < $t THEN $k ELSE $rest END"
+    // mirror of bootstrapRegisters: 8 replicas per md5 (16-bit hex
+    // slices), weight by lexicographic compare against the shared
+    // PoisCdfHex literals — no base-16 decode on either engine
+    val w = PoisCdfHex.zipWithIndex.foldRight("5") {
+      case ((t, k), rest) => s"CASE WHEN hx < '$t' THEN $k ELSE $rest END"
     }
     def q(p: Double): String = {
       val l = s"CAST(floor((count(mb) - 1) * $p) AS INT)"
@@ -149,16 +173,20 @@ object Round9Ops21 {
        |         md5(CAST(e.event_id AS VARCHAR) || ':' ||
        |             CAST(g.g AS VARCHAR)) AS h
        |  FROM events e CROSS JOIN (
-       |    SELECT CAST(range AS INT) AS g FROM range(0, ${reps / 2})) g),
+       |    SELECT CAST(range AS INT) AS g FROM range(0, ${(reps + 7) / 8})) g),
        |fan AS (
-       |  SELECT event_type, value, g * 2 + o.o AS b, $u AS u
-       |  FROM hashed CROSS JOIN (SELECT unnest([0, 1]) AS o) o),
+       |  SELECT event_type, value, g * 8 + o.o AS b,
+       |         substr(h, 1 + o.o * 4, 4) AS hx
+       |  FROM hashed CROSS JOIN (
+       |    SELECT CAST(range AS INT) AS o FROM range(0, 8)) o
+       |  WHERE g * 8 + o.o < $reps),
        |wt AS (SELECT event_type, value, b, $w AS w FROM fan),
        |rep AS (
        |  SELECT event_type, b,
        |         ${sqlR(s"${sqlSum("w * value")} / nullif(CAST(sum(w) AS DOUBLE), 0.0)", 6)}
        |           AS mb
-       |  FROM wt GROUP BY 1, 2),
+       |  FROM wt GROUP BY 1, 2
+       |  HAVING mb IS NOT NULL),
        |ci AS (
        |  SELECT event_type, count(*) AS n_replicas,
        |         ${sqlR(sd, 6)} AS se_boot,
