@@ -14,65 +14,107 @@ import graft.sources.Tables
   * ws-tokens; a tokenizer decision needs the counts the model will
   * actually see — Sennrich et al. 2016).
   *
-  * Encoding runs over the WHOLE document string at once in the #153
-  * boundary-delimited form (`|a|b| |c…`): every char becomes one
-  * `|`-prefixed symbol, and fusing merge (a,b) IS
-  * `replace('|a|b' → '|ab')` — left-to-right non-overlapping in both
-  * engines, the exact greedy fuse rule #153 already pins. Spaces are
-  * symbols too, and since training restricts the vocabulary to purely
-  * alphabetic words, no merge can involve a space — so word boundaries
-  * are respected with NO per-word explode: applying the k merges is k
-  * literal string replaces per document, map-only. Real BPE token
-  * count = symbols − spaces = count('|') − count(' ').
+  * Encoding is VOCABULARY-SCALABLE: each DISTINCT word is encoded
+  * once (the word table is Zipf-bounded — "the" is fused once, not
+  * once per occurrence), in #153's per-symbol bracketed form
+  * (`|a||b||c|`) where fusing merge (a,b) IS
+  * `replace('|a||b|' → '|ab|')` — left-to-right non-overlapping in
+  * both engines, the exact greedy fuse rule #153 pins, collision-free
+  * at any merge depth because both symbols are delimited on both
+  * sides. The resulting word → token-count map joins back onto the
+  * corpus tokens ([[graft.Hints.keyDim]]-gated), so per-doc encode
+  * cost is a word lookup — independent of vocabulary size and merge
+  * count (the previous whole-doc form paid k literal replaces per
+  * DOCUMENT, O(|vocab|) string passes each, and could never reach a
+  * real vocab). Unseen words (possible only on a live feed — the
+  * batch map covers its own corpus) fall back to length(w): unmerged
+  * symbols are characters, the exact BPE base case.
   *
   * The merge table is a driver-side model artifact (#153's collect —
   * bounded by contract), memoized per (session, dir, steps) so the
   * encode queries and the trainer share one training run per session.
   * Scale shape: training per round is a vocab-sized rollup + 1-row
-  * collect; encoding is one map-only scan with k inlined literal
-  * replaces (the ann_pq inlined-LUT discipline); the fertility readout
-  * is a |langs|-key rollup of integer-exact sums. */
+  * collect; encoding is one vocab-sized fused-replace pass + one
+  * token⋈word-map join + per-doc rollup; the fertility readout is a
+  * |langs|-key rollup of integer-exact sums. */
 object BpeEncode {
 
   private val memo =
     new scala.collection.concurrent.TrieMap[(String, String, Int),
                                             Seq[(String, String)]]
 
-  /** #153's trained merge table, in merge order, memoized. The trainer
-    * enforces the fuse-boundary guard (no merge's right symbol is a
-    * proper prefix of an earlier merged symbol — see
-    * [[TextOps2.bpeTrainMerges]]), which is exactly the condition under
-    * which applying these merges as whole-doc literal replaces is the
-    * exact per-symbol greedy fuse (property-pinned in
-    * SubstringPropertySpec). */
+  /** #153's trained merge table, in merge order, memoized. With the
+    * per-symbol bracketed encoding (`|a||b|` → `|ab|`, see
+    * [[TextOps2.bpeTrainMerges]]) the literal replace IS the exact
+    * per-symbol greedy fuse for ANY merge table — property-pinned in
+    * SubstringPropertySpec, including right-compound merges. */
   private[graft] def trainedMerges(s: SparkSession, dir: String,
                                    steps: Int): Seq[(String, String)] =
     memo.getOrElseUpdate((s.sparkContext.applicationId, dir, steps),
       TextOps2.bpeTrainMerges(s, dir, steps).collect()
         .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq)
 
-  /** Per-doc symbol table: normalized text, boundary encoding after all
-    * merges, space count — shared by both readouts. DataFrame-generic
-    * so the spec can pin the fuse rule on a hand-built merge table. */
-  private[graft] def encodedDf(docs: DataFrame,
-                               merges: Seq[(String, String)]): DataFrame = {
-    val base = docs
-      .withColumn("t", lower(trim(col("text"))))
-      .withColumn("e", regexp_replace(col("t"), "(.)", "|$1"))
-    val fused = merges.foldLeft(base) { case (df, (a, b)) =>
-      df.withColumn("e", expr(s"replace(e, '|$a|$b', '|$a$b')"))
+  /** The word → BPE-token-count map: DISTINCT words of the corpus,
+    * each bracket-encoded and fused through the k merges once, reduced
+    * to its token count (= bracket pairs). Eagerly pinned — several
+    * downstream joins (and every stream microbatch) consume it. */
+  private[graft] def wordTokenMap(docs: DataFrame,
+                                  merges: Seq[(String, String)]): DataFrame = {
+    val vocab = docs
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .withColumn("e", regexp_replace(col("w"), "(.)", "|$1|"))
+    val fused = merges.zipWithIndex.foldLeft(vocab) { case (df, ((a, b), i)) =>
+      val next = df.withColumn("e", expr(s"replace(e, '|$a||$b|', '|$a$b|')"))
+      // bound the collapsed-projection depth under long merge tables
+      if ((i + 1) % 16 == 0) graft.Lineage.cut(next) else next
     }
-    fused
-      .withColumn("n_spaces", length(col("t")) - length(regexp_replace(col("t"), " ", "")))
-      .withColumn("n_chars", length(col("t")) - col("n_spaces"))
-      .withColumn("n_ws_tokens", size(split(col("t"), " ")).cast("long"))
-      .withColumn("n_bpe_tokens",
-        (length(col("e")) - length(regexp_replace(col("e"), "\\|", ""))
-          - col("n_spaces")).cast("long"))
+    graft.Lineage.pin(fused.select(col("w"),
+      ((length(col("e")) - length(regexp_replace(col("e"), "\\|", ""))) / 2)
+        .cast("long").as("n_tok")))
   }
 
+  /** Per-doc count table: ws/char counters map-side, BPE counts via
+    * the token⋈word-map join rolled up per doc and joined back (the
+    * doc_id join is co-partitioned). DataFrame-generic so the spec can
+    * pin the fuse rule on a hand-built merge table. */
+  private[graft] def encodedDf(docs: DataFrame,
+                               merges: Seq[(String, String)],
+                               wmapIn: Option[DataFrame] = None): DataFrame = {
+    val wmap = wmapIn.getOrElse(wordTokenMap(docs, merges))
+    val t = lower(trim(col("text")))
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(t, " ")).as("w"))
+      .join(graft.Hints.keyDim(wmap), Seq("w"), "left")
+      .withColumn("n_tok",
+        coalesce(col("n_tok"), length(col("w")).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tok")).as("n_bpe_tokens"))
+    docs
+      .withColumn("t", t)
+      .withColumn("n_spaces",
+        length(col("t")) - length(regexp_replace(col("t"), " ", "")))
+      .withColumn("n_chars", length(col("t")) - col("n_spaces"))
+      .withColumn("n_ws_tokens", size(split(col("t"), " ")).cast("long"))
+      .join(perDoc, Seq("doc_id"))
+  }
+
+  private val wmapMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, Int), DataFrame]
+
+  /** The corpus word map for (session, dir, steps), memoized like the
+    * merge table — the encode/fertility/budget/stream queries share
+    * one vocab-encode job per session (the pinned frame is reusable:
+    * localCheckpoint blocks live for the session). */
+  private[graft] def corpusWordMap(s: SparkSession, dir: String,
+                                   steps: Int): DataFrame =
+    wmapMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, steps),
+      wordTokenMap(Tables.documents(s, dir), trainedMerges(s, dir, steps)))
+
   private def encoded(s: SparkSession, dir: String, steps: Int): DataFrame =
-    encodedDf(Tables.documents(s, dir), trainedMerges(s, dir, steps))
+    encodedDf(Tables.documents(s, dir), trainedMerges(s, dir, steps),
+              Some(corpusWordMap(s, dir, steps)))
 
   /** #295 bpe_encode: per-doc REAL BPE token counts under #153's merge
     * table, beside the ws proxy. n_chars − n_bpe_tokens = merge
@@ -121,17 +163,35 @@ object BpeEncode {
     * partition-less exception), no global rank. */
   /** #298's MERGEABLE registers (doc count + ws/BPE token sums per
     * ⌊q·100⌋ bucket, ≤101 rows, all merge by addition) — also the #299
-    * streaming state. The encode is map-only per arriving doc (the
-    * merge table is a batch-trained literal, the #285 mid-day
-    * discipline), so the register stream is one stateful aggregate. */
+    * streaming state. The word map is a batch-trained model artifact
+    * (the #285 mid-day discipline), so each arriving doc is a
+    * stateless posexplode + stream-static join and the register
+    * stream stays ONE stateful aggregate: doc-level stats ride the
+    * pos==0 token row (every doc has one — split never returns an
+    * empty array), BPE mass sums over all token rows, so no per-doc
+    * pre-aggregation is ever needed. */
   private[graft] def budgetRegisters(docs: DataFrame,
-                                     merges: Seq[(String, String)]): DataFrame =
-    encodedDf(docs, merges)
+                                     wordMap: DataFrame): DataFrame = {
+    val t = lower(trim(col("text")))
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs
+      // the token fan multiplies rows by words-per-doc and inherits the
+      // scan's partitioning — spread it BEFORE the explode (the
+      // bootstrapRegisters finding; the pre-fan shuffle moves 1/fan of
+      // the fanned rows)
+      .repartition(parts)
       .select(floor(TextOps.qualityCol * 100).cast("long").as("qb"),
-              col("n_ws_tokens").as("ws"), col("n_bpe_tokens").as("bpe"))
+              size(split(t, " ")).cast("long").as("ws"),
+              posexplode(split(t, " ")))
+      .withColumnRenamed("col", "w")
+      .join(graft.Hints.keyDim(wordMap), Seq("w"), "left")
+      .withColumn("n_tok",
+        coalesce(col("n_tok"), length(col("w")).cast("long")))
       .groupBy(col("qb"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("ws")).as("ws_tok"), sum(col("bpe")).as("bpe_tok"))
+      .agg(count(when(col("pos") === 0, 1)).as("n_docs"),
+           sum(when(col("pos") === 0, col("ws"))).as("ws_tok"),
+           sum(col("n_tok")).as("bpe_tok"))
+  }
 
   /** #298/#299 readout over the drained ≤101-row register table: the
     * partition-less window rides a bounded input (the documented
@@ -160,7 +220,7 @@ object BpeEncode {
                            budgetBpe: Long = 100000,
                            steps: Int = TextOps2.BpeSteps): DataFrame =
     budgetFinalize(budgetBpe)(
-      budgetRegisters(Tables.documents(s, dir), trainedMerges(s, dir, steps)))
+      budgetRegisters(Tables.documents(s, dir), corpusWordMap(s, dir, steps)))
 
   def corpusTokenBudgetBpeSql(budgetBpe: Long = 100000,
                               steps: Int = TextOps2.BpeSteps): String =
@@ -189,8 +249,9 @@ object BpeEncode {
        |FROM cum CROSS JOIN tot ORDER BY qb DESC""".stripMargin
 
   /** Shared oracle prefix: #153's training CTE chain (verbatim replay)
-    * + whole-doc boundary encode + the k replaces via win-k scalar
-    * subqueries + per-doc counters. */
+    * + the DISTINCT-word bracketed encode with the k replaces via
+    * win-k scalar subqueries + the token⋈word-map join-back — the
+    * exact mirror of [[wordTokenMap]]/[[encodedDf]]. */
   private def encodedSql(steps: Int): String = {
     val train = TextOps2.bpeTrainMergesSql(steps)
       .linesIterator.toSeq
@@ -198,26 +259,37 @@ object BpeEncode {
       .mkString("\n")
       .stripSuffix("\n")
     val encChain = (1 to steps).map { k =>
-      s"""enc$k AS (
-         |  SELECT doc_id, lang, t,
-         |         replace(e, '|' || (SELECT sym_a FROM win$k) || '|' || (SELECT sym_b FROM win$k),
-         |                    '|' || (SELECT sym_a FROM win$k) || (SELECT sym_b FROM win$k)) AS e
-         |  FROM enc${k - 1})""".stripMargin
+      s"""venc$k AS MATERIALIZED (
+         |  SELECT w, replace(e,
+         |           '|' || (SELECT sym_a FROM win$k) || '||' || (SELECT sym_b FROM win$k) || '|',
+         |           '|' || (SELECT sym_a FROM win$k) || (SELECT sym_b FROM win$k) || '|') AS e
+         |  FROM venc${k - 1})""".stripMargin
     }.mkString(",\n")
     s"""$train,
-       |enc0 AS (
-       |  SELECT doc_id, lang, lower(trim(text)) AS t,
-       |         regexp_replace(lower(trim(text)), '(.)', '|\\1', 'g') AS e
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
        |  FROM documents),
+       |venc0 AS MATERIALIZED (
+       |  SELECT DISTINCT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS e
+       |  FROM toks WHERE length(w) > 0),
        |$encChain,
-       |counts AS (
-       |  SELECT doc_id, lang,
-       |         length(t) - length(replace(t, ' ', '')) AS n_spaces,
-       |         length(replace(t, ' ', '')) AS n_chars,
-       |         len(string_split(t, ' ')) AS n_ws_tokens,
-       |         length(e) - length(replace(e, '|', ''))
-       |           - (length(t) - length(replace(t, ' ', ''))) AS n_bpe_tokens
-       |  FROM enc$steps)""".stripMargin
+       |wtok AS MATERIALIZED (
+       |  SELECT w, (length(e) - length(replace(e, '|', ''))) // 2 AS n_tok
+       |  FROM venc$steps),
+       |bpe AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |         CAST(sum(coalesce(wt.n_tok, length(t.w))) AS BIGINT)
+       |           AS n_bpe_tokens
+       |  FROM toks t LEFT JOIN wtok wt ON wt.w = t.w
+       |  GROUP BY 1),
+       |counts AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang,
+       |         length(lower(trim(d.text)))
+       |           - length(replace(lower(trim(d.text)), ' ', '')) AS n_spaces,
+       |         length(replace(lower(trim(d.text)), ' ', '')) AS n_chars,
+       |         len(string_split(lower(trim(d.text)), ' ')) AS n_ws_tokens,
+       |         b.n_bpe_tokens
+       |  FROM documents d JOIN bpe b ON b.doc_id = d.doc_id)""".stripMargin
   }
 
   def bpeEncodeSql(steps: Int = TextOps2.BpeSteps): String =

@@ -184,8 +184,13 @@ object TextOps2 {
 
   /** BPE training rounds. Bounded by contract — the merge table, like
     * any model artifact, is tiny; a real tokenizer run sets this to
-    * vocab_size − |alphabet| and pays one pair-count pass per round. */
-  private[graft] val BpeSteps = 3
+    * vocab_size − |alphabet| and pays one pair-count pass per round.
+    * 64 merges is enough for the fertility/budget readouts to
+    * measurably diverge from the char/ws proxies (bpe_per_word well
+    * below 1 token per char); the shapes below are
+    * vocabulary-per-round and word-per-encode, so raising this to a
+    * real 32 k costs rounds, never corpus passes. */
+  private[graft] val BpeSteps = 64
 
   /** #153 bpe_train_merges: BPE TRAINING, not just its inner statistic —
     * [[bpePairCounts]] counts one round's pairs; this runs the actual
@@ -201,12 +206,17 @@ object TextOps2 {
     * the explode runs over vocab × word length, never corpus tokens);
     * the winner is ONE collected row (model-sized, the IVF-centroid /
     * MMR-round class); the merge application is a map-only string
-    * `replace` over the vocabulary — words are kept in a
-    * boundary-delimited encoding (`|a|b|c`) where fusing pair (a,b) IS
-    * `replace('|a|b' → '|ab')`: both engines' `replace` scans
+    * `replace` over the vocabulary — words are kept in a PER-SYMBOL
+    * bracketed encoding (`|a||b||c|`) where fusing pair (a,b) IS
+    * `replace('|a||b|' → '|ab|')`: both engines' `replace` scans
     * left-to-right non-overlapping, which is exactly BPE's greedy fuse
-    * rule, so parity holds by construction. Vocabulary is restricted to
-    * purely alphabetic words so the delimiter never collides. */
+    * rule, and because every symbol occurrence is delimited on BOTH
+    * sides the pattern can only ever match a true (a, b) adjacency —
+    * no prefix/suffix collision exists at ANY merge depth (the
+    * single-delimiter encoding this replaced needed a guard against
+    * right-symbol prefix collisions, which real 64+-merge tables DO
+    * trip). Vocabulary is restricted to purely alphabetic words so the
+    * delimiter never collides with content. */
   def bpeTrainMerges(s: SparkSession, dir: String,
                      steps: Int = BpeSteps): DataFrame = {
     import s.implicits._
@@ -214,12 +224,16 @@ object TextOps2 {
       .select(explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)", "|$1").as("w"), col("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("w"), col("freq"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to steps) {
       val win = words
         .select(col("freq"),
-                expr("slice(split(w, '\\\\|'), 2, size(split(w, '\\\\|')) - 1)").as("ss"))
+                expr("split(substring(w, 2, length(w) - 2), '\\\\|\\\\|')").as("ss"))
+        // a fully-fused word has ONE symbol: no pairs (Spark's
+        // sequence(1, 0) runs BACKWARDS, so it must be filtered out
+        // explicitly; DuckDB's range(1, 1) is empty by itself)
+        .filter(size(col("ss")) >= 2)
         .select(col("freq"), expr(
           "explode(transform(sequence(1, size(ss) - 1), " +
           "i -> struct(element_at(ss, i) AS sym_a, element_at(ss, i + 1) AS sym_b)))").as("p"))
@@ -228,24 +242,12 @@ object TextOps2 {
         .orderBy(col("n").desc, col("sym_a"), col("sym_b"))
         .limit(1).collect()(0)
       val (a, b, n) = (win.getString(0), win.getString(1), win.getLong(2))
-      // Boundary-collision guard: the single-delimiter fuse pattern
-      // '|a|b' also matches where the NEXT symbol merely STARTS with b
-      // — '|a|bc' for an earlier merged symbol bc — and would corrupt
-      // that occurrence into one three-way symbol. Corruption requires
-      // some earlier merge result to have b as a proper prefix (single
-      // chars can't — they are never longer than b); no trained merge
-      // table at any shipped SF/step count trips this, and the guard
-      // turns a silent mis-encode into a loud failure if a deeper
-      // vocabulary ever would (the fix then is a per-symbol delimited
-      // encoding, '|a||b|' → '|ab|').
-      val earlier = merges.result().map(m => m._2 + m._3)
-      require(!earlier.exists(sym => sym != b && sym.startsWith(b)),
-        s"BPE fuse-boundary collision at step $step: pattern (|$a|$b) " +
-          s"would false-match earlier merged symbol(s) " +
-          earlier.filter(sym => sym != b && sym.startsWith(b)).mkString(","))
       merges += ((step, a, b, n))
       words = words.select(
-        expr(s"replace(w, '|$a|$b', '|$a$b')").as("w"), col("freq"))
+        expr(s"replace(w, '|$a||$b|', '|$a$b|')").as("w"), col("freq"))
+      // periodic lineage cut: 64 stacked replaces would otherwise grow
+      // the analysis plan linearly under each round's collect
+      if (step % 8 == 0) words = graft.Lineage.cut(words)
     }
     merges.result().toDF("step", "sym_a", "sym_b", "n").orderBy(col("step"))
   }
@@ -253,8 +255,8 @@ object TextOps2 {
   def bpeTrainMergesSql(steps: Int = BpeSteps): String = {
     val sb = new StringBuilder
     sb ++=
-      s"""WITH words0 AS (
-         |  SELECT regexp_replace(w, '(.)', '|\\1', 'g') AS w, count(*) AS freq
+      s"""WITH words0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS w, count(*) AS freq
          |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
          |        FROM documents)
          |  WHERE length(w) >= 2 AND regexp_full_match(w, '[a-z]+')
@@ -262,17 +264,18 @@ object TextOps2 {
     for (k <- 1 to steps) {
       sb ++=
         s""",
-           |pairs$k AS (
+           |pairs$k AS MATERIALIZED (
            |  SELECT ss[i.i] AS sym_a, ss[i.i + 1] AS sym_b, freq FROM (
-           |    SELECT string_split(w, '|')[2:] AS ss, freq FROM words${k - 1}) t
+           |    SELECT string_split(substr(w, 2, length(w) - 2), '||') AS ss,
+           |           freq FROM words${k - 1}) t
            |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ss))) AS i) i),
-           |win$k AS (
+           |win$k AS MATERIALIZED (
            |  SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS n
            |  FROM pairs$k GROUP BY 1, 2 ORDER BY n DESC, sym_a, sym_b LIMIT 1),
-           |words$k AS (
+           |words$k AS MATERIALIZED (
            |  SELECT replace(w,
-           |           '|' || (SELECT sym_a FROM win$k) || '|' || (SELECT sym_b FROM win$k),
-           |           '|' || (SELECT sym_a FROM win$k) || (SELECT sym_b FROM win$k)) AS w,
+           |           '|' || (SELECT sym_a FROM win$k) || '||' || (SELECT sym_b FROM win$k) || '|',
+           |           '|' || (SELECT sym_a FROM win$k) || (SELECT sym_b FROM win$k) || '|') AS w,
            |         freq
            |  FROM words${k - 1})""".stripMargin
     }

@@ -655,10 +655,13 @@ object Streaming {
     * ingest edge. */
   def streamTokenBudgetBpe(s: SparkSession, dir: String,
                            budget: Long = 100000): DataFrame = {
-    val merges = graft.operators.BpeEncode.trainedMerges(
+    // word → token-count map trained batch-side (a model artifact, the
+    // #285 literal discipline); the stream side is a stateless
+    // posexplode + stream-static join into one stateful aggregate
+    val wmap = graft.operators.BpeEncode.corpusWordMap(
       s, dir, graft.operators.TextOps2.BpeSteps)
     runRegisterStream(s, "tokbudgetbpe",
-      graft.operators.BpeEncode.budgetRegisters(docsStream(s, dir), merges),
+      graft.operators.BpeEncode.budgetRegisters(docsStream(s, dir), wmap),
       graft.operators.BpeEncode.budgetFinalize(budget))
   }
 

@@ -14,19 +14,36 @@ class BpeEncodeSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("hand-built merges: whole-doc fuse matches per-word greedy BPE") {
+  test("hand-built merges: word-level fuse matches per-word greedy BPE") {
     val docs = Seq((1L, "en", "abc ab x"), (2L, "en", "ba ab abab"))
       .toDF("doc_id", "lang", "text")
-    val rows = BpeEncode.encodedDf(docs, Seq(("a", "b"), ("ab", "c")))
-      .select("doc_id", "e", "n_chars", "n_ws_tokens", "n_bpe_tokens")
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    // the vocab-level map: each DISTINCT word fused once
+    val wmap = BpeEncode.wordTokenMap(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // abc: |a||b||c| -> |ab||c| -> |abc|; ba has no (a,b) adjacency;
+    // abab fuses twice (left-to-right non-overlapping), never to abc
+    assert(wmap == Map("abc" -> 1L, "ab" -> 1L, "x" -> 1L,
+                       "ba" -> 2L, "abab" -> 2L))
+    val rows = BpeEncode.encodedDf(docs, merges)
+      .select("doc_id", "n_chars", "n_ws_tokens", "n_bpe_tokens")
       .collect().map(r => r.getLong(0) -> r).toMap
-    // doc 1: |a|b|c| |a|b| |x -> |ab|c| |ab| |x -> |abc| |ab| |x
-    assert(rows(1L).getString(1) == "|abc| |ab| |x")
-    assert(rows(1L).getLong(4) == 3L)
-    // doc 2: "ba" has no |a|b boundary pair ('b','a' is not the merge);
-    // "abab" fuses twice (left-to-right non-overlapping); no 'abc'
-    assert(rows(2L).getString(1) == "|b|a| |ab| |ab|ab")
-    assert(rows(2L).getLong(4) == 5L)
+    assert(rows(1L).getLong(3) == 3L)
+    assert(rows(2L).getLong(3) == 5L)
+    assert(rows(1L).getLong(2) == 3L && rows(2L).getLong(2) == 3L)
+  }
+
+  test("stacked right-symbol merges fuse correctly (the bracketed-encoding case)") {
+    // merge 3 has a MERGED symbol on the RIGHT — the single-delimiter
+    // encoding's collision case: pattern |x|ab would false-match |x|abc.
+    val docs = Seq((1L, "en", "xab xabc ab")).toDF("doc_id", "lang", "text")
+    val merges = Seq(("a", "b"), ("ab", "c"), ("x", "ab"))
+    val wmap = BpeEncode.wordTokenMap(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // xab: |x||ab| -> |xab| (1); xabc: |x||ab||c| -> |x||abc| (2 — the
+    // (ab,c) fuse happens FIRST in merge order, so (x,ab) no longer
+    // matches); ab -> 1
+    assert(wmap == Map("xab" -> 1L, "xabc" -> 2L, "ab" -> 1L))
   }
 
   test("count identities on real data: chars bound bpe bound ws") {

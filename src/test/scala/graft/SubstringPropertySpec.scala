@@ -83,13 +83,16 @@ class SubstringPropertySpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 25) {
       val nm = 1 + rnd.nextInt(3)
-      // distinct single-char pairs, then one stacked merge of the first.
-      // Right symbols stay in e..h while merged symbols start in a..d —
-      // the trainer's fuse-boundary guard condition, under which the
-      // whole-doc replace IS the per-symbol greedy fuse.
-      val base = Seq.fill(nm)((vocab(rnd.nextInt(4)), vocab(4 + rnd.nextInt(4))))
+      // arbitrary single-char pairs, then stacked merges with the first
+      // merged symbol on the LEFT and on the RIGHT — the bracketed
+      // per-symbol encoding ('|a||b|' → '|ab|') is collision-free for
+      // ANY merge table, so the generator no longer avoids right-symbol
+      // prefix overlaps (the old single-delimiter guard condition).
+      val base = Seq.fill(nm)((vocab(rnd.nextInt(8)), vocab(rnd.nextInt(8))))
         .distinct
-      val merges = base ++ Seq((base.head._1 + base.head._2, vocab(4 + rnd.nextInt(4))))
+      val m0 = base.head._1 + base.head._2
+      val merges = base ++
+        Seq((m0, vocab(rnd.nextInt(8))), (vocab(rnd.nextInt(8)), m0))
       val docs = (1L to 3L).map { id =>
         id -> Seq.fill(1 + rnd.nextInt(8))(
           (1 to (1 + rnd.nextInt(6))).map(_ => vocab(rnd.nextInt(8))).mkString)
