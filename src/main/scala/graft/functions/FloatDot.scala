@@ -81,6 +81,9 @@ object GraftFunctions {
         exprs => WinnowFps(exprs.head,
           exprs(1).eval().asInstanceOf[Int],
           exprs(2).eval().asInstanceOf[Int]), "builtin")
+      reg.createOrReplaceTempFunction("rolling_gram_hashes",
+        exprs => RollingGramHashes(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]), "builtin")
     }
   }
 }
@@ -116,5 +119,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => WinnowFps(children.head,
         children(1).eval().asInstanceOf[Int],
         children(2).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      new FunctionIdentifier("rolling_gram_hashes"),
+      new ExpressionInfo(classOf[RollingGramHashes].getName,
+        "rolling_gram_hashes"),
+      (children: Seq[Expression]) => RollingGramHashes(children.head,
+        children(1).eval().asInstanceOf[Int])))
   }
 }

@@ -47,43 +47,45 @@ import graft.sources.Tables
   *      (offsets i and i+2 overlap in tokens for any k ≥ 3; offsets
   *      i and i+k touch end-to-start — both merge; property-pinned
   *      against a plain-Scala connected-components reference).
-  * Gram key = full md5 hex (128-bit): exact for any realistic corpus;
-  * a 32-bit truncation would false-positive at ~2^16 distinct grams.
-  * At 100 TB the dominant cost is the map-side O(n·k) gram hashing —
-  * a native rolling-hash expression (the [[graft.functions.WinnowFps]]
-  * pattern with offsets) drops it to O(n) without changing the plan.
+  * Gram key = a PAIR of independent 61-bit rolling polynomial hashes
+  * over per-token md5 base hashes (122-bit effective — like the md5
+  * key it replaced, collision-free for any realistic corpus; a single
+  * 61-bit key would start false-marking near 2^30 distinct grams),
+  * computed by the native [[graft.functions.RollingGramHashes]]
+  * expression in ONE O(n) pass per document: one md5 per TOKEN plus an
+  * O(1) roll per position, where the previous `transform(sequence(…),
+  * i → md5(concat_ws(slice(w, i, k))))` form joined and digested k
+  * tokens at every position — O(n·k) map cost on the most
+  * data-intensive pipeline stage (the round-9 verdict's named lever).
   */
 object SubstringDedup {
 
-  /** Rolling k-token gram md5s of a token-array column; empty below the
-    * k-token floor (sequence(1,0) would DESCEND — the winnow guard). */
-  private def gramHashes(w: Column, k: Int): Column =
-    when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)),
-        i => md5(concat_ws(" ", slice(w, i, lit(k))).cast("binary"))))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-
-  /** Persisted (doc_id, pos, h) rolling-gram table, memoized per input
-    * plan — #294, #297's ladder and #300's pair search share one
+  /** Persisted (doc_id, pos, h1, h2) rolling-gram table, memoized per
+    * input plan — #294, #297's ladder and #300's pair search share one
     * evaluation of the corpus-wide gram hashing (the shingleTable
     * discipline). */
   private[graft] def gramTable(docs: DataFrame, k: Int): DataFrame =
     graft.Caches.persisted(docs.sparkSession,
-        ("substr_grams", k, docs.semanticHash())) {
+        ("substr_grams_v2", k, docs.semanticHash())) {
+      graft.functions.GraftFunctions.ensure(docs.sparkSession)
       docs.select(col("doc_id"), lowerTokens(col("text")).as("w"))
         .select(col("doc_id"),
-                posexplode(gramHashes(col("w"), k)).as(Seq("pos", "h")))
+                posexplode(expr(s"rolling_gram_hashes(w, $k)"))
+                  .as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"),
+                col("g.h1").as("h1"), col("g.h2").as("h2"))
     }
 
   /** DataFrame-generic core: expects canonical (doc_id, text). */
   def dedupSubstringDf(docs: DataFrame, k: Int = 20): DataFrame = {
     val toks = docs.select(col("doc_id"), lowerTokens(col("text")).as("w"))
     val grams = gramTable(docs, k)
-    val dup = grams.groupBy(col("h"))
+    val dup = grams.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
-      .select(col("h"))
-    val marked = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+      .select(col("h1"), col("h2"))
+    val marked = grams.join(dup, Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = marked
       .withColumn("prev", lag(col("pos"), 1).over(byPos))
@@ -134,12 +136,12 @@ object SubstringDedup {
                             k: Int = 20): DataFrame = {
     val docs = Tables.documents(s, dir)
     val grams = gramTable(docs, k)
-    val gstats = grams.groupBy(col("h"))
+    val gstats = grams.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("df"),
            min(col("doc_id")).as("canon_doc"))
       .filter(col("df") >= 2)
-      .select(col("h"), col("canon_doc"))
-    val marked = grams.join(gstats, "h")
+      .select(col("h1"), col("h2"), col("canon_doc"))
+    val marked = grams.join(gstats, Seq("h1", "h2"))
       .select(col("doc_id"), col("pos"),
               (col("doc_id") =!= col("canon_doc")).as("removable"))
     def unionTokens(pos: DataFrame, name: String): DataFrame = {
@@ -197,16 +199,13 @@ object SubstringDedup {
     s"""WITH toks AS (
        |  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
        |  FROM documents),
-       |grams AS (
-       |  SELECT doc_id, CAST(i AS INT) AS pos,
-       |         md5(array_to_string(w[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')) AS h
-       |  FROM toks, unnest(range(1, greatest(len(w) - ${k - 2}, 1))) t(i)),
+       |${gramsSql(k)},
        |gstats AS (
-       |  SELECT h, min(doc_id) AS canon_doc FROM grams
-       |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |  SELECT h1, h2, min(doc_id) AS canon_doc FROM grams
+       |  GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
        |marked AS (
        |  SELECT g.doc_id, g.pos, g.doc_id <> s.canon_doc AS removable
-       |  FROM grams g JOIN gstats s USING (h)),
+       |  FROM grams g JOIN gstats s USING (h1, h2)),
        |ma_src AS (SELECT doc_id, pos FROM marked),
        |kf_src AS (SELECT doc_id, pos FROM marked WHERE removable),
        |${union("ma_src", "markall")},
@@ -220,6 +219,32 @@ object SubstringDedup {
        |JOIN markall m USING (doc_id)
        |LEFT JOIN keepfirst kf USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Shared oracle fragment mirroring
+    * [[graft.functions.RollingGramHashes]]: per-token 60-bit md5 base
+    * hashes (one digest per token), then the two 61-bit polynomial
+    * gram hashes per position from the embedded power ladder — the
+    * ladder literals come from the SAME powmod the Spark expression
+    * uses, so the convention has one source of truth. Expects a `toks`
+    * CTE with (doc_id, …, w). */
+  private def gramsSql(k: Int): String = {
+    import graft.functions.RollingGramHashes.{B1, B2, M, powLadder}
+    def ladder(b: Long) =
+      powLadder(b, k).map(v => s"$v::HUGEINT").mkString("[", ", ", "]")
+    def h(b: Long, name: String) =
+      s"CAST(list_reduce(list_transform(range(0, $k), j -> " +
+        s"(t[CAST(i + j AS INT)]::HUGEINT * ${ladder(b)}[CAST(j + 1 AS INT)]) " +
+        s"% $M::HUGEINT), (a, b) -> (a + b) % $M::HUGEINT) AS BIGINT) AS $name"
+    s"""th AS (
+       |  SELECT *, list_transform(w, x ->
+       |    ('0x' || substr(md5(x), 1, 15))::BIGINT) AS t
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |         ${h(B1, "h1")},
+       |         ${h(B2, "h2")}
+       |  FROM th, unnest(range(1, greatest(len(w) - ${k - 2}, 1))) r(i))""".stripMargin
   }
 
   /** Document-frequency cap for #300's postings self-join — the #26
@@ -245,13 +270,14 @@ object SubstringDedup {
   def dedupSubstringPairsDf(docs: DataFrame, k: Int = 20,
                             maxDf: Int = PairsMaxDf): DataFrame = {
     val grams = gramTable(docs, k)
-    val keep = grams.groupBy(col("h"))
+    val keep = grams.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df").between(2, maxDf))
-      .select(col("h"))
-    val posting = grams.join(keep, "h")
+      .select(col("h1"), col("h2"))
+    val posting = grams.join(keep, Seq("h1", "h2"))
     val pairs = posting.as("a").join(posting.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
               col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
     val byDiag = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
@@ -282,18 +308,18 @@ object SubstringDedup {
   def dedupSubstringPairsSql(k: Int = 20, maxDf: Int = PairsMaxDf): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
-       |grams AS (
-       |  SELECT doc_id, CAST(i AS INT) AS pos,
-       |         md5(array_to_string(w[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')) AS h
-       |  FROM toks, unnest(range(1, greatest(len(w) - ${k - 2}, 1))) t(i)),
+       |${gramsSql(k)},
        |keep AS (
-       |  SELECT h FROM grams GROUP BY h
+       |  SELECT h1, h2 FROM grams GROUP BY h1, h2
        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $maxDf),
-       |posting AS (SELECT g.doc_id, g.pos, g.h FROM grams g JOIN keep USING (h)),
+       |posting AS (
+       |  SELECT g.doc_id, g.pos, g.h1, g.h2
+       |  FROM grams g JOIN keep USING (h1, h2)),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
        |         a.pos - b.pos AS diag
-       |  FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |  FROM posting a JOIN posting b
+       |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
        |brks AS (
        |  SELECT id_a, id_b, diag, pos_a,
        |         CASE WHEN lag(pos_a) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) IS NULL
@@ -414,12 +440,11 @@ object SubstringDedup {
   def dedupSubstringSql(k: Int = 20): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
-       |grams AS (
-       |  SELECT doc_id, CAST(i AS INT) AS pos,
-       |         md5(array_to_string(w[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')) AS h
-       |  FROM toks, unnest(range(1, greatest(len(w) - ${k - 2}, 1))) t(i)),
-       |dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-       |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+       |${gramsSql(k)},
+       |dup AS (
+       |  SELECT h1, h2 FROM grams
+       |  GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
+       |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h1, h2)),
        |brks AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
