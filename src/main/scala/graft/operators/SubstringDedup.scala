@@ -221,6 +221,110 @@ object SubstringDedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** #355 corpus_apply_removal: MATERIALIZE the cleaned corpus — the
+    * step a pretraining pipeline actually runs, closing the loop the
+    * ladder only accounted for: #294 marks, #301 plans (reports what
+    * keep-first WOULD delete), this EMITS the rewritten corpus — per
+    * doc, the surviving token stream after deleting every keep-first
+    * removable span (occurrences outside the gram's minimum doc id,
+    * interval-unioned exactly as #301's keepfirst flavor). Identity
+    * pinned per doc: tokens_out = n_tokens − keepfirst span tokens
+    * (SubstringDedupSpec reconciles against #301's per-source sums).
+    *
+    * Scale shape: shares the persisted gram table and #301's rollup;
+    * the covered-position explode is O(removed tokens); the rebuild
+    * collects per-doc (idx, token) lists — state bounded by document
+    * length, the same doc-granularity class as every text operator —
+    * and docs with nothing removed pass through via the left join. */
+  def corpusApplyRemoval(s: SparkSession, dir: String,
+                         k: Int = 20): DataFrame =
+    applyRemovalDf(Tables.documents(s, dir), k)
+
+  /** DataFrame-generic core: expects canonical (doc_id, text). */
+  private[graft] def applyRemovalDf(docs: DataFrame, k: Int): DataFrame = {
+    val grams = gramTable(docs, k)
+    val gstats = grams.groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+           min(col("doc_id")).as("canon_doc"))
+      .filter(col("df") >= 2)
+      .select(col("h1"), col("h2"), col("canon_doc"))
+    val rem = grams.join(gstats, Seq("h1", "h2"))
+      .filter(col("doc_id") =!= col("canon_doc"))
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = rem
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + lit(k), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") + lit(k - 1))).as("idx"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(lowerTokens(col("text"))).as(Seq("idx", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("tok")))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("tokens_out"),
+              array_join(expr("transform(ts, x -> x.tok)"), " ").as("text_out"))
+    docs.select(col("doc_id"),
+        size(lowerTokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+              coalesce(col("text_out"), lit("")).as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the #301 keep-first span CTEs, then the complement —
+    * covered positions anti-joined out, surviving tokens re-joined in
+    * index order. */
+  def corpusApplyRemovalSql(k: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       |${gramsSql(k)},
+       |gstats AS (
+       |  SELECT h1, h2, min(doc_id) AS canon_doc FROM grams
+       |  GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
+       |rem AS (
+       |  SELECT g.doc_id, g.pos FROM grams g JOIN gstats s USING (h1, h2)
+       |  WHERE g.doc_id <> s.canon_doc),
+       |brks AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM rem),
+       |grps AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM brks),
+       |spans AS (
+       |  SELECT doc_id, grp, min(pos) AS s, max(pos) AS e
+       |  FROM grps GROUP BY 1, 2),
+       |covered AS (
+       |  SELECT doc_id, CAST(x AS INT) AS idx
+       |  FROM spans, unnest(range(s, e + $k)) c(x)),
+       |tok2 AS (
+       |  SELECT doc_id, CAST(i AS INT) AS idx, w[CAST(i AS INT)] AS tok
+       |  FROM toks, unnest(range(1, len(w) + 1)) u(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.idx, t.tok
+       |  FROM tok2 t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.idx = t.idx
+       |  WHERE c.idx IS NULL),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS tokens_out,
+       |         string_agg(tok, ' ' ORDER BY idx) AS text_out
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.tokens_out, 0) AS BIGINT) AS tokens_out,
+       |       coalesce(a.text_out, '') AS text_out
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Shared oracle fragment mirroring
     * [[graft.functions.RollingGramHashes]]: per-token 60-bit md5 base
     * hashes (one digest per token), then the two 61-bit polynomial

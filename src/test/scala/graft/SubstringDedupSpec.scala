@@ -171,4 +171,51 @@ class SubstringDedupSpec extends AnyFunSuite {
       (2L, words("z", 30).mkString(" "))).toDF("doc_id", "text")
     assert(SubstringDedup.dedupSubstringDf(docs).count() == 0L)
   }
+
+  test("corpus_apply_removal: canonical copy survives verbatim, dupe loses exactly the span") {
+    val sf = "/root/testdata/sf0.001"
+    // hand-built pair: doc 1 (min id) is canonical, doc 2 repeats the run
+    val run = words("r", 24)
+    val head2 = words("h", 6)
+    val docs = Seq(
+      (1L, run.mkString(" ")),
+      (2L, (head2 ++ run).mkString(" ")),
+      (3L, words("q", 30).mkString(" "))).toDF("doc_id", "text")
+    val cleaned = SubstringDedup.applyRemovalDf(docs, k = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 is canonical (min id): survives verbatim even though #294
+    // marks it; doc 2 loses exactly the 24-token run; doc 3 untouched
+    assert(cleaned(1L).getString(3) == run.mkString(" "))
+    assert(cleaned(1L).getLong(2) == 24L)
+    assert(cleaned(2L).getString(3) == head2.mkString(" "))
+    assert(cleaned(2L).getLong(2) == 6L)
+    assert(cleaned(3L).getLong(2) == 30L)
+
+    // the real materialization identity on corpus data: per doc,
+    // n_tokens - tokens_out == the keep-first spans' covered tokens,
+    // reconciled per source against #301's accounting
+    val removal = SubstringDedup.corpusApplyRemoval(spark, sf)
+    val docsSrc = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+    val removedBySrc = removal.join(docsSrc, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens") - col("tokens_out")).as("removed"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plan = SubstringDedup.corpusSpanRemovalPlan(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("keepfirst_dup_tokens")).toMap
+    for ((src, kf) <- plan)
+      assert(removedBySrc.getOrElse(src, 0L) == kf,
+        s"source $src: removal materialized ${removedBySrc.get(src)} " +
+          s"vs planned $kf")
+    // sources absent from the plan (nothing flagged) must remove nothing
+    for ((src, rm) <- removedBySrc if !plan.contains(src))
+      assert(rm == 0L, s"unflagged source $src removed $rm tokens")
+    // cleaned text round-trips: tokens_out == word count of text_out
+    removal.collect().foreach { r =>
+      val n = if (r.getString(3).isEmpty) 0
+              else r.getString(3).split(" ", -1).length
+      assert(r.getLong(2) == n.toLong, s"doc ${r.getLong(0)}")
+    }
+  }
 }
