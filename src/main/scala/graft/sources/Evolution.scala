@@ -14,8 +14,20 @@ import graft.Parity._
   */
 object Evolution {
 
+  /** Stage the two-vintage layout under a tmp dir keyed by BOTH a
+    * readable tag and an md5 of the FULL data-dir path — the readable
+    * tag alone is lossy (non-alphanumerics collapse to '_'), so two
+    * distinct data dirs could otherwise share one staging path and
+    * thrash each other's source stamps. Single-process assumption: like
+    * every staged source in this repo (Staging.markStaged has no
+    * cross-process lock), concurrent staging of the same dir from two
+    * JVMs could expose a half-written epoch to the other process — the
+    * Verify/Bench drivers are single-process, and a deployment stages
+    * to a path it owns. */
   private[graft] def stage(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase + "_" + pathHash
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_evo$tag"
     val src = s"$dir/events.parquet"
     val ev = Tables.events(s, dir)

@@ -48,7 +48,17 @@ object Streaming {
     * micro-batch wants few state partitions; a production cluster sets
     * SPARK_GRAFT_STREAM_PARTITIONS ∝ executors, exactly like sizing
     * shuffle partitions — the number is a deploy-time choice because
-    * restarting from a checkpoint cannot change it. */
+    * restarting from a checkpoint cannot change it.
+    *
+    * SINGLE-THREADED-DRIVER ASSUMPTION: this mutates the session-global
+    * conf for the duration of the drain, so a concurrent batch query on
+    * the same SparkSession would silently plan with the stream's
+    * partition count. A cloned session (`newSession()`) cannot fix it
+    * here — the stream DataFrame is already bound to the original
+    * session, whose conf the planner reads — so the contract is the one
+    * the Verify/Bench drivers already satisfy: one query at a time per
+    * session. A host embedding this library concurrently should build
+    * its streams on a dedicated session. */
   private[streaming] def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
