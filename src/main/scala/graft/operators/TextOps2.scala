@@ -245,9 +245,11 @@ object TextOps2 {
       merges += ((step, a, b, n))
       words = words.select(
         expr(s"replace(w, '|$a||$b|', '|$a$b|')").as("w"), col("freq"))
-      // periodic lineage cut: 64 stacked replaces would otherwise grow
-      // the analysis plan linearly under each round's collect
-      if (step % 8 == 0) words = graft.Lineage.cut(words)
+      // per-round lineage cut (non-eager: the checkpoint materializes
+      // inside the NEXT round's pair-count job) — without it each
+      // round's job replays every stacked replace since the last cut,
+      // so a 64-round training pays O(rounds²) vocabulary scans
+      words = graft.Lineage.cut(words)
     }
     merges.result().toDF("step", "sym_a", "sym_b", "n").orderBy(col("step"))
   }
