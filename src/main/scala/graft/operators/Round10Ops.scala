@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Parity._
+import graft.functions.TextFunctions.lowerTokens
+import graft.sources.Tables
+
+/** Round-10 operators (SURVEY §2 #356-#357): content-defined-chunking
+  * dedup and the shippable BPE vocabulary artifact.
+  */
+object Round10Ops {
+
+  /** CDC gram width (the rolling window that decides boundaries) and
+    * the cut modulus — a position opens a new chunk when its gram hash
+    * ≡ 0 (mod 64), so chunks average ~64 tokens: long enough to be
+    * meaningful dedup units, short enough that a shared paragraph
+    * yields several shared chunks. */
+  val CdcK = 8
+  val CdcModulus = 64
+
+  /** #356 dedup_cdc_chunks: CONTENT-DEFINED CHUNKING dedup — the
+    * rsync/LBFS boundary trick applied to corpus curation: chunk
+    * boundaries are set by the CONTENT (token positions whose rolling
+    * [[CdcK]]-gram hash ≡ 0 mod [[CdcModulus]]), so an insertion or
+    * deletion shifts only the chunks it touches and identical passages
+    * re-align downstream — the property fixed-grid chunking (#24i)
+    * lacks and #294's per-position marking pays O(every position) to
+    * get. The report: per source, chunk count, mean chunk width, the
+    * chunk mass duplicated across documents (a chunk is duplicated
+    * when its exact token content appears in ≥2 docs), and the
+    * duplicated-token share — the chunk-granular dedup savings
+    * estimate a storage/curation layer quotes.
+    *
+    * Scale shape: boundaries come from the persisted #294 gram table
+    * at k=8 (one O(n) rolling pass, shared machinery); chunk rows
+    * partition the corpus (Σ chunk widths = corpus tokens, so the
+    * chunk-content hashing is O(n) total); duplicate detection is a
+    * `groupBy(chunk hash) → countDistinct(doc) ≥ 2` rollup — no pair
+    * join, the #294 doc-frequency discipline; the final rollup is
+    * ≤|sources| rows. The boundary window partitions per doc (state
+    * bounded by cuts-per-doc). */
+  def dedupCdcChunks(s: SparkSession, dir: String,
+                     k: Int = CdcK, modulus: Int = CdcModulus): DataFrame =
+    cdcChunksDf(Tables.documents(s, dir), k, modulus)
+
+  /** DataFrame-generic core: expects (doc_id, source, text). */
+  private[graft] def cdcChunksDf(docs: DataFrame, k: Int = CdcK,
+                                 modulus: Int = CdcModulus): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      lowerTokens(col("text")).as("w"))
+    // content-defined cuts: 0-based gram positions with h1 ≡ 0 (mod m),
+    // excluding position 0 (a cut there is the doc start anyway)
+    val cuts = SubstringDedup.gramTable(docs, k)
+      .filter(col("h1") % modulus === 0 && col("pos") > 0)
+      .select(col("doc_id"), col("pos"))
+    val starts = cuts
+      .unionByName(toks.select(col("doc_id"), lit(0).as("pos")))
+      .distinct()
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val chunks = starts
+      .withColumn("nxt", lead(col("pos"), 1).over(byPos))
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("source"), col("pos").as("s"),
+              coalesce(col("nxt"), size(col("w"))).as("e"), col("w"))
+      .filter(col("e") > col("s"))
+      .select(col("doc_id"), col("source"), (col("e") - col("s")).as("width"),
+              md5(concat_ws(" ",
+                slice(col("w"), col("s") + 1, col("e") - col("s")))
+                .cast("binary")).as("ch"))
+    // dup set is unbounded (a boilerplate-heavy corpus can flag most
+    // chunks) — shuffle join, never broadcast: the #294 reasoning
+    val dup = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("ch"), lit(1).as("isdup"))
+    chunks.join(dup, Seq("ch"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("width")).cast("long").as("n_tokens"),
+           sum(when(col("isdup").isNotNull, 1L).otherwise(0L))
+             .as("n_dup_chunks"),
+           sum(when(col("isdup").isNotNull, col("width")).otherwise(0L))
+             .cast("long").as("dup_tokens"))
+      .select(col("source"), col("n_chunks"), col("n_tokens"),
+              r(col("n_tokens").cast("double") / col("n_chunks"), 6)
+                .as("mean_chunk_tokens"),
+              col("n_dup_chunks"), col("dup_tokens"),
+              r(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+                .as("dup_token_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the shared rolling-gram CTE at k, the same mod-m cut
+    * rule, chunk rebuild + md5 content keys, df ≥ 2, source rollup. */
+  def dedupCdcChunksSql(k: Int = CdcK, modulus: Int = CdcModulus): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents),
+       |${SubstringDedup.gramsSql(k)},
+       |cuts AS (
+       |  SELECT doc_id, pos - 1 AS pos FROM grams
+       |  WHERE h1 % $modulus = 0 AND pos > 1),
+       |starts AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, pos FROM cuts
+       |    UNION ALL SELECT doc_id, 0 FROM toks)),
+       |chunks AS (
+       |  SELECT st.doc_id, t.source,
+       |         coalesce(st.nxt, len(t.w)) - st.s AS width,
+       |         md5(array_to_string(
+       |           t.w[CAST(st.s + 1 AS INT):CAST(coalesce(st.nxt, len(t.w)) AS INT)],
+       |           ' ')) AS ch
+       |  FROM (
+       |    SELECT doc_id, pos AS s,
+       |           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |    FROM starts) st
+       |  JOIN toks t ON t.doc_id = st.doc_id
+       |  WHERE coalesce(st.nxt, len(t.w)) > st.s),
+       |dup AS (
+       |  SELECT ch FROM chunks GROUP BY ch
+       |  HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT c.source,
+       |       count(*) AS n_chunks,
+       |       CAST(sum(c.width) AS BIGINT) AS n_tokens,
+       |       ${sqlR("CAST(sum(c.width) AS DOUBLE) / count(*)", 6)}
+       |         AS mean_chunk_tokens,
+       |       CAST(sum(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dup_chunks,
+       |       CAST(sum(CASE WHEN d.ch IS NOT NULL THEN c.width ELSE 0 END)
+       |         AS BIGINT) AS dup_tokens,
+       |       ${sqlR(
+             "CAST(sum(CASE WHEN d.ch IS NOT NULL THEN c.width ELSE 0 END) " +
+             "AS DOUBLE) / sum(c.width)", 6)} AS dup_token_share
+       |FROM chunks c LEFT JOIN dup d ON d.ch = c.ch
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- #357 bpe_vocab
+
+  /** #357 bpe_vocab: the SHIPPABLE TOKENIZER ARTIFACT — the symbol
+    * inventory after #153's merges, with corpus-weighted occurrence
+    * counts: what a tokenizer release actually publishes (vocab.json's
+    * content: every live symbol, single characters and merged units,
+    * with its frequency over the training vocabulary). #153 ships the
+    * merge RULES; this ships the resulting VOCABULARY with usage
+    * stats — the table a tokenizer review reads to see which merges
+    * carry mass and which are dead weight.
+    *
+    * Scale shape: replays the trainer's weighted word-vocabulary fold
+    * (vocab-sized, per-round lineage cuts — never a corpus pass), then
+    * one symbol explode over vocab × word-length and a |symbols|-key
+    * rollup. */
+  def bpeVocab(s: SparkSession, dir: String,
+               steps: Int = TextOps2.BpeSteps): DataFrame = {
+    val merges = BpeEncode.trainedMerges(s, dir, steps)
+    val words0 = Tables.documents(s, dir)
+      .select(explode(lowerTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("w"), col("freq"))
+    val fused = merges.zipWithIndex.foldLeft(words0) { case (df, ((a, b), i)) =>
+      val next = df.withColumn("w", expr(s"replace(w, '|$a||$b|', '|$a$b|')"))
+      if ((i + 1) % 16 == 0) graft.Lineage.cut(next) else next
+    }
+    fused
+      .select(col("freq"),
+              explode(expr("split(substring(w, 2, length(w) - 2), '\\\\|\\\\|')"))
+                .as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .withColumn("is_merged", length(col("token")) > 1)
+      .select(col("token"), col("n_occurrences"), col("is_merged"))
+      .orderBy(col("token"))
+  }
+
+  /** Oracle: the trainer CTE chain's final words table, symbol explode,
+    * weighted rollup. */
+  def bpeVocabSql(steps: Int = TextOps2.BpeSteps): String = {
+    val train = TextOps2.bpeTrainMergesSql(steps)
+      .linesIterator.toSeq
+      .takeWhile(l => !l.startsWith("SELECT CAST(")) // keep CTEs, drop readout
+      .mkString("\n")
+      .stripSuffix("\n")
+    s"""$train
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       |       length(token) > 1 AS is_merged
+       |FROM (
+       |  SELECT unnest(string_split(substr(w, 2, length(w) - 2), '||')) AS token,
+       |         freq
+       |  FROM words$steps)
+       |GROUP BY token ORDER BY token""".stripMargin
+  }
+}

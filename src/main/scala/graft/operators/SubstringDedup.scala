@@ -331,8 +331,8 @@ object SubstringDedup {
     * gram hashes per position from the embedded power ladder — the
     * ladder literals come from the SAME powmod the Spark expression
     * uses, so the convention has one source of truth. Expects a `toks`
-    * CTE with (doc_id, …, w). */
-  private def gramsSql(k: Int): String = {
+    * CTE with (doc_id, …, w). Shared with the CDC chunker (#356). */
+  private[operators] def gramsSql(k: Int): String = {
     import graft.functions.RollingGramHashes.{B1, B2, M, powLadder}
     def ladder(b: Long) =
       powLadder(b, k).map(v => s"$v::HUGEINT").mkString("[", ", ", "]")
