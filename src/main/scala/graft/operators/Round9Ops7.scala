@@ -34,9 +34,15 @@ object Round9Ops7 {
   /** DataFrame-generic core: expects an `embedding` array column with
     * at least 2d dims. */
   def embCkaHalvesDf(input: DataFrame, d: Int = 8): DataFrame = {
+    // pre-fan repartition: the three covariance fans below each explode
+    // d² product rows per vector and would otherwise inherit the scan's
+    // (possibly single-split) partitioning — the ProfBootstrap finding
+    val parts = input.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val slices = input.select(
       slice(col("embedding"), 1, d).as("ea"),
       slice(col("embedding"), d + 1, d).as("eb"))
+      .repartition(parts)
       .transform(graft.Lineage.pinLazy)
     def cov(l: String, rgt: String): DataFrame = slices
       .select(col(l).as("u"), col(rgt).as("v"))

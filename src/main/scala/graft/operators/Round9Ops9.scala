@@ -35,8 +35,15 @@ object Round9Ops9 {
 
   /** DataFrame-generic core: expects (vec_id, embedding) with
     * ≥ d·blocks dims. */
-  def embCkaMatrixDf(input: DataFrame, d: Int = 4, blocks: Int = 8): DataFrame = {
+  def embCkaMatrixDf(input0: DataFrame, d: Int = 4, blocks: Int = 8): DataFrame = {
     val n = d * blocks
+    // the n²-per-vector product fan inherits the SCAN's partitioning —
+    // spread it before exploding (the ProfBootstrap single-split
+    // finding; the pre-fan shuffle moves 1/n² of the fanned rows)
+    val parts = input0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val input = input0.select(col("vec_id"), col("embedding"))
+      .repartition(parts)
     val ex = input.select(col("vec_id"),
         posexplode(slice(col("embedding"), 1, n)).as(Seq("i0", "xr")))
       .select(col("vec_id"), (col("i0") + 1).as("ci"),
