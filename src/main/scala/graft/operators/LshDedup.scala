@@ -601,7 +601,13 @@ object LshDedup {
 
   private def simhashBitsTable(input: DataFrame): DataFrame =
     graft.Caches.persisted(input.sparkSession, ("simhash_bits", input.semanticHash())) {
-      input.select(col("doc_id"), simhashBits(lowerTokens(col("text"))).as("bits"))
+      // pre-repartition before the map-heavy per-doc sketch (the
+      // shingleTable discipline: spread the scan's possibly-single
+      // split, and the persisted table keeps the spread)
+      val parts = input.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      input.select(col("doc_id"), col("text")).repartition(parts)
+        .select(col("doc_id"), simhashBits(lowerTokens(col("text"))).as("bits"))
     }
 
   /** DataFrame-generic core: expects canonical (doc_id, text). */

@@ -68,7 +68,14 @@ object SubstringDedup {
     graft.Caches.persisted(docs.sparkSession,
         ("substr_grams_v2", k, docs.semanticHash())) {
       graft.functions.GraftFunctions.ensure(docs.sparkSession)
-      docs.select(col("doc_id"), lowerTokens(col("text")).as("w"))
+      // pre-repartition before the rolling hash + position explode —
+      // the fan inherits the scan's (possibly single-split)
+      // partitioning, and the persisted gram table keeps the spread
+      // for every consumer (the ProfBootstrap finding)
+      val parts = docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      docs.select(col("doc_id"), col("text")).repartition(parts)
+        .select(col("doc_id"), lowerTokens(col("text")).as("w"))
         .select(col("doc_id"),
                 posexplode(expr(s"rolling_gram_hashes(w, $k)"))
                   .as(Seq("pos", "g")))

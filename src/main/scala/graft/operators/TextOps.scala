@@ -272,7 +272,14 @@ object TextOps {
     * Keyed on (session, semanticHash) in the bounded Caches registry. */
   def shingleTable(input: DataFrame): DataFrame =
     graft.Caches.persisted(input.sparkSession, ("shingles", input.semanticHash())) {
-      input.select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
+      // pre-repartition: the per-doc shingle md5s are the map-heavy
+      // stage of the whole dedup family and would otherwise run on the
+      // scan's (possibly single-split) partitioning; the persisted
+      // table also inherits the spread, parallelizing every consumer
+      val parts = input.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      input.select(col("doc_id"), col("text")).repartition(parts)
+        .select(col("doc_id"), shingles3(lowerTokens(col("text"))).as("sh"))
     }
 
   /** DataFrame-generic core: expects canonical (doc_id, text). */
