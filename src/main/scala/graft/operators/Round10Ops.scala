@@ -175,6 +175,92 @@ object Round10Ops {
       .orderBy(col("token"))
   }
 
+  // ------------------------------------- #358 corpus_bpe_compression_curve
+
+  /** The merge-count grid the compression curve snapshots. */
+  val CurveGrid: Seq[Int] = Seq(0, 8, 16, 32, 64)
+
+  /** #358 corpus_bpe_compression_curve: the TOKENIZER-SIZING decision
+    * curve — corpus token mass as a function of merge count (snapshots
+    * at [[CurveGrid]]): how much compression each block of merges buys,
+    * and where returns diminish. #153 trains the rules, #357 ships the
+    * vocabulary, this answers "HOW MANY merges" — the axis a tokenizer
+    * budget is actually chosen on (chars/token rises toward its
+    * asymptote; the elbow is the vocab size worth paying for).
+    *
+    * Scale shape: one weighted-vocabulary scan, then ONE incremental
+    * fold over the memoized merge table (per-round lineage cuts, the
+    * trainer discipline) with a 1-row aggregate snapshot at each grid
+    * point — 5 vocab-sized jobs, never a corpus pass. */
+  def bpeCompressionCurve(s: SparkSession, dir: String,
+                          grid: Seq[Int] = CurveGrid): DataFrame = {
+    import s.implicits._
+    val merges = BpeEncode.trainedMerges(s, dir, grid.max)
+    var words = Tables.documents(s, dir)
+      .select(explode(lowerTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("w"), col("freq"))
+      .transform(graft.Lineage.pin)
+    def snapshot(k: Int): (Int, Long, Long, Long) = {
+      val row = words.agg(
+        sum(col("freq")).as("occ"),
+        sum(col("freq") *
+          length(regexp_replace(col("w"), "\\|", ""))).as("chars"),
+        sum(col("freq") *
+          ((length(col("w")) -
+            length(regexp_replace(col("w"), "\\|", ""))) / 2).cast("long"))
+          .as("toks")).collect()(0)
+      (k, row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val snaps = Seq.newBuilder[(Int, Long, Long, Long)]
+    if (grid.contains(0)) snaps += snapshot(0)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      words = words.select(
+        expr(s"replace(w, '|$a||$b|', '|$a$b|')").as("w"), col("freq"))
+      words = graft.Lineage.cut(words)
+      if (grid.contains(i + 1)) snaps += snapshot(i + 1)
+    }
+    snaps.result()
+      .toDF("n_merges", "n_word_occurrences", "n_chars", "n_tokens")
+      .select(col("n_merges"), col("n_word_occurrences"), col("n_chars"),
+              col("n_tokens"),
+              r(col("n_tokens").cast("double") / col("n_word_occurrences"), 6)
+                .as("tokens_per_word"),
+              r(col("n_chars").cast("double") / col("n_tokens"), 6)
+                .as("chars_per_token"))
+      .orderBy(col("n_merges"))
+  }
+
+  /** Oracle: the trainer chain already materializes words$k for every
+    * round — the curve is a UNION of 1-row aggregates over the grid's
+    * snapshots. */
+  def bpeCompressionCurveSql(grid: Seq[Int] = CurveGrid): String = {
+    val train = TextOps2.bpeTrainMergesSql(grid.max)
+      .linesIterator.toSeq
+      .takeWhile(l => !l.startsWith("SELECT CAST(")) // keep CTEs, drop readout
+      .mkString("\n")
+      .stripSuffix("\n")
+    val snaps = grid.map { k =>
+      s"""SELECT $k AS n_merges,
+         |       CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+         |       CAST(sum(freq * length(replace(w, '|', ''))) AS BIGINT)
+         |         AS n_chars,
+         |       CAST(sum(freq * ((length(w) - length(replace(w, '|', ''))) // 2))
+         |         AS BIGINT) AS n_tokens
+         |FROM words$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$train,
+       |snaps AS (
+       |$snaps)
+       |SELECT n_merges, n_word_occurrences, n_chars, n_tokens,
+       |       ${sqlR("CAST(n_tokens AS DOUBLE) / n_word_occurrences", 6)}
+       |         AS tokens_per_word,
+       |       ${sqlR("CAST(n_chars AS DOUBLE) / n_tokens", 6)}
+       |         AS chars_per_token
+       |FROM snaps ORDER BY n_merges""".stripMargin
+  }
+
   /** Oracle: the trainer CTE chain's final words table, symbol explode,
     * weighted rollup. */
   def bpeVocabSql(steps: Int = TextOps2.BpeSteps): String = {

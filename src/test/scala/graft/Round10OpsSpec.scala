@@ -54,6 +54,23 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_tokens") == 33L)
   }
 
+  test("compression curve: token mass non-increasing in merges, chars invariant") {
+    val rows = Round10Ops.bpeCompressionCurve(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Round10Ops.CurveGrid)
+    val toks = rows.map(_.getLong(3))
+    assert(toks.sliding(2).forall { case Array(a, b) => b <= a },
+      s"more merges must never add tokens: ${toks.toSeq}")
+    assert(toks.last < toks.head, "64 merges must compress at sf0.001")
+    // char mass and word occurrences are merge-invariant identities
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    assert(rows.map(_.getLong(2)).distinct.length == 1)
+    // at 0 merges every char is a token
+    assert(rows.head.getLong(3) == rows.head.getLong(2))
+    // chars_per_token rises monotonically with merges
+    val cpt = rows.map(_.getDouble(5))
+    assert(cpt.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 })
+  }
+
   test("bpe_vocab: merged tokens come from the merge table; compression monotone") {
     val vocab = Round10Ops.bpeVocab(spark, sf).collect()
     assert(vocab.nonEmpty)
