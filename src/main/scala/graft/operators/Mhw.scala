@@ -737,6 +737,29 @@ object Mhw {
       .orderBy(col("user_a"), col("user_b"))
   }
 
+  /** #359 mhw_event_sync_blocks: event synchrony COARSE-GRAINED to
+    * series blocks — the aggregation answer to #341's basin-wide-day
+    * quadratic (the alternative to [[graft.Hints.SyncDayCap]]'s
+    * thinning): series collapse to blocks of `blockSize` consecutive
+    * keys, a block is event-active on a day when ANY member is, and
+    * the pair Jaccard runs over block event-day sets through the SAME
+    * key-generic core as #341. The day fan is (active blocks)² ≤
+    * (series/B)² — a B² worst-case reduction — and the output is
+    * blocks²-bounded, so the regional-coherence readout (which AREAS
+    * burn together) survives the basin-wide regime that makes the
+    * cell-level pair table itself impractical. blockSize is the
+    * resolution/cost knob a deployment sets to its cell-to-region
+    * ratio. */
+  def mhwEventSyncBlocks(s: SparkSession, dir: String,
+                         blockSize: Int = 16): DataFrame =
+    eventSyncDf(severityChain(s, dir, 0.9)
+      .filter(col("severity") > 1)
+      .select(floor(col("user_id") / blockSize).cast("long").as("user_id"),
+              col("d"))
+      .distinct())
+      .withColumnRenamed("user_a", "block_a")
+      .withColumnRenamed("user_b", "block_b")
+
   /** Query #11e mhw_annual_stats: per-series annual event block stats —
     * event count, total MHW days, mean/max peak intensity, summed
     * cumulative intensity — the `blockAverage` analog of the public

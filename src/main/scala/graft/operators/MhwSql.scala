@@ -379,6 +379,30 @@ object MhwSql {
        |      GROUP BY 1) cb ON cb.user_id = p.user_b
        |ORDER BY p.user_a, p.user_b""".stripMargin
 
+  /** Block-aggregated event-day Jaccard — mirrors
+    * Mhw.mhwEventSyncBlocks (blockSize 16). */
+  val mhwEventSyncBlocks: String =
+    chain(0.9) +
+    s"""SELECT p.block_a, p.block_b, ca.nd AS days_a, cb.nd AS days_b,
+       |       p.days_both,
+       |       ${rr("CAST(p.days_both AS DOUBLE) / (ca.nd + cb.nd - p.days_both)", 6)}
+       |         AS jaccard
+       |FROM (
+       |  SELECT a.b AS block_a, b.b AS block_b, count(*) AS days_both
+       |  FROM (SELECT DISTINCT CAST(floor(user_id / 16) AS BIGINT) AS b, d
+       |        FROM sev WHERE severity > 1) a
+       |  JOIN (SELECT DISTINCT CAST(floor(user_id / 16) AS BIGINT) AS b, d
+       |        FROM sev WHERE severity > 1) b
+       |    ON a.d = b.d AND a.b < b.b
+       |  GROUP BY 1, 2) p
+       |JOIN (SELECT b, count(*) AS nd FROM (
+       |        SELECT DISTINCT CAST(floor(user_id / 16) AS BIGINT) AS b, d
+       |        FROM sev WHERE severity > 1) GROUP BY 1) ca ON ca.b = p.block_a
+       |JOIN (SELECT b, count(*) AS nd FROM (
+       |        SELECT DISTINCT CAST(floor(user_id / 16) AS BIGINT) AS b, d
+       |        FROM sev WHERE severity > 1) GROUP BY 1) cb ON cb.b = p.block_b
+       |ORDER BY p.block_a, p.block_b""".stripMargin
+
   val mhwAnnualStats: String =
     chain(0.6) +
     s"""SELECT user_id, year(date_start) AS yr, count(*) AS n_events,

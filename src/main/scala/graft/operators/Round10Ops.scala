@@ -175,6 +175,100 @@ object Round10Ops {
       .orderBy(col("token"))
   }
 
+  // ------------------------------------------ #360 ts_permutation_entropy
+
+  /** ln(6) at the shared 6dp literal precision — the normalizer for a
+    * 3-symbol ordinal alphabet, identical in both engines. */
+  private val Ln6 = 1.791759
+
+  /** #360 ts_permutation_entropy: per-series PERMUTATION ENTROPY
+    * (Bandt-Pompe 2002, order 3) — the Shannon entropy of the ordinal
+    * pattern distribution over consecutive daily-mean triples,
+    * normalized to [0, 1] by ln 6. The complexity measure that is
+    * invariant to monotone amplitude distortions (unlike #306's
+    * spectral entropy, which reads the power spectrum): a trending or
+    * rescaled series keeps its PE, so low PE flags genuine temporal
+    * regularity and PE ≈ 1 flags white-noise-like dynamics — the
+    * cheap per-series "is there structure left after detrending"
+    * triage. Ties break by time order (earlier index ranks lower), a
+    * strict total order both engines share, so the 6-way CASE is
+    * exhaustive and deterministic.
+    *
+    * Scale shape: the #319 daily basis (per-key rollup), two lead()s
+    * on the per-key window, one ≤|series|×6 class rollup, entropy by
+    * the #189 6dp-term discipline over the model-sized table. */
+  def tsPermutationEntropy(s: SparkSession, dir: String): DataFrame =
+    permutationEntropyDf(Mhw.daily(s, dir))
+
+  /** DataFrame-generic core: expects (user_id, d, sst). */
+  private[graft] def permutationEntropyDf(dl: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val tr = dl.select(col("user_id"), col("d"), col("sst").as("v1"))
+      .withColumn("v2", lead(col("v1"), 1).over(w))
+      .withColumn("v3", lead(col("v1"), 2).over(w))
+      .filter(col("v3").isNotNull)
+    // lexicographic-on-(value, time) strict order: x_i < x_j iff
+    // v_i < v_j, or v_i = v_j and i < j — so lt(i,j) for i<j is `<=`
+    val lt12 = col("v1") <= col("v2")
+    val lt13 = col("v1") <= col("v3")
+    val lt23 = col("v2") <= col("v3")
+    val cls = when(lt12 && lt23, 0)
+      .when(lt12 && !lt23 && lt13, 1)
+      .when(lt12 && !lt23 && !lt13, 4)
+      .when(!lt12 && lt13, 2)
+      .when(!lt12 && !lt13 && lt23, 3)
+      .otherwise(5)
+    val cnt = tr.select(col("user_id"), cls.as("cls"))
+      .groupBy(col("user_id"), col("cls"))
+      .agg(count(lit(1)).as("n"))
+    val wU = Window.partitionBy(col("user_id"))
+    val p = col("n") / sum(col("n")).over(wU)
+    val hTerm = when(r(p, 6) > 0,
+      r(-r(p, 6) * r(log(r(p, 6)), 6), 6)).otherwise(lit(0.0))
+    cnt
+      .withColumn("h_term", hTerm)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_triples"),
+           dsum(col("h_term"), 6).as("entropy"))
+      .withColumn("pe_norm", r(col("entropy") / Ln6, 6))
+      .select(col("user_id"), col("n_triples"), col("entropy"),
+              col("pe_norm"))
+      .orderBy(col("user_id"))
+  }
+
+  def tsPermutationEntropySql: String = {
+    val cse =
+      """CASE WHEN v1 <= v2 AND v2 <= v3 THEN 0
+        |            WHEN v1 <= v2 AND NOT v2 <= v3 AND v1 <= v3 THEN 1
+        |            WHEN v1 <= v2 AND NOT v2 <= v3 AND NOT v1 <= v3 THEN 4
+        |            WHEN NOT v1 <= v2 AND v1 <= v3 THEN 2
+        |            WHEN NOT v1 <= v2 AND NOT v1 <= v3 AND v2 <= v3 THEN 3
+        |            ELSE 5 END""".stripMargin
+    val p = "(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id))"
+    val hTerm = s"CASE WHEN ${sqlR(p, 6)} > 0 THEN " +
+      sqlR(s"-(${sqlR(p, 6)}) * (${sqlR(s"ln(${sqlR(p, 6)})", 6)})", 6) +
+      " ELSE 0.0 END"
+    s"""WITH dl AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, ${sqlAvg("value", 6)} AS sst
+       |  FROM events GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT user_id, sst AS v1,
+       |         lead(sst, 1) OVER (PARTITION BY user_id ORDER BY d) AS v2,
+       |         lead(sst, 2) OVER (PARTITION BY user_id ORDER BY d) AS v3
+       |  FROM dl),
+       |cnt AS (
+       |  SELECT user_id,
+       |         $cse AS cls,
+       |         count(*) AS n
+       |  FROM tr WHERE v3 IS NOT NULL GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT user_id, n, $hTerm AS h_term FROM cnt)
+       |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_triples,
+       |       ${sqlR(sqlSum("h_term"), 6)} AS entropy,
+       |       ${sqlR(s"(${sqlR(sqlSum("h_term"), 6)}) / $Ln6", 6)} AS pe_norm
+       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------- #358 corpus_bpe_compression_curve
 
   /** The merge-count grid the compression curve snapshots. */

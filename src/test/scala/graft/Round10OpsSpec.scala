@@ -71,6 +71,43 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(cpt.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 })
   }
 
+  test("permutation entropy: monotone series reads 0, alternating reads ln2/ln6") {
+    import org.apache.spark.sql.functions._
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(n: Int) = new java.sql.Date(d0.getTime + n * 86400000L)
+    val dl = (
+      (0 until 30).map(i => (1L, day(i), i.toDouble)) ++          // monotone
+      (0 until 30).map(i => (2L, day(i), if (i % 2 == 0) 1.0 else 9.0)) // alternating
+    ).toDF("user_id", "d", "sst")
+    val out = Round10Ops.permutationEntropyDf(dl).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("entropy") == 0.0)
+    assert(out(1L).getAs[Double]("pe_norm") == 0.0)
+    assert(out(1L).getAs[Long]("n_triples") == 28L)
+    // alternating: patterns 132/213 each half the triples -> H = ln 2
+    val pe2 = out(2L).getAs[Double]("pe_norm")
+    assert(math.abs(pe2 - math.log(2) / math.log(6)) < 1e-3, s"pe=$pe2")
+  }
+
+  test("event sync blocks: pair invariants and the Jaccard identity on corpus data") {
+    // blockSize 4: sf0.001 has too few series for 16-wide blocks to
+    // leave more than one block
+    val out = graft.operators.Mhw.mhwEventSyncBlocks(spark, sf, blockSize = 4)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (da, db, both) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b)
+      assert(both >= 1 && both <= math.min(da, db))
+      val j = both.toDouble / (da + db - both)
+      assert(r.getDouble(5) == math.floor(j * 1e6 + 0.5) / 1e6)
+    }
+    // coarse-graining can only shrink the pair table vs series level
+    val fine = graft.operators.Mhw.mhwEventSync(spark, sf).count()
+    assert(out.length <= fine)
+  }
+
   test("bpe_vocab: merged tokens come from the merge table; compression monotone") {
     val vocab = Round10Ops.bpeVocab(spark, sf).collect()
     assert(vocab.nonEmpty)
