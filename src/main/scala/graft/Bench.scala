@@ -46,6 +46,19 @@ object Bench {
     // queries (iterative CC) measure 10x slow late in the suite. In the
     // settle window the churn is free.
     val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    // Host-load reader: 1-min /proc/loadavg. Timed artifacts produced on
+    // a loaded host overstate queries 2-4x (round-10's ann_pq: 10.04 s
+    // committed vs 3.35 s on the same tree) — the bench now RECORDS the
+    // load at start/timed/end so a reader can attribute outliers, and
+    // optionally GATES the timed sweep (SPARK_GRAFT_LOAD_GATE=<max>)
+    // by waiting, during the idle settle window, for external load to
+    // drain below the threshold before any timing starts.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
     def settle(maxWaitS: Int = 300): Unit = {
       System.gc()
       var last = jit.getTotalCompilationTime
@@ -57,9 +70,17 @@ object Bench {
         if (cur - last < 100) stable += 1 else stable = 0
         last = cur
       }
-      System.err.println(s"bench settled after ${waited}s")
+      // the JVM is idle here, so loadavg decays toward EXTERNAL load —
+      // wait (bounded) for it to clear the gate before timing
+      loadGate.foreach { g =>
+        var gw = 0
+        while (loadavg() > g && gw < maxWaitS) { Thread.sleep(5000); gw += 5 }
+        System.err.println(s"load gate: ${loadavg()} (threshold $g) after ${gw}s")
+      }
+      System.err.println(s"bench settled after ${waited}s, loadavg=${loadavg()}")
     }
     settle()
+    val loadTimed = loadavg()
     // A failed query must NOT masquerade as a fast pass: time() records
     // the error; failed queries report -1 s and land in the errors map.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -104,6 +125,9 @@ object Bench {
     val wallSec =
       java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
     val wallRatio = if (total > 0) wallSec / total else -1.0
+    val loadJson =
+      s"""{"start":${fmt(loadStart, 2)},"timed":${fmt(loadTimed, 2)},""" +
+      s""""end":${fmt(loadavg(), 2)}}"""
     def queriesJson(dp: Int): String = timed
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
@@ -130,6 +154,7 @@ object Bench {
       s""""queries":${queriesJson(dp)},"sf":"$sfDir","n_queries":${queries.size},""" +
       s""""n_timed":${timed.size},"posture":"$posture",""" +
       s""""wall_sec":${fmt(wallSec, 1)},"wall_timed_ratio":${fmt(wallRatio, 2)},""" +
+      s""""loadavg":$loadJson,""" +
       s""""n_errors":${errors.size},"errors":$errJson,"cache":$cacheJson}"""
     // Full-precision copy to a file: the driver tail-captures only the
     // last ~2000 chars of stdout, and a full 150-query map is ~4 KB —
@@ -167,6 +192,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${queries.size},"n_timed":${timed.size},""" +
       s""""wall_sec":${fmt(wallSec, 1)},"wall_timed_ratio":${fmt(wallRatio, 2)},""" +
+      s""""loadavg":$loadJson,""" +
       s""""n_errors":${errors.size},"errored":$errNames,"cache":$cacheJson,""" +
       s""""queries_full":"$outFile","queries":{"""
     val entries = timed.sortBy { case (_, v) => -v }

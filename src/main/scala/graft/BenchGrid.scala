@@ -89,6 +89,12 @@ object BenchGrid {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // host-load attribution for the timed artifact (see Bench.loadavg)
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
 
     // Task-level metric accumulator (the ×100 IO-wall evidence): spill
     // bytes, shuffle IO, input bytes, executor run/GC time per pass.
@@ -174,7 +180,9 @@ object BenchGrid {
     // steady state any long-lived Spark driver/cluster runs at: same
     // plans, warm code cache, JIT settled (Bench's protocol).
     val m0 = metricsSnap()
+    val loadCold0 = loadavg()
     val (nEvents, cClim, cSev, cEvents, scratch1) = runChain()
+    val loadCold1 = loadavg()
     val m1 = metricsSnap()
     val coldStorage = storageSnap()
     scratch1.foreach(_.unpersist(false))
@@ -188,7 +196,9 @@ object BenchGrid {
       last = cur
     }
     val m2 = metricsSnap()
+    val loadWarm0 = loadavg()
     val (nEvents2, wClim, wSev, wEvents, _) = runChain()
+    val loadWarm1 = loadavg()
     val m3 = metricsSnap()
     val warmStorage = storageSnap()
     require(nEvents2 == nEvents, s"non-deterministic event count: $nEvents vs $nEvents2")
@@ -196,7 +206,7 @@ object BenchGrid {
     val coldTotal = cClim + cSev + cEvents
     val warmTotal = wClim + wSev + wEvents
     val json =
-      f"""{"grid_cells":$nCells,"days":$nDays,"points":$nPoints,"events":$nEvents,"cold":{"sec_clim_thresh":$cClim%.3f,"sec_severity":$cSev%.3f,"sec_events":$cEvents%.3f,"sec_total":$coldTotal%.3f},"warm":{"sec_clim_thresh":$wClim%.3f,"sec_severity":$wSev%.3f,"sec_events":$wEvents%.3f,"sec_total":$warmTotal%.3f},"reference_notebook_sec":{"clim_thresh":5.9},"cpus":"$cpus","broadcast_key_dims":$keyDimBcast,"shuffle_partitions":$shufflePartitions,"cold_task_metrics":${metricsDelta(m0, m1)},"warm_task_metrics":${metricsDelta(m2, m3)},"cold_storage":$coldStorage,"warm_storage":$warmStorage}"""
+      f"""{"grid_cells":$nCells,"days":$nDays,"points":$nPoints,"events":$nEvents,"cold":{"sec_clim_thresh":$cClim%.3f,"sec_severity":$cSev%.3f,"sec_events":$cEvents%.3f,"sec_total":$coldTotal%.3f},"warm":{"sec_clim_thresh":$wClim%.3f,"sec_severity":$wSev%.3f,"sec_events":$wEvents%.3f,"sec_total":$warmTotal%.3f},"reference_notebook_sec":{"clim_thresh":5.9},"cpus":"$cpus","broadcast_key_dims":$keyDimBcast,"shuffle_partitions":$shufflePartitions,"cold_task_metrics":${metricsDelta(m0, m1)},"warm_task_metrics":${metricsDelta(m2, m3)},"cold_storage":$coldStorage,"warm_storage":$warmStorage,"loadavg":{"start":$loadStart,"cold0":$loadCold0,"cold1":$loadCold1,"warm0":$loadWarm0,"warm1":$loadWarm1,"end":${loadavg()}}}"""
     val outDefault =
       if (scale == 1) "/root/repo/BENCH_GRID.json"
       else s"/root/repo/BENCH_GRID_x$scale.json"

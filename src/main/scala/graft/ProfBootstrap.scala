@@ -150,10 +150,14 @@ object ProfBootstrap {
       .select(col("event_id"), col("event_type"), col("value"))
     val evR = ev.repartition(32)
     // consume EVERY column — count() lets the optimizer prune the
-    // hash/decode/sum expressions entirely (the first profile's trap)
-    def drain(df: DataFrame): Long =
-      df.agg(sum(col("sv").cast("double")), sum(col("sw")), sum(col("c")))
-        .collect().length.toLong
+    // hash/decode/sum expressions entirely (the first profile's trap).
+    // rows = the summed per-register event count (the real register-table
+    // cardinality), not the collected row count of the 1-row aggregate.
+    def drain(df: DataFrame): Long = {
+      val r = df.agg(sum(col("sv").cast("double")), sum(col("sw")),
+                     sum(col("c")).as("rows")).collect().head
+      if (r.isNullAt(2)) 0L else r.getLong(2)
+    }
     t("warm events scan") { ev.count() }
     (1 to 2).foreach { rep =>
       t(s"B current 1part rep$rep") { drain(regsCurrent(ev)) }

@@ -67,12 +67,18 @@ case class RollingGramHashes(child: Expression, k: Int)
     val n = w.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val md = digest.get()
-    // one md5 per token: th = first 15 hex chars as u60
+    // one md5 per token: th = first 15 hex chars as u60. A null element
+    // hashes as the empty string: the function is registered as a
+    // general SQL function over array<string> (containsNull is not
+    // constrained), so arbitrary arrays can reach it even though every
+    // gram-table call site feeds split() output (never null).
     val th = new Array[Long](n)
+    val empty = Array.emptyByteArray
     var i = 0
     while (i < n) {
       md.reset()
-      md.update(w.getUTF8String(i).getBytes)
+      val t = w.getUTF8String(i)
+      md.update(if (t == null) empty else t.getBytes)
       val d = md.digest()
       val hi = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
                ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |

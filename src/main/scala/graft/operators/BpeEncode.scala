@@ -83,7 +83,10 @@ object BpeEncode {
                                merges: Seq[(String, String)],
                                wmapIn: Option[DataFrame] = None): DataFrame = {
     val wmap = wmapIn.getOrElse(wordTokenMap(docs, merges))
-    val t = lower(trim(col("text")))
+    // null text normalizes to '' so the explode→groupBy→join round trip
+    // keeps the row (zeroed counters) — an inner join over the exploded
+    // words would silently drop null-text docs from the per-doc contract
+    val t = lower(trim(coalesce(col("text"), lit(""))))
     val perDoc = docs
       .select(col("doc_id"), explode(split(t, " ")).as("w"))
       .join(graft.Hints.keyDim(wmap), Seq("w"), "left")

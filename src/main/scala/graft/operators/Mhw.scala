@@ -106,6 +106,94 @@ object Mhw {
   private def linQuantile(vs: Column, p: Double): Column =
     graft.Parity.linQuantile(vs, p)
 
+  /** Slot-partials pooling — the clim_incremental mergeable-partials
+    * discipline ([[climIncremental]]) applied to the ±hw pooled
+    * climatology, replacing the raw ×(2hw+1) observation fan that was
+    * the engine's one remaining memory wall (BENCH_GRID_x100: 207 GB
+    * memory spill at 348 M points — grouped collect_list/GK aggregates
+    * run sort-based above 128 groups per partition, so the old shape
+    * external-sorted the ENTIRE ×11 exploded sample stream).
+    *
+    * Two-level build, all in the single [[byKey]] stage:
+    *   1. aggregate once per (key, doy) SLOT — unsorted value array,
+    *      exact DECIMAL(38,10) sum, count, NaN flag — each in three
+    *      year-shift eligibility variants (all years / obs whose next
+    *      year exists / obs whose previous year exists, the
+    *      cross-year-grid rule of [[poolSamples]]: a contribution that
+    *      wraps off the [1,366] grid lands in the adjacent year and
+    *      only counts if that year is present);
+    *   2. fan SLOTS (not observations) ×(2hw+1) and pick the variant
+    *      each wrap direction needs: c_raw>366 wraps forward (needs
+    *      year+1 present), c_raw<1 wraps backward (year−1), in-range
+    *      centers take everything.
+    * The merge per center ([[poolMerged]]) then flattens 2hw+1 small
+    * arrays and sums 2hw+1 decimal partials.
+    *
+    * BIT-IDENTICAL to the raw fan (spec-pinned, "slot-partials pooling
+    * ≡ raw fan"): the flattened multiset per center is the same set of
+    * doubles, so the re-sorted array and [[graft.Parity.linQuantile]]
+    * agree bit-for-bit; decimal sums are exact and associative, so the
+    * merged mean finalizes to the same bits. The pre-aggregate row fan
+    * drops from ×11 on observations to ×11 on (years× fewer) slots —
+    * at the reference ×100 grid that is 33× fewer rows through the
+    * heavy aggregate, and the external-sort volume falls from ~11× to
+    * ~2× the daily bytes. */
+  private[graft] def pooledSlots(dailyDf: DataFrame, hw: Int,
+                                 withValues: Boolean = true): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
+    val years = dailyDf.select(col("yr")).distinct()
+    // per-observation eligibility flags (broadcast joins keep the byKey
+    // partitioning, so the whole chain still plans into one stage)
+    val flagged = byKey(dailyDf)
+      .join(broadcast(years.select((col("yr") - 1).as("yr"),
+                                   lit(1).as("next_ok"))), Seq("yr"), "left")
+      .join(broadcast(years.select((col("yr") + 1).as("yr"),
+                                   lit(1).as("prev_ok"))), Seq("yr"), "left")
+    def variant(cond: Column, sfx: String): Seq[Column] = {
+      val v = when(cond, col("sst"))
+      val base = Seq(
+        sum(v.cast(Dec)).as(s"s$sfx"),
+        count(v).as(s"n$sfx"),
+        max(when(cond && isnan(col("sst")), 1).otherwise(0)).as(s"nan$sfx"))
+      if (withValues) collect_list(v).as(s"vs$sfx") +: base else base
+    }
+    val aggs = variant(lit(true), "_all") ++
+      variant(col("next_ok") === 1, "_next") ++
+      variant(col("prev_ok") === 1, "_prev")
+    val slots = flagged.groupBy(col("user_id"), col("doy"))
+      .agg(aggs.head, aggs.tail: _*)
+    def pick(c: String): Column =
+      when(col("c_raw") > 366, col(s"${c}_next"))
+        .when(col("c_raw") < 1, col(s"${c}_prev"))
+        .otherwise(col(s"${c}_all"))
+    val payload =
+      (if (withValues) Seq(pick("vs").as("vs")) else Nil) ++
+        Seq(pick("s").as("s"), pick("n").as("n"), pick("nan").as("nan"))
+    slots
+      .withColumn("k", explode(sequence(lit(-hw), lit(hw))))
+      .withColumn("c_raw", col("doy") + col("k"))
+      .select(col("user_id") +: wrapDoy(col("c_raw")).as("doy") +: payload: _*)
+  }
+
+  /** Merge (2hw+1) slot partials per window center: sorted pooled value
+    * array (multiset-equal to the raw fan's, hence quantile-identical),
+    * exact decimal sum + count (mean-identical), pooled NaN flag.
+    * Centers whose every contribution is empty (data confined to a
+    * year-boundary sliver with no adjacent year) are dropped — the raw
+    * fan never emits them either. */
+  private[graft] def poolMerged(dailyDf: DataFrame, hw: Int,
+                                withValues: Boolean = true): DataFrame = {
+    val merge =
+      (if (withValues) Seq(sort_array(flatten(collect_list(col("vs")))).as("vs"))
+       else Nil) ++
+        Seq(sum(col("s")).as("s"), sum(col("n")).as("n"),
+            max(col("nan")).as("has_nan"))
+    pooledSlots(dailyDf, hw, withValues)
+      .groupBy(col("user_id"), col("doy"))
+      .agg(merge.head, merge.tail: _*)
+      .filter(col("n") > 0)
+  }
+
   /** Pooled per-DOY quantile (best-practice threshold before smoothing).
     * Strict skipna: any NaN observation in a window nulls that center.
     * `exact=false` switches to approx_percentile for extreme scale; the
@@ -128,22 +216,52 @@ object Mhw {
     // ([[graft.Hints.ApproxQuantiles]]) can force the sketch path
     // globally without touching call sites
     val ex = exact && !graft.Hints.approxQuantiles(dailyDf.sparkSession)
-    val q =
-      if (ex) linQuantile(col("vs"), pctile)
-      else element_at(col("vs"), 1)
-    val agg =
-      if (ex) sort_array(collect_list(col("sst")))
-      else expr(s"array(approx_percentile(sst, $pctile, $accuracy))")
-    poolSamples(dailyDf, hw)
-      .groupBy(col("user_id"), col("doy"))
-      .agg(agg.as("vs"),
-           max(when(isnan(col("sst")), 1).otherwise(0)).as("has_nan"))
-      .select(col("user_id"), col("doy"),
-              when(col("has_nan") === 1, lit(null)).otherwise(r(q, 6)).as("thresh"))
+    if (ex)
+      // slot-partials build ([[pooledSlots]]): bit-identical values,
+      // ×years fewer rows through the heavy aggregate
+      poolMerged(dailyDf, hw)
+        .select(col("user_id"), col("doy"),
+                when(col("has_nan") === 1, lit(null))
+                  .otherwise(r(linQuantile(col("vs"), pctile), 6)).as("thresh"))
+    else
+      // sketch path: GK summaries have bounded per-group state; keeps
+      // the raw fan because GK digests aren't mergeable from SQL and
+      // the spec-pinned rank-error contract is defined over this exact
+      // insertion stream
+      poolSamples(dailyDf, hw)
+        .groupBy(col("user_id"), col("doy"))
+        .agg(expr(s"array(approx_percentile(sst, $pctile, $accuracy))").as("vs"),
+             max(when(isnan(col("sst")), 1).otherwise(0)).as("has_nan"))
+        .select(col("user_id"), col("doy"),
+                when(col("has_nan") === 1, lit(null))
+                  .otherwise(r(element_at(col("vs"), 1), 6)).as("thresh"))
   }
 
-  /** Pooled per-DOY mean (legacy climatology before Feb-29 + smoothing). */
+  /** Raw-fan spelling of the exact pooled quantile — retained as the
+    * parity reference for the slot-partials rework (spec: "slot-partials
+    * pooling ≡ raw fan", bit-identical at sf). Not on any query path. */
+  private[graft] def pooledQuantileRawFan(dailyDf: DataFrame, hw: Int,
+                                          pctile: Double): DataFrame =
+    poolSamples(dailyDf, hw)
+      .groupBy(col("user_id"), col("doy"))
+      .agg(sort_array(collect_list(col("sst"))).as("vs"),
+           max(when(isnan(col("sst")), 1).otherwise(0)).as("has_nan"))
+      .select(col("user_id"), col("doy"),
+              when(col("has_nan") === 1, lit(null))
+                .otherwise(r(linQuantile(col("vs"), pctile), 6)).as("thresh"))
+
+  /** Pooled per-DOY mean (legacy climatology before Feb-29 + smoothing).
+    * Slot-partials build: merged exact decimal sum / merged count is
+    * bit-identical to davg over the raw fan (decimal addition is exact
+    * and associative; the finalize expression is the same). */
   def pooledMean(dailyDf: DataFrame, hw: Int): DataFrame =
+    poolMerged(dailyDf, hw, withValues = false)
+      .select(col("user_id"), col("doy"),
+              r(col("s").cast("double") / col("n"), 6).as("seas"))
+
+  /** Raw-fan spelling of [[pooledMean]] — parity reference for the
+    * slot-partials rework (spec-pinned). Not on any query path. */
+  private[graft] def pooledMeanRawFan(dailyDf: DataFrame, hw: Int): DataFrame =
     poolSamples(dailyDf, hw)
       .groupBy(col("user_id"), col("doy"))
       .agg(davg(col("sst"), 6).as("seas"))
@@ -291,20 +409,25 @@ object Mhw {
     // re-materialize every pooled sample (or pin a different sketch
     // accuracy than the unfused path a deployment tuned)
     val ex = !graft.Hints.approxQuantiles(dailyDf.sparkSession)
-    val vsAgg =
-      if (ex) sort_array(collect_list(col("sst")))
-      else expr(s"array(approx_percentile(sst, $pctile, $accuracy))")
-    val q =
-      if (ex) linQuantile(col("vs"), pctile)
-      else element_at(col("vs"), 1)
-    val pooled = poolSamples(dailyDf, hw)
-      .groupBy(col("user_id"), col("doy"))
-      .agg(davg(col("sst"), 6).as("seas"),
-           vsAgg.as("vs"),
-           max(when(isnan(col("sst")), 1).otherwise(0)).as("has_nan"))
-      .select(col("user_id"), col("doy"), col("seas"),
-              when(col("has_nan") === 1, lit(null))
-                .otherwise(r(q, 6)).as("thresh"))
+    val pooled =
+      if (ex)
+        // slot-partials build: the one shared slot table feeds both the
+        // merged decimal mean and the merged pooled-value quantile —
+        // bit-identical to the separate raw-fan operators (spec-pinned)
+        poolMerged(dailyDf, hw)
+          .select(col("user_id"), col("doy"),
+                  r(col("s").cast("double") / col("n"), 6).as("seas"),
+                  when(col("has_nan") === 1, lit(null))
+                    .otherwise(r(linQuantile(col("vs"), pctile), 6)).as("thresh"))
+      else
+        poolSamples(dailyDf, hw)
+          .groupBy(col("user_id"), col("doy"))
+          .agg(davg(col("sst"), 6).as("seas"),
+               expr(s"array(approx_percentile(sst, $pctile, $accuracy))").as("vs"),
+               max(when(isnan(col("sst")), 1).otherwise(0)).as("has_nan"))
+          .select(col("user_id"), col("doy"), col("seas"),
+                  when(col("has_nan") === 1, lit(null))
+                    .otherwise(r(element_at(col("vs"), 1), 6)).as("thresh"))
     smoothDoyCols(interpFeb29Cols(pooled, Seq("seas", "thresh")), Seq("seas", "thresh"))
   }
 

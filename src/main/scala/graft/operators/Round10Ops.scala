@@ -46,9 +46,13 @@ object Round10Ops {
                      k: Int = CdcK, modulus: Int = CdcModulus): DataFrame =
     cdcChunksDf(Tables.documents(s, dir), k, modulus)
 
-  /** DataFrame-generic core: expects (doc_id, source, text). */
-  private[graft] def cdcChunksDf(docs: DataFrame, k: Int = CdcK,
-                                 modulus: Int = CdcModulus): DataFrame = {
+  /** Per-occurrence CDC chunk table — the shared basis of #356's dup
+    * accounting and #361's keep-first removal: one row per chunk
+    * occurrence, (doc_id, source, s = 0-based token start, width,
+    * ch = md5 of the chunk's token content). Σ widths = corpus tokens
+    * (chunks partition each doc's token stream). */
+  private[graft] def cdcChunkTable(docs: DataFrame, k: Int = CdcK,
+                                   modulus: Int = CdcModulus): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
       lowerTokens(col("text")).as("w"))
     // content-defined cuts: 0-based gram positions with h1 ≡ 0 (mod m),
@@ -60,16 +64,23 @@ object Round10Ops {
       .unionByName(toks.select(col("doc_id"), lit(0).as("pos")))
       .distinct()
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val chunks = starts
+    starts
       .withColumn("nxt", lead(col("pos"), 1).over(byPos))
       .join(toks, "doc_id")
       .select(col("doc_id"), col("source"), col("pos").as("s"),
               coalesce(col("nxt"), size(col("w"))).as("e"), col("w"))
       .filter(col("e") > col("s"))
-      .select(col("doc_id"), col("source"), (col("e") - col("s")).as("width"),
+      .select(col("doc_id"), col("source"), col("s"),
+              (col("e") - col("s")).as("width"),
               md5(concat_ws(" ",
                 slice(col("w"), col("s") + 1, col("e") - col("s")))
                 .cast("binary")).as("ch"))
+  }
+
+  /** DataFrame-generic core: expects (doc_id, source, text). */
+  private[graft] def cdcChunksDf(docs: DataFrame, k: Int = CdcK,
+                                 modulus: Int = CdcModulus): DataFrame = {
+    val chunks = cdcChunkTable(docs, k, modulus)
     // dup set is unbounded (a boilerplate-heavy corpus can flag most
     // chunks) — shuffle join, never broadcast: the #294 reasoning
     val dup = chunks.groupBy(col("ch"))
@@ -136,6 +147,112 @@ object Round10Ops {
              "AS DOUBLE) / sum(c.width)", 6)} AS dup_token_share
        |FROM chunks c LEFT JOIN dup d ON d.ch = c.ch
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------- #361 corpus_apply_cdc_removal
+
+  /** #361 corpus_apply_cdc_removal: MATERIALIZE the CDC-deduped corpus —
+    * completes the chunk-granular story the way #355 completed
+    * #294/#301: #356 accounts for duplicate chunk mass, this EMITS the
+    * rewritten corpus under KEEP-FIRST at chunk granularity. Rule
+    * (mirroring #301/#355's convention): a chunk content hash
+    * duplicated across ≥2 docs (#356's dup rule) is canonical in its
+    * MINIMUM doc id — every occurrence in that doc is kept, every
+    * occurrence elsewhere is deleted; unduplicated chunks always
+    * survive. Because chunks partition each doc's token stream, the
+    * rebuilt text is the ordered concatenation of surviving chunks,
+    * and tokens_out = n_tokens − Σ removed chunk widths
+    * (Round10OpsSpec reconciles the removed mass against #356's
+    * per-source dup_tokens: removed = dup_tokens − canon-kept mass).
+    *
+    * Scale shape: shares [[cdcChunkTable]] (gram table persisted, one
+    * O(n) pass); the canon rollup is groupBy(chunk hash) — no pair
+    * join; the rebuild joins surviving (s, width) spans back to the
+    * doc token array and collects per-doc slices — state bounded by
+    * document length, the standard text-operator class. */
+  def corpusApplyCdcRemoval(s: SparkSession, dir: String,
+                            k: Int = CdcK, modulus: Int = CdcModulus): DataFrame =
+    applyCdcRemovalDf(Tables.documents(s, dir), k, modulus)
+
+  /** DataFrame-generic core: expects (doc_id, source, text). */
+  private[graft] def applyCdcRemovalDf(docs: DataFrame, k: Int = CdcK,
+                                       modulus: Int = CdcModulus): DataFrame = {
+    val chunks = cdcChunkTable(docs, k, modulus)
+    // dup chunk hashes with their canonical (minimum) doc — unbounded
+    // set, shuffle join (the #294/#356 reasoning: never broadcast)
+    val canon = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+           min(col("doc_id")).as("canon_doc"))
+      .filter(col("df") >= 2)
+      .select(col("ch"), col("canon_doc"))
+    val kept = chunks.join(canon, Seq("ch"), "left")
+      .filter(col("canon_doc").isNull || col("doc_id") === col("canon_doc"))
+      .select(col("doc_id"), col("s"), col("width"))
+    val toks = docs.select(col("doc_id"), lowerTokens(col("text")).as("w"))
+    val rebuilt = kept.join(toks, "doc_id")
+      .select(col("doc_id"), col("s"),
+              col("width").cast("long").as("width"),
+              slice(col("w"), col("s") + 1, col("width")).as("piece"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("width")).as("tokens_out"),
+           sort_array(collect_list(struct(col("s"), col("piece")))).as("ps"))
+      .select(col("doc_id"), col("tokens_out"),
+              array_join(flatten(expr("transform(ps, x -> x.piece)")), " ")
+                .as("text_out"))
+    docs.select(col("doc_id"),
+        size(lowerTokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+              coalesce(col("text_out"), lit("")).as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the #356 chunk CTEs with the chunk string kept, the canon
+    * rollup, the keep-first complement, string_agg rebuild in s order. */
+  def corpusApplyCdcRemovalSql(k: Int = CdcK,
+                               modulus: Int = CdcModulus): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents),
+       |${SubstringDedup.gramsSql(k)},
+       |cuts AS (
+       |  SELECT doc_id, pos - 1 AS pos FROM grams
+       |  WHERE h1 % $modulus = 0 AND pos > 1),
+       |starts AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, pos FROM cuts
+       |    UNION ALL SELECT doc_id, 0 FROM toks)),
+       |chunks AS (
+       |  SELECT st.doc_id, st.s,
+       |         coalesce(st.nxt, len(t.w)) - st.s AS width,
+       |         md5(array_to_string(
+       |           t.w[CAST(st.s + 1 AS INT):CAST(coalesce(st.nxt, len(t.w)) AS INT)],
+       |           ' ')) AS ch,
+       |         array_to_string(
+       |           t.w[CAST(st.s + 1 AS INT):CAST(coalesce(st.nxt, len(t.w)) AS INT)],
+       |           ' ') AS chunk_str
+       |  FROM (
+       |    SELECT doc_id, pos AS s,
+       |           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |    FROM starts) st
+       |  JOIN toks t ON t.doc_id = st.doc_id
+       |  WHERE coalesce(st.nxt, len(t.w)) > st.s),
+       |canon AS (
+       |  SELECT ch, min(doc_id) AS canon_doc FROM chunks
+       |  GROUP BY ch HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (
+       |  SELECT c.doc_id, c.s, c.width, c.chunk_str
+       |  FROM chunks c LEFT JOIN canon cn ON cn.ch = c.ch
+       |  WHERE cn.ch IS NULL OR c.doc_id = cn.canon_doc),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(width) AS BIGINT) AS tokens_out,
+       |         string_agg(chunk_str, ' ' ORDER BY s) AS text_out
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.tokens_out, 0) AS BIGINT) AS tokens_out,
+       |       coalesce(a.text_out, '') AS text_out
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 
   // ------------------------------------------------------- #357 bpe_vocab
 
@@ -235,6 +352,16 @@ object Round10Ops {
               col("pe_norm"))
       .orderBy(col("user_id"))
   }
+
+  /** #362's finalize: rebuild the daily means from the drained
+    * per-(user, day) moment registers with the shared 6dp rounding,
+    * then the whole #360 ordinal-pattern chain. Bit-identical to batch
+    * because Mhw.daily's sst is the same r6(decimal sum / count); no
+    * pin needed — the chain reads the daily table once (leads + one
+    * rollup), never self-joining. */
+  private[graft] def permutationEntropyFinalize(regs: DataFrame): DataFrame =
+    permutationEntropyDf(regs.select(col("user_id"), col("d"),
+      r(col("sv") / col("cnt"), 6).as("sst")))
 
   def tsPermutationEntropySql: String = {
     val cse =

@@ -115,16 +115,37 @@ object Round9Ops22 {
     latenessAuditDf(Tables.events(s, dir))
 
   /** Default event_id bucket width for the two-level watermark scan —
-    * each within-bucket window sorts at most this many rows per type. */
+    * each within-bucket window sorts at most this many rows per type.
+    * Used as a FLOOR: the effective width grows with the observed id
+    * range so the bucket-maxima table stays ≤ [[MaxLatenessBuckets]]
+    * buckets per type regardless of id sparsity (a sparse/huge id
+    * domain would otherwise blow the table past broadcast limits even
+    * though each bucket row is tiny). */
   val LatenessBucketWidth = 65536L
 
-  /** DataFrame-generic core: expects (event_type, event_id, ts). */
-  def latenessAuditDf(ev: DataFrame,
-                      bucketWidth: Long = LatenessBucketWidth): DataFrame = {
+  /** Hard cap on bucket count per type: 65536 buckets × ~16 B ≈ 1 MB
+    * per type in the prefix-max table — always broadcastable. */
+  val MaxLatenessBuckets = 65536L
+
+  /** DataFrame-generic core: expects (event_type, event_id, ts).
+    * `bucketWidth = 0` (the default) derives the width from the
+    * observed id range — one 1-row min/max scalar over the input (the
+    * accepted scalar class; cheap next to the windowed pass that
+    * follows) — as max(floor, range/[[MaxLatenessBuckets]]). */
+  def latenessAuditDf(ev: DataFrame, bucketWidth: Long = 0L): DataFrame = {
+    val bw =
+      if (bucketWidth > 0) bucketWidth
+      else {
+        val r = ev.agg(min(col("event_id")).cast("long"),
+                       max(col("event_id")).cast("long")).head()
+        if (r.isNullAt(0)) LatenessBucketWidth
+        else math.max(LatenessBucketWidth,
+          (r.getLong(1) - r.getLong(0)) / MaxLatenessBuckets + 1)
+      }
     val base = ev
       .select(col("event_type"), col("event_id"),
               unix_timestamp(col("ts")).as("es"))
-      .withColumn("bkt", floor(col("event_id") / lit(bucketWidth)))
+      .withColumn("bkt", floor(col("event_id") / lit(bw)))
     // level 1: within-bucket running max (window bounded by bucketWidth)
     val wIn = Window.partitionBy(col("event_type"), col("bkt"))
       .orderBy(col("event_id"))

@@ -67,7 +67,7 @@ object Similarity {
     * strictly below every kept pair's — it can neither beat nor tie into
     * the exact top-k. Turns O(pairs) decimal lambda evaluations into
     * O(pairs) primitive loops + O(k·queries) decimal ones. */
-  private def topKExact(cands: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKExact(cands: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensure(cands.sparkSession)
     val fast = cands.withColumn("fc",
       call_function("float_dot", col("q_emb"), col("embedding")) /
@@ -83,7 +83,7 @@ object Similarity {
       .transform(topK(_, k))
   }
 
-  private def queries(s: SparkSession, dir: String, nQueries: Int): DataFrame =
+  private[operators] def queries(s: SparkSession, dir: String, nQueries: Int): DataFrame =
     Tables.embeddings(s, dir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

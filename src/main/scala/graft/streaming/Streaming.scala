@@ -477,6 +477,22 @@ object Streaming {
       graft.operators.Round9Ops9.dailyMomentRegisters(eventsStream(s, dir)),
       graft.operators.Round9Ops9.hurstFinalize)
 
+  /** #362 stream_permutation_entropy: the #360 complexity triage LIVE —
+    * per-(user, day) decimal value moments ARE the streaming state
+    * (count + sum merge by addition, exactly #324's register class, so
+    * the two monitors can share one physical state store); finalize
+    * rebuilds the daily means with the shared 6dp rounding and runs
+    * the whole #360 ordinal-pattern chain (two leads, 6-class rollup,
+    * normalized entropy) over the drained table — bit-identical to
+    * batch, sharing #360's oracle. A feed losing its temporal
+    * structure (PE drifting toward 1) is invisible to level/variance
+    * monitors; the ordinal alphabet catches the dynamics change as it
+    * lands. */
+  def streamPermutationEntropy(s: SparkSession, dir: String): DataFrame =
+    runRegisterStream(s, "pentropy",
+      graft.operators.Round9Ops9.dailyMomentRegisters(eventsStream(s, dir)),
+      graft.operators.Round10Ops.permutationEntropyFinalize)
+
   /** #316 stream_value_psi: the #310 PSI drift scorecard LIVE — the
     * batch pass exports the feed's binning contract (midpoint day +
     * value range) as literals (the #284 discipline), each arriving

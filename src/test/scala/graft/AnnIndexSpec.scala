@@ -1,0 +1,76 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, Similarity}
+
+/** #363 ann_index_probe: the persisted build-once/probe-many IVF
+  * artifact — read-path ≡ build-path bit-identity, partition-pruned
+  * probe plan, and build idempotence (a fresh artifact triggers no
+  * training). */
+class AnnIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("probe from the persisted index is bit-identical to the in-session IVF") {
+    // row-sorted compare: neither side carries a final presentation sort
+    val probed = AnnIndex.probe(spark, sf).collect().map(_.toString).sorted
+    val inSession = Similarity.annIvf(spark, sf).collect().map(_.toString).sorted
+    assert(probed.toSeq == inSession.toSeq)
+    assert(probed.nonEmpty)
+  }
+
+  test("probe plan partition-prunes the postings and contains no training subtree") {
+    AnnIndex.build(spark, sf)
+    // a narrow probe (2 queries × 2 cells) so pruning is strict even at
+    // the sf0.001 cell count
+    val df = AnnIndex.probe(spark, sf, k = 3, nQueries = 2, nProbe = 2)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    val postings = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft_annix")))
+    assert(postings.nonEmpty, "no postings scan in the probe plan")
+    assert(postings.forall(_.partitionFilters.nonEmpty),
+      "postings scan is not partition-pruned")
+    // probed cells < cells on disk: pruning is real, not a tautology
+    val base = AnnIndex.indexPath(sf, 16, 3)
+    val allCells = new File(s"$base/postings").listFiles()
+      .count(_.getName.startsWith("cluster="))
+    val probedN = postings.head.partitionFilters.flatMap(_.collect {
+      case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+    }).sum
+    assert(allCells > 4, s"only $allCells cells on disk")
+    assert(probedN > 0 && probedN <= 4,
+      s"expected an IN filter over <=4 probed cells, got $probedN")
+    assert(probedN < allCells, s"probed=$probedN cells=$allCells — no pruning")
+    // no aggregate over the full corpus embedding stream = no Lloyd
+    // training in the plan (training is a build-time job, never probe-time)
+    // the Lloyd update is an aggregate over posexplode(embedding) —
+    // its fingerprint must be absent (topK's posexplode rides the
+    // collected top-k array, not the embedding column)
+    val planStr = df.queryExecution.sparkPlan.toString
+    assert(!planStr.contains("posexplode(embedding"),
+      "probe plan contains the centroid-update explode — training leaked in")
+  }
+
+  test("a fresh artifact is never rebuilt; a source regen re-stages it") {
+    val base = AnnIndex.build(spark, sf)
+    val success = new File(s"$base/postings/_SUCCESS")
+    assert(success.exists())
+    val t0 = success.lastModified()
+    Thread.sleep(1100)
+    AnnIndex.build(spark, sf)
+    assert(success.lastModified() == t0, "fresh index was rebuilt")
+    // invalidate the stamp (as a source regen would) → rebuild happens
+    new File(s"$base/postings/_GRAFT_SRC_STAMP").delete()
+    AnnIndex.build(spark, sf)
+    assert(success.lastModified() > t0, "stale index was not rebuilt")
+  }
+}

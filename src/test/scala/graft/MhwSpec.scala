@@ -320,4 +320,82 @@ class MhwSpec extends AnyFunSuite {
     assert(out(1L) == ((base.plusDays(99).toString, -500.0, 200L)))
     assert(out(2L) == ((base.toString, 0.0, 50L)))
   }
+
+  // ------------------------------------------------- slot-partials pooling
+
+  /** Multi-year synthetic daily series with a year GAP (2000, 2001,
+    * 2003 — 2002 absent) and two keys: exercises every branch of the
+    * cross-year eligibility rule (wrap-forward needs year+1 present,
+    * wrap-backward needs year−1; 2001→2002 and 2003→2002 are absent in
+    * both directions). */
+  private def gappedYears = {
+    def yearRows(y: Int) = {
+      val d0 = java.time.LocalDate.of(y, 1, 1)
+      val n = if (d0.isLeapYear) 366 else 365
+      (0 until n).map { i =>
+        val d = java.sql.Date.valueOf(d0.plusDays(i))
+        Seq((1L, d, (i * 2654435761L % 997L) / 99.7 + y % 7),
+            (2L, d, (i * 40503L % 1009L) / 100.9))
+      }
+    }
+    (Seq(2000, 2001, 2003).flatMap(yearRows).flatten)
+      .toDF("user_id", "d", "sst")
+      .withColumn("yr", year($"d"))
+      .withColumn("doy", DoyFunctions.climDoy($"d"))
+  }
+
+  test("slot-partials pooling ≡ raw fan: quantile and mean bit-identical " +
+       "across year wraps and a missing year") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    for (dl <- Seq(gappedYears, Mhw.daily(spark, "/root/testdata/sf0.001"))) {
+      val q = m(Mhw.pooledQuantile(dl, 5, 0.9))
+      val qRef = m(Mhw.pooledQuantileRawFan(dl, 5, 0.9))
+      assert(q == qRef, "pooled quantile diverged from the raw-fan reference")
+      val s = m(Mhw.pooledMean(dl, 5))
+      val sRef = m(Mhw.pooledMeanRawFan(dl, 5))
+      assert(s == sRef, "pooled mean diverged from the raw-fan reference")
+    }
+  }
+
+  test("slot-partials fused chain ≡ raw-fan separate operators on gapped years") {
+    val dl = gappedYears
+    val fused = Mhw.legacyClimThresh(dl, 5, 0.9).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((Option(r.get(2)), Option(r.get(3))))).toMap
+    val seas = Mhw.smoothDoy(Mhw.interpFeb29(
+      Mhw.pooledMeanRawFan(dl, 5), "seas"), "seas").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    val thresh = Mhw.smoothDoy(Mhw.interpFeb29(
+      Mhw.pooledQuantileRawFan(dl, 5, 0.9), "thresh"), "thresh").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    assert(fused.keySet == seas.keySet && fused.keySet == thresh.keySet)
+    fused.foreach { case (k, (se, th)) =>
+      assert(se == seas(k), s"$k seas"); assert(th == thresh(k), s"$k thresh")
+    }
+  }
+
+  test("slot-partials plan: every explode sits above an aggregate — the raw " +
+       "×11 observation fan is gone from the exact path") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val dl = Mhw.daily(spark, "/root/testdata/sf0.001")
+    Seq(Mhw.pooledQuantile(dl, 5, 0.9),
+        Mhw.legacyClimThresh(dl, 5, 0.9)).foreach { df =>
+      val sp = df.queryExecution.sparkPlan
+      val naked = sp.collect {
+        case g: GenerateExec
+          if g.collectFirst { case a: BaseAggregateExec => a }.isEmpty => g
+      }
+      assert(naked.isEmpty,
+        s"${naked.size} explode(s) fan raw observation rows:\n${naked.mkString("\n")}")
+      // and the raw-fan reference plan proves the assertion has teeth
+      val ref = Mhw.pooledQuantileRawFan(dl, 5, 0.9).queryExecution.sparkPlan
+      val refNaked = ref.collect {
+        case g: GenerateExec
+          if g.collectFirst { case a: BaseAggregateExec => a }.isEmpty => g
+      }
+      assert(refNaked.nonEmpty, "raw-fan reference no longer fans raw rows?")
+    }
+  }
 }

@@ -54,6 +54,48 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_tokens") == 33L)
   }
 
+  test("cdc removal: keep-first drops non-canonical dup chunks; tokens_out " +
+       "reconciles with #356's dup accounting") {
+    val body = words("r", 600)
+    val docs = Seq(
+      (1L, "web", body.mkString(" ")),
+      (2L, "web", (words("ins", 10) ++ body).mkString(" ")),
+      (3L, "api", words("q", 200).mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = Round10Ops.applyCdcRemovalDf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 is canonical for every shared chunk → fully intact
+    assert(out(1L).getAs[Long]("tokens_out") == 600L)
+    assert(out(1L).getAs[String]("text_out") == body.mkString(" "))
+    // doc 3 shares nothing → intact
+    assert(out(3L).getAs[Long]("tokens_out") == 200L)
+    // doc 2 loses exactly the chunks duplicated against doc 1
+    val removed2 = out(2L).getAs[Long]("n_tokens") - out(2L).getAs[Long]("tokens_out")
+    assert(removed2 >= 500L && removed2 < 610L, s"removed=$removed2")
+    // surviving text is a subsequence boundary check: it starts with the
+    // insertion (never duplicated)
+    assert(out(2L).getAs[String]("text_out").startsWith("ins1 "))
+    // 3-way reconciliation with #356: removed mass = dup_tokens −
+    // canon-kept mass, computed per source from the SHARED chunk table
+    val chunks = Round10Ops.cdcChunkTable(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getString(4)))
+    val canon = chunks.groupBy(_._4).filter(_._2.map(_._1).distinct.size >= 2)
+      .map { case (ch, occ) => ch -> occ.map(_._1).min }
+    val keptDup = chunks.filter(c => canon.get(c._4).contains(c._1))
+      .groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val dupTok = Round10Ops.cdcChunksDf(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("dup_tokens")).toMap
+    val removedBySrc = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map { case (id, _) =>
+        out(id).getAs[Long]("n_tokens") - out(id).getAs[Long]("tokens_out")
+      }.sum).toMap
+    for (src <- Seq("web", "api"))
+      assert(removedBySrc(src) ==
+               dupTok(src) - keptDup.getOrElse(src, 0L),
+             s"$src: removed ${removedBySrc(src)} vs dup ${dupTok(src)} " +
+             s"− kept ${keptDup.getOrElse(src, 0L)}")
+  }
+
   test("compression curve: token mass non-increasing in merges, chars invariant") {
     val rows = Round10Ops.bpeCompressionCurve(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Round10Ops.CurveGrid)
@@ -87,6 +129,14 @@ class Round10OpsSpec extends AnyFunSuite {
     // alternating: patterns 132/213 each half the triples -> H = ln 2
     val pe2 = out(2L).getAs[Double]("pe_norm")
     assert(math.abs(pe2 - math.log(2) / math.log(6)) < 1e-3, s"pe=$pe2")
+  }
+
+  test("stream_permutation_entropy: drained stream is bit-identical to batch #360") {
+    val streamed = graft.streaming.Streaming
+      .streamPermutationEntropy(spark, sf).collect()
+    val batch = Round10Ops.tsPermutationEntropy(spark, sf).collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(streamed.nonEmpty)
   }
 
   test("event sync blocks: pair invariants and the Jaccard identity on corpus data") {
