@@ -70,8 +70,19 @@ object BenchGrid {
         .withColumn("doy", DoyFunctions.climDoy(col("d")))
 
     // materialize the input once (the notebook loads a netCDF file; data
-    // generation is not part of either side's measurement)
-    val dl = grid().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // generation is not part of either side's measurement). At ×10+ the
+    // input is ~19 GB serialized — holding it ON-HEAP leaves the warm
+    // pass running against a 65%-full old gen, and G1's CONCURRENT
+    // cycles (unaccounted in task gc_ms) then tax every warm stage
+    // (measured: warm clim 265 s vs cold 161 s on a quiet host, +3300
+    // task-seconds with only +221 s stop-the-world GC). DISK_ONLY keeps
+    // the measurement heap clean and prices both passes identically —
+    // also the honest cluster shape: a real deployment streams the
+    // input from storage, it does not pin 100 TB in executor heaps.
+    val inputLvl =
+      if (scale >= 10) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dl = grid().persist(inputLvl)
     val nPoints = dl.count()
 
     // Volume rule: size shuffle partitions to the materialized input ×

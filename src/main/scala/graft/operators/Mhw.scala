@@ -135,9 +135,16 @@ object Mhw {
     * agree bit-for-bit; decimal sums are exact and associative, so the
     * merged mean finalizes to the same bits. The pre-aggregate row fan
     * drops from ×11 on observations to ×11 on (years× fewer) slots —
-    * at the reference ×100 grid that is 33× fewer rows through the
-    * heavy aggregate, and the external-sort volume falls from ~11× to
-    * ~2× the daily bytes. */
+    * at the reference ×100 grid (33 years) that is 33× fewer rows
+    * through the heavy aggregate, the external-sort volume falls from
+    * ~11× to ~2× the daily bytes, and the measured spill goes from
+    * 207 GB memory / 20.7 GB disk to ZERO (BENCH_GRID_x100 r10 → r11).
+    * Cost of the extra aggregate level: on SINGLE-YEAR data (the sf
+    * bench tables span one January) slots ≈ observations, so the
+    * second aggregate buys nothing and legacy_clim_thresh pays ~+0.4 s
+    * at sf0.1 — accepted: the raw fan's cost grows with years×volume
+    * (the 100 TB axis), the slot overhead is a constant factor on a
+    * chain that is already sub-second at bench SF. */
   private[graft] def pooledSlots(dailyDf: DataFrame, hw: Int,
                                  withValues: Boolean = true): DataFrame = {
     val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10)
