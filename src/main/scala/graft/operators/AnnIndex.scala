@@ -110,4 +110,59 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("q_id"))
     Similarity.topKExact(cands, k)
   }
+
+  // ----------------------------------------------------------- PQ artifact
+
+  /** Artifact root for the PQ index of (dir, iters). */
+  private[graft] def pqPath(dir: String, iters: Int): String = {
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_annpq_${pathHash}_i$iters"
+  }
+
+  /** Build the persisted PQ index (idempotent, source-stamped like the
+    * IVF build): the 8×16×8-float codebooks plus the encoded CODES
+    * table — (vec_id, code_0..code_7): 8 small ints per vector, the
+    * 32:1 compression that lets a 100 TB corpus's index sit in cluster
+    * RAM. Deliberately does NOT store raw embeddings: the exact
+    * re-rank fetches the shortlist's vectors from primary storage at
+    * probe time (shortlist-sized, never corpus-sized). */
+  def buildPq(s: SparkSession, dir: String, iters: Int = 2): String = {
+    val base = pqPath(dir, iters)
+    val src = s"$dir/embeddings.parquet"
+    if (!Staging.isFresh(s"$base/codes", src)) {
+      graft.functions.GraftFunctions.ensure(s)
+      val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+      val cb = SimilarityPq.trainCodebooks(corpus, iters)
+      s.createDataFrame(cb.toSeq.map { case ((m, code), c) => (m, code, c) })
+        .toDF("m", "code", "c").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/codebooks")
+      SimilarityPq.withCodes(corpus, cb)
+        .select(col("vec_id") +:
+          (0 until SimilarityPq.SubSpaces).map(m => col(s"code_$m")): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/codes")
+      Staging.markStaged(s"$base/codebooks", src)
+      Staging.markStaged(s"$base/codes", src)
+    }
+    base
+  }
+
+  /** #365 ann_pq_index_probe: ADC retrieval FROM THE ARTIFACT — read
+    * the codebooks (128 rows, collected: the model), read the codes
+    * table (map-only scan, no encode expressions anywhere in the
+    * plan), run the shared LUT → ADC → bounded shortlist → exact
+    * re-rank tail. Codes are ints (exact parquet round-trip) and the
+    * tail is the same expression set, so the result is bit-identical
+    * to [[SimilarityPq.annPq]] and SHARES ITS ORACLE. */
+  def probePq(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
+              iters: Int = 2, shortlist: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val base = buildPq(s, dir, iters)
+    val cb = s.read.parquet(s"$base/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+      .toMap
+    val codes = s.read.parquet(s"$base/codes")
+    val corpus = Tables.embeddings(s, dir)
+    SimilarityPq.adcTopK(corpus, codes, cb, k, nQueries, shortlist)
+  }
 }

@@ -219,10 +219,17 @@ object Mhw {
     * accuracy to pin the bound in the divergent regime. */
   def pooledQuantile(dailyDf: DataFrame, hw: Int, pctile: Double,
                      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
-    // the parameter requests the exact path; the deployment conf
-    // ([[graft.Hints.ApproxQuantiles]]) can force the sketch path
-    // globally without touching call sites
-    val ex = exact && !graft.Hints.approxQuantiles(dailyDf.sparkSession)
+    // The [[graft.Hints.ApproxQuantiles]] posture deliberately does NOT
+    // flip this chain (unlike the event-stats family): pooled-climatology
+    // groups are YEARS-BOUNDED (≤ (2hw+1)·years samples — ~350 at a
+    // century of daily data), so a GK sketch's bounded state buys
+    // nothing the slot-partials build doesn't already guarantee, while
+    // its raw ×(2hw+1) observation fan re-creates the sort-fallback
+    // spill the slot build exists to kill. The sketch branch remains
+    // reachable via `exact = false` — the divergent-regime rank-error
+    // contract is pinned there (MhwSpec) — for callers who genuinely
+    // want it.
+    val ex = exact
     if (ex)
       // slot-partials build ([[pooledSlots]]): bit-identical values,
       // ×years fewer rows through the heavy aggregate
@@ -410,12 +417,13 @@ object Mhw {
     * scan/shuffle cost — severity consumes BOTH tables, so this is the
     * chain a user actually runs (the reference notebook's step 1). */
   def legacyClimThresh(dailyDf: DataFrame, hw: Int = 5, pctile: Double = 0.9,
-                       accuracy: Int = 10000): DataFrame = {
-    // same conf-switched sketch path as [[pooledQuantile]], same
-    // caller-tunable `accuracy`: the fused chain must not silently
-    // re-materialize every pooled sample (or pin a different sketch
-    // accuracy than the unfused path a deployment tuned)
-    val ex = !graft.Hints.approxQuantiles(dailyDf.sparkSession)
+                       accuracy: Int = 10000, exact: Boolean = true): DataFrame = {
+    // same posture policy as [[pooledQuantile]]: pooled groups are
+    // years-bounded, so the deployment posture keeps the slot-partials
+    // exact build (bounded state AND no observation fan); the GK
+    // branch stays reachable via `exact = false` for the
+    // `accuracy`-tunable sketch contract
+    val ex = exact
     val pooled =
       if (ex)
         // slot-partials build: the one shared slot table feeds both the

@@ -42,7 +42,7 @@ import graft.sources.Tables
   */
 object SimilarityPq {
 
-  private val SubSpaces = 8
+  private[operators] val SubSpaces = 8
   private val SubDim = 8
   private val Codes = 16
 
@@ -122,6 +122,25 @@ object SimilarityPq {
     graft.functions.GraftFunctions.ensure(s)
     val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
     val cb = trainCodebooks(corpus, iters)
+    val codes = withCodes(corpus, cb)
+      .select(col("vec_id") +: (0 until SubSpaces).map(m => col(s"code_$m")): _*)
+    adcTopK(corpus, codes, cb, k, nQueries, shortlist)
+  }
+
+  /** The ADC query tail from an ALREADY-ENCODED code table — shared by
+    * [[annPq]] (codes computed in-plan) and the persisted-index probe
+    * ([[AnnIndex.probePq]], codes read from the parquet artifact; ints
+    * round-trip exactly, so the two are bit-identical). `corpus`
+    * supplies the query vectors and the raw embeddings the exact
+    * re-rank fetches for the shortlist — the primary-storage fetch a
+    * real PQ deployment performs, sized by `shortlist`, never by the
+    * corpus. */
+  private[operators] def adcTopK(corpus: DataFrame, codes: DataFrame,
+                                 cb: Map[(Int, Int), Array[Float]],
+                                 k: Int, nQueries: Int,
+                                 shortlist: Int): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.GraftFunctions.ensure(s)
     // per-query LUT: nq×8×16 exact sub-dots. Computed in Spark (so the
     // decimal fold is bit-identical to the oracle's), then collected —
     // nq×128 values, model-sized like the codebook itself.
@@ -157,7 +176,7 @@ object SimilarityPq {
       }.reduce(_ + _)
       struct(lit(q).as("q_id"), adc.cast("decimal(28,6)").as("adc"))
     }
-    val approx = withCodes(corpus, cb)
+    val approx = codes
       .select(col("vec_id"), explode(array(perQ: _*)).as("a"))
       .select(col("a.q_id").as("q_id"), col("vec_id"), col("a.adc").as("adc"))
       .filter(col("vec_id") =!= col("q_id"))

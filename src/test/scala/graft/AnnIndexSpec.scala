@@ -60,6 +60,29 @@ class AnnIndexSpec extends AnyFunSuite {
       "probe plan contains the centroid-update explode — training leaked in")
   }
 
+  test("PQ probe from the persisted codes is bit-identical to the in-session ann_pq") {
+    val probed = AnnIndex.probePq(spark, sf).collect().map(_.toString).sorted
+    val inSession = graft.operators.SimilarityPq.annPq(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(probed.toSeq == inSession.toSeq)
+    assert(probed.nonEmpty)
+  }
+
+  test("PQ probe plan reads codes, not embeddings-wide: no encode argmax, no training") {
+    AnnIndex.buildPq(spark, sf)
+    val df = AnnIndex.probePq(spark, sf)
+    val planStr = df.queryExecution.sparkPlan.toString
+    // the encode argmax is a greatest() over 16 codebook literals per
+    // subspace — absent from the probe plan (codes come from parquet)
+    assert(!planStr.contains("floatdot(slice"),
+      "probe plan contains the sub-slice encode scoring — encoding leaked in")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.exists(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft_annpq"))), "no codes scan in the probe plan")
+  }
+
   test("a fresh artifact is never rebuilt; a source regen re-stages it") {
     val base = AnnIndex.build(spark, sf)
     val success = new File(s"$base/postings/_SUCCESS")

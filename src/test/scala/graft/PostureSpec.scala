@@ -108,15 +108,39 @@ class PostureSpec extends AnyFunSuite {
 
   // ------------------------------------------------ approxQuantiles posture
 
-  test("approxQuantiles=true: threshold chain and percentile family run sketches, no collect_list") {
+  test("approxQuantiles=true: percentile family runs sketches, no collect_list") {
     withConf(Hints.ApproxQuantiles, "true") {
-      for (df <- Seq(Mhw.thresholdBpSmooth(spark, sf),
-                     Mhw.legacyClimThresh(Mhw.daily(spark, sf)),
-                     Analytics2.eventsPercentiles(spark, sf))) {
+      for (df <- Seq(Analytics2.eventsPercentiles(spark, sf))) {
         val p = plan(df)
         assert(p.contains("approx_percentile"), "sketch path must be active")
         assert(!p.contains("collect_list"),
           "sketch posture must not materialize per-group sample arrays")
+      }
+    }
+  }
+
+  test("approxQuantiles=true: MHW pooling keeps the slot-partials exact build " +
+       "(years-bounded groups — sketches buy nothing, the raw fan costs the spill)") {
+    // The posture knob deliberately does NOT flip this chain: pooled
+    // climatology groups hold ≤ (2hw+1)·years samples, so per-group
+    // state is bounded by construction; the GK alternative re-creates
+    // the ×11 observation fan (the 207 GB x100 spill). The sketch
+    // contract stays reachable via the explicit `exact = false`
+    // parameter (MhwSpec pins its rank-error bound).
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    withConf(Hints.ApproxQuantiles, "true") {
+      for (df <- Seq(Mhw.thresholdBpSmooth(spark, sf),
+                     Mhw.legacyClimThresh(Mhw.daily(spark, sf)))) {
+        val p = plan(df)
+        assert(!p.contains("approx_percentile"),
+          "MHW pooling must not flip to GK under the posture knob")
+        val naked = df.queryExecution.sparkPlan.collect {
+          case g: GenerateExec
+            if g.collectFirst { case a: BaseAggregateExec => a }.isEmpty => g
+        }
+        assert(naked.isEmpty,
+          s"${naked.size} explode(s) fan raw observation rows under posture")
       }
     }
   }
