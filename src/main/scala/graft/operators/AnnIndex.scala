@@ -84,9 +84,22 @@ object AnnIndex {
     * exact top-k. No training subtree anywhere in the probe plan. */
   def probe(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
             nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.ensure(s)
     val base = build(s, dir, nCells, iters)
-    val cents = s.read.parquet(s"$base/centroids")
+    probeTail(s, dir, s"$base/centroids",
+              s.read.parquet(s"$base/postings"), k, nQueries, nProbe)
+  }
+
+  /** The shared probe tail: read + collect the centroid model, score
+    * the queries' cells with the identical expression set as #31b,
+    * push the probed-cell set as a pruning literal over the (possibly
+    * unioned) postings, then the shared lossless exact top-k. The
+    * `isin` filter pushes through a union into every branch's scan, so
+    * partition pruning survives the append layout. */
+  private def probeTail(s: SparkSession, dir: String, centsPath: String,
+                        postingsIn: DataFrame, k: Int, nQueries: Int,
+                        nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val cents = s.read.parquet(centsPath)
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -104,11 +117,96 @@ object AnnIndex {
     // the probed-cell set as a pruning literal (tiny, deterministic)
     val cells = probed.select(col("probe")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val postings = s.read.parquet(s"$base/postings")
+    val postings = postingsIn
       .filter(col("cluster").isin(cells.map(Integer.valueOf): _*))
     val cands = postings.join(broadcast(probed), col("cluster") === col("probe"))
       .filter(col("vec_id") =!= col("q_id"))
     Similarity.topKExact(cands, k)
+  }
+
+  // ------------------------------------------- append-without-retrain path
+
+  /** Delta-slice convention shared with #287 emb_ivf_incremental:
+    * vec_id ≡ mod−1 (mod `mod`) is the late-arriving batch. */
+  private def isDelta(mod: Int) =
+    pmod(col("vec_id"), lit(mod.toLong)) === (mod - 1)
+
+  /** Artifact root for the sliced (append-maintained) index. */
+  private[graft] def slicedPath(dir: String, nCells: Int, iters: Int,
+                                mod: Int): String = {
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_annix_${pathHash}_c${nCells}_i${iters}_m$mod"
+  }
+
+  /** Day-1 build: train the quantizer on the INDEX slice only (the
+    * amortized model #287 monitors), write centroids + the index
+    * slice's cluster-partitioned postings. Idempotent, source-stamped. */
+  def buildSliced(s: SparkSession, dir: String, nCells: Int = 16,
+                  iters: Int = 3, mod: Int = 5): String = {
+    val base = slicedPath(dir, nCells, iters, mod)
+    val src = s"$dir/embeddings.parquet"
+    if (!Staging.isFresh(s"$base/postings", src)) {
+      graft.functions.GraftFunctions.ensure(s)
+      val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+      val cents = Similarity.trainCentroids(corpus.filter(!isDelta(mod)), nCells, iters)
+      import s.implicits._
+      cents.toSeq.toDF("cluster", "c")
+        .select(col("cluster"), col("c").cast("array<float>").as("c"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
+      Similarity.assignNearest(
+          corpus.filter(!isDelta(mod))
+            .withColumn("e_norm", norm(col("embedding"))), cents)
+        .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
+        .write.partitionBy("cluster")
+        .mode(SaveMode.Overwrite).parquet(s"$base/postings")
+      Staging.markStaged(s"$base/centroids", src)
+      Staging.markStaged(s"$base/postings", src)
+    }
+    base
+  }
+
+  /** APPEND WITHOUT RETRAIN: the delta slice assigns against the
+    * FROZEN day-1 centroid model — read from the artifact, never
+    * retrained — and lands in its own cluster-partitioned postings
+    * directory beside the base (idempotent, stamped). This is the
+    * maintenance write a deployed IVF index runs between the rebuilds
+    * #287's drift monitor calls for. */
+  def appendDelta(s: SparkSession, dir: String, nCells: Int = 16,
+                  iters: Int = 3, mod: Int = 5): String = {
+    val base = buildSliced(s, dir, nCells, iters, mod)
+    val src = s"$dir/embeddings.parquet"
+    if (!Staging.isFresh(s"$base/postings_delta", src)) {
+      graft.functions.GraftFunctions.ensure(s)
+      val cents = s.read.parquet(s"$base/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      Similarity.assignNearest(
+          Tables.embeddings(s, dir).filter(isDelta(mod))
+            .withColumn("e_norm", norm(col("embedding"))), cents)
+        .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
+        .write.partitionBy("cluster")
+        .mode(SaveMode.Overwrite).parquet(s"$base/postings_delta")
+      Staging.markStaged(s"$base/postings_delta", src)
+    }
+    base
+  }
+
+  /** #366 ann_index_append_probe: probe the APPENDED index — base +
+    * delta postings unioned under the frozen day-1 model. Because the
+    * model is frozen and assignment is deterministic, base ∪ delta ≡
+    * a full-corpus assignment under the slice-trained model, so the
+    * oracle is #31b's k-means CTE chain with the TRAINING slice
+    * restricted (`trainWhere`) and assignment over everything —
+    * bit-identical end-to-end. */
+  def probeAppended(s: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+                    iters: Int = 3, mod: Int = 5): DataFrame = {
+    val base = appendDelta(s, dir, nCells, iters, mod)
+    probeTail(s, dir, s"$base/centroids",
+              s.read.parquet(s"$base/postings")
+                .unionByName(s.read.parquet(s"$base/postings_delta")),
+              k, nQueries, nProbe)
   }
 
   // ----------------------------------------------------------- PQ artifact

@@ -446,11 +446,15 @@ object Similarity {
   }
 
   /** DuckDB oracle for [[annIvf]]: the identical deterministic k-means
-    * ([[ivfChainSql]]), then the same probe + exact cosine + top-k. */
+    * ([[ivfChainSql]]), then the same probe + exact cosine + top-k.
+    * `trainWhere` restricts the TRAINING slice (the append-without-
+    * retrain oracle: the #366 probe answers from a day-1 model while
+    * assignments cover the full corpus — exactly this chain's shape). */
   def annIvfSql(k: Int = 5, nQueries: Int = 5,
-                nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): String = {
+                nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+                trainWhere: String = "TRUE"): String = {
     def score(emb: String) = ivfScoreSql(emb)
-    ivfChainSql(nCells, iters) +
+    ivfChainSql(nCells, iters, trainWhere = trainWhere) +
     s""",
        |probed AS (
        |  SELECT q_id, cl FROM (

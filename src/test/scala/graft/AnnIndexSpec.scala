@@ -83,6 +83,33 @@ class AnnIndexSpec extends AnyFunSuite {
       _.toString.contains("graft_annpq"))), "no codes scan in the probe plan")
   }
 
+  test("append-without-retrain: base ∪ delta postings ≡ full-corpus assignment " +
+       "under the frozen day-1 model; probe answers from the union") {
+    import org.apache.spark.sql.functions._
+    val base = AnnIndex.appendDelta(spark, sf)
+    // the union must equal assigning EVERY vector with the read model
+    val cents = spark.read.parquet(s"$base/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val appended = spark.read.parquet(s"$base/postings")
+      .unionByName(spark.read.parquet(s"$base/postings_delta"))
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val fresh = Similarity.assignNearest(
+        graft.sources.Tables.embeddings(spark, sf), cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(appended == fresh, "appended assignments diverge from the frozen model")
+    // and the base model must really be slice-trained: it differs from
+    // the full-corpus model (different training data, 16 cells)
+    val fullBase = AnnIndex.build(spark, sf)
+    val fullCents = spark.read.parquet(s"$fullBase/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    assert(cents.map(_._2.toSeq) != fullCents.map(_._2.toSeq))
+    val out = AnnIndex.probeAppended(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getInt(3)).forall(r => r >= 1 && r <= 5))
+  }
+
   test("a fresh artifact is never rebuilt; a source regen re-stages it") {
     val base = AnnIndex.build(spark, sf)
     val success = new File(s"$base/postings/_SUCCESS")
