@@ -18,6 +18,11 @@ object Bench {
       spark.conf.set(Hints.BroadcastKeyDims, "false")
       spark.conf.set(Hints.ExactAudit, "false")
       spark.conf.set(Hints.ApproxQuantiles, "true")
+      // ALL four scale levers: a basin-wide MHW day must not run the
+      // (active series)² exact fan in the deployed posture — cap the
+      // per-day pair fan at 64² (the PostureSpec-pinned deterministic
+      // md5-rank subsample; exact default untouched for oracle parity)
+      spark.conf.set(Hints.SyncDayCap, "64")
     }
     // Untimed warmup pass over the measured SF: pays JIT, whole-stage
     // codegen (Janino), OS page-cache population, and operator-cache
@@ -58,7 +63,19 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
-    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+    // Gate defaults ON at 2.0 (round-11 Wrong #1: the opt-in gate went
+    // unset on the run of record and a loaded-host artifact was one env
+    // var away). SPARK_GRAFT_LOAD_GATE=<max> widens/narrows; <= 0 or
+    // "off" disables. Gate waits and timeouts are RECORDED in the JSON
+    // so a loaded artifact can no longer be produced silently.
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE") match {
+      case Some("off")                  => None
+      case Some(v) if v.toDouble <= 0.0 => None
+      case Some(v)                      => Some(v.toDouble)
+      case None                         => Some(2.0)
+    }
+    var gateWaitS = 0
+    var gateTimedOut = false
     def settle(maxWaitS: Int = 300): Unit = {
       System.gc()
       var last = jit.getTotalCompilationTime
@@ -75,7 +92,10 @@ object Bench {
       loadGate.foreach { g =>
         var gw = 0
         while (loadavg() > g && gw < maxWaitS) { Thread.sleep(5000); gw += 5 }
-        System.err.println(s"load gate: ${loadavg()} (threshold $g) after ${gw}s")
+        gateWaitS += gw
+        if (loadavg() > g) gateTimedOut = true
+        System.err.println(s"load gate: ${loadavg()} (threshold $g) after ${gw}s" +
+          (if (loadavg() > g) " TIMED OUT" else ""))
       }
       System.err.println(s"bench settled after ${waited}s, loadavg=${loadavg()}")
     }
@@ -127,7 +147,10 @@ object Bench {
     val wallRatio = if (total > 0) wallSec / total else -1.0
     val loadJson =
       s"""{"start":${fmt(loadStart, 2)},"timed":${fmt(loadTimed, 2)},""" +
-      s""""end":${fmt(loadavg(), 2)}}"""
+      s""""end":${fmt(loadavg(), 2)},"gate":""" +
+      loadGate.map(g =>
+        s"""{"threshold":${fmt(g, 1)},"wait_s":$gateWaitS,"timed_out":$gateTimedOut}""")
+        .getOrElse("\"disabled\"") + "}"
     def queriesJson(dp: Int): String = timed
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")

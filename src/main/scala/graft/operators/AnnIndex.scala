@@ -256,11 +256,91 @@ object AnnIndex {
               iters: Int = 2, shortlist: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
     val base = buildPq(s, dir, iters)
-    val cb = s.read.parquet(s"$base/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
-      .toMap
+    val cb = readCodebooks(s, base)
     val codes = s.read.parquet(s"$base/codes")
     val corpus = Tables.embeddings(s, dir)
     SimilarityPq.adcTopK(corpus, codes, cb, k, nQueries, shortlist)
+  }
+
+  private def readCodebooks(s: SparkSession, base: String): Map[(Int, Int), Array[Float]] =
+    s.read.parquet(s"$base/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+      .toMap
+
+  // ---------------------------------------- PQ append-without-retrain path
+
+  /** Artifact root for the sliced (append-maintained) PQ index. */
+  private[graft] def pqSlicedPath(dir: String, iters: Int, mod: Int): String = {
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_annpq_${pathHash}_i${iters}_m$mod"
+  }
+
+  /** Day-1 PQ build: train the codebooks on the INDEX slice only and
+    * encode that slice. Idempotent, source-stamped — the exact
+    * discipline [[buildSliced]] applies to the IVF artifact. */
+  def buildPqSliced(s: SparkSession, dir: String, iters: Int = 2,
+                    mod: Int = 5): String = {
+    val base = pqSlicedPath(dir, iters, mod)
+    val src = s"$dir/embeddings.parquet"
+    if (!Staging.isFresh(s"$base/codes", src)) {
+      graft.functions.GraftFunctions.ensure(s)
+      val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+      val cb = SimilarityPq.trainCodebooks(corpus.filter(!isDelta(mod)), iters)
+      s.createDataFrame(cb.toSeq.map { case ((m, code), c) => (m, code, c) })
+        .toDF("m", "code", "c").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/codebooks")
+      SimilarityPq.withCodes(corpus.filter(!isDelta(mod)), cb)
+        .select(col("vec_id") +:
+          (0 until SimilarityPq.SubSpaces).map(m => col(s"code_$m")): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/codes")
+      Staging.markStaged(s"$base/codebooks", src)
+      Staging.markStaged(s"$base/codes", src)
+    }
+    base
+  }
+
+  /** PQ APPEND WITHOUT RETRAIN: the delta slice ENCODES against the
+    * FROZEN day-1 codebooks — read from the artifact, never retrained —
+    * and lands as a delta codes table beside the base (idempotent,
+    * stamped). Encode is map-only (the codebook is a plan literal), so
+    * the maintenance write scans only the delta: the daily cost of a
+    * deployed 100 TB PQ index is proportional to the crawl, not the
+    * corpus. #366's discipline applied to the compressed index. */
+  def appendPqDelta(s: SparkSession, dir: String, iters: Int = 2,
+                    mod: Int = 5): String = {
+    val base = buildPqSliced(s, dir, iters, mod)
+    val src = s"$dir/embeddings.parquet"
+    if (!Staging.isFresh(s"$base/codes_delta", src)) {
+      graft.functions.GraftFunctions.ensure(s)
+      val cb = readCodebooks(s, base)
+      SimilarityPq.withCodes(Tables.embeddings(s, dir).filter(isDelta(mod)), cb)
+        .select(col("vec_id") +:
+          (0 until SimilarityPq.SubSpaces).map(m => col(s"code_$m")): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/codes_delta")
+      Staging.markStaged(s"$base/codes_delta", src)
+    }
+    base
+  }
+
+  /** #367 ann_pq_index_append_probe: ADC retrieval from the APPENDED
+    * PQ index — base ∪ delta codes under the frozen day-1 codebooks.
+    * Because the codebooks are frozen and the encode argmax is
+    * deterministic, base ∪ delta ≡ a full-corpus encode under the
+    * slice-trained codebooks, so the oracle is #31g's PQ CTE chain
+    * with the TRAINING rows restricted (`trainWhere`) and encoding
+    * over everything — bit-identical end-to-end (codes are ints, exact
+    * parquet round-trip; the ADC/re-rank tail is the shared expression
+    * set). */
+  def probePqAppended(s: SparkSession, dir: String, k: Int = 5,
+                      nQueries: Int = 5, iters: Int = 2,
+                      shortlist: Int = 32, mod: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val base = appendPqDelta(s, dir, iters, mod)
+    val cb = readCodebooks(s, base)
+    val codes = s.read.parquet(s"$base/codes")
+      .unionByName(s.read.parquet(s"$base/codes_delta"))
+    SimilarityPq.adcTopK(Tables.embeddings(s, dir), codes, cb, k, nQueries,
+                         shortlist)
   }
 }

@@ -221,15 +221,15 @@ object SimilarityPq {
     * `codes` (final per-(vector, subspace) assignment with its
     * sub-slice) — the common prefix of the #31g retriever oracle and
     * the #160 distortion oracle. */
-  private def pqChainSql(iters: Int): String = {
+  private def pqChainSql(iters: Int, trainWhere: String = "TRUE"): String = {
     def score(sub: String) = s"(${sqlDotSeq(sub, "c.c")} - ${sqlHalfNormSeq("c.c")})"
-    def assign(prev: String, out: String) =
+    def assign(prev: String, out: String, where: String = "TRUE") =
       s"""$out AS (
          |  SELECT vec_id, m, sub, code FROM (
          |    SELECT s.vec_id, s.m, s.sub, c.code,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
          |             ${score("s.sub")} DESC, c.code DESC) AS rn
-         |    FROM subs s JOIN $prev c ON c.m = s.m)
+         |    FROM subs s JOIN $prev c ON c.m = s.m WHERE $where)
          |  WHERE rn = 1
          |)"""
     def update(prevAssign: String, out: String) =
@@ -241,22 +241,26 @@ object SimilarityPq {
          |    GROUP BY m, code, d)
          |  GROUP BY m, code
          |)"""
+    // `trainWhere` restricts the TRAINING rows (init + Lloyd updates —
+    // the #367 append-without-retrain oracle trains on the index slice
+    // only); the final `codes` assignment always covers the full corpus
     val lloyd = (1 to iters).map(it =>
-      assign(s"pc${it - 1}", s"pa$it") + ",\n" + update(s"pa$it", s"pc$it"))
+      assign(s"pc${it - 1}", s"pa$it", trainWhere) + ",\n" + update(s"pa$it", s"pc$it"))
       .mkString(",\n")
     s"""WITH ms AS (SELECT unnest([${(0 until SubSpaces).mkString(", ")}]) AS m),
        |subs AS (
        |  SELECT vec_id, ms.m, ${subSliceSql("embedding", "ms.m")} AS sub
        |  FROM embeddings CROSS JOIN ms),
        |pc0 AS (
-       |  SELECT m, CAST(vec_id AS INT) AS code, sub AS c FROM subs WHERE vec_id < $Codes),
+       |  SELECT m, CAST(vec_id AS INT) AS code, sub AS c FROM subs
+       |  WHERE vec_id < $Codes AND ($trainWhere)),
        |$lloyd,
        |${assign(s"pc$iters", "codes")}""".stripMargin
   }
 
   def annPqSql(k: Int = 5, nQueries: Int = 5, iters: Int = 2,
-               shortlist: Int = 32): String = {
-    pqChainSql(iters) +
+               shortlist: Int = 32, trainWhere: String = "TRUE"): String = {
+    pqChainSql(iters, trainWhere) +
     s""",
        |lut AS (
        |  SELECT q.vec_id AS q_id, c.m, c.code,

@@ -110,6 +110,46 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(out.map(_.getInt(3)).forall(r => r >= 1 && r <= 5))
   }
 
+  test("PQ append-without-retrain: base ∪ delta codes ≡ full-corpus encode " +
+       "under the frozen day-1 codebooks; probe answers from the union") {
+    import org.apache.spark.sql.functions._
+    val base = AnnIndex.appendPqDelta(spark, sf)
+    // the union must equal encoding EVERY vector with the read codebooks
+    val cb = spark.read.parquet(s"$base/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+    def codeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      df.collect().map(r => r.getLong(0) -> (1 to 8).map(r.getInt)).toMap
+    val appended = codeMap(spark.read.parquet(s"$base/codes")
+      .unionByName(spark.read.parquet(s"$base/codes_delta")))
+    val fresh = codeMap(graft.operators.SimilarityPq
+      .withCodes(graft.sources.Tables.embeddings(spark, sf), cb)
+      .select(col("vec_id") +: (0 until 8).map(m => col(s"code_$m")): _*))
+    assert(appended == fresh, "appended codes diverge from the frozen codebooks")
+    // the day-1 codebooks must really be slice-trained: they differ from
+    // the full-corpus codebooks
+    val fullBase = AnnIndex.buildPq(spark, sf)
+    val fullCb = spark.read.parquet(s"$fullBase/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toSeq).toMap
+    assert(cb.map { case (k, v) => k -> v.toSeq } != fullCb)
+    val out = AnnIndex.probePqAppended(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getInt(3)).forall(r => r >= 1 && r <= 5))
+  }
+
+  test("PQ appended-probe plan reads base+delta codes with no encode, no training") {
+    AnnIndex.appendPqDelta(spark, sf)
+    val df = AnnIndex.probePqAppended(spark, sf)
+    val planStr = df.queryExecution.sparkPlan.toString
+    assert(!planStr.contains("floatdot(slice"),
+      "appended-probe plan contains the sub-slice encode scoring")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    val codeScans = scans.filter(_.relation.location.rootPaths.exists(p =>
+      p.toString.contains("graft_annpq") && p.toString.contains("_m5")))
+    assert(codeScans.size >= 2, "probe plan must scan base AND delta codes")
+  }
+
   test("a fresh artifact is never rebuilt; a source regen re-stages it") {
     val base = AnnIndex.build(spark, sf)
     val success = new File(s"$base/postings/_SUCCESS")
