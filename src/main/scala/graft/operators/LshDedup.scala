@@ -93,6 +93,15 @@ object LshDedup {
                      k: Int = 64, bands: Int = 32,
                      maxBucket: Int = 256): DataFrame = {
     val (docs, _, candidates) = minhashParts(input, k, bands, maxBucket)
+    verifyPairs(candidates, docs, tau)
+  }
+
+  /** The exact-Jaccard VERIFY stage over banded candidates — shared by
+    * the in-session dedup and the #368 persisted-signature probe (the
+    * probe's verify re-reads the shingle table from primary storage,
+    * candidate-bounded — the artifact stores signatures, not shingles). */
+  private[graft] def verifyPairs(candidates: DataFrame, docs: DataFrame,
+                                 tau: Double): DataFrame =
     candidates
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -102,7 +111,6 @@ object LshDedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** THE band-key construction ("b:m_i:...:m_j" over consecutive
     * signature rows) as an array column — the single definition shared
@@ -129,9 +137,18 @@ object LshDedup {
   private[graft] def minhashParts(input: DataFrame, k: Int = 64,
                                   bands: Int = 32, maxBucket: Int = 256)
       : (DataFrame, DataFrame, DataFrame) = {
-    val rows = k / bands
     val docs = TextOps.shingleTable(input).filter(size(col("sh")) > 0)
-    val sigs = docs
+    val sigs = signatureTable(docs, k)
+    (docs, sigs, bandCandidates(sigs, k, bands, maxBucket))
+  }
+
+  /** The SIGNATURE JOB — shingle explode, one md5 + k affine re-hashes
+    * per shingle, partial-agg min fold to one k-wide row per doc. The
+    * expensive stage of every MinHash operator, and the one the #368
+    * persisted artifact ([[MinhashIndex]]) stages so daily probes never
+    * re-run it. `docs` is the (filtered) shingle table. */
+  private[graft] def signatureTable(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
       // one md5 per shingle, then k cheap affine long re-hashes — vs
       // hashing the string k times (~6× less hashing work)
@@ -143,6 +160,16 @@ object LshDedup {
       .groupBy(col("doc_id"))
       .agg(min(col("h0")).as("m0"),
            (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+
+  /** Banded candidate generation from a signature table — band keys
+    * are a map-only projection of the min columns (cheap; the banding
+    * (bands, rows) is therefore a PROBE-TIME choice over a k-keyed
+    * signature artifact, which is what lets one persisted signature
+    * table serve the whole #169 band curve), then the bucket window +
+    * all-pairs/chain join under the `maxBucket` skew cap. */
+  private[graft] def bandCandidates(sigs: DataFrame, k: Int, bands: Int,
+                                    maxBucket: Int): DataFrame = {
+    val rows = k / bands
     val bandKeys = sigs.select(col("doc_id"),
       explode(bandKeyArray(bands, rows)).as("band_key"))
     // bucket cardinality + successor in one band_key exchange (count
@@ -159,8 +186,7 @@ object LshDedup {
     val chainPairs = bk
       .filter(col("cnt") > maxBucket && col("nxt").isNotNull)
       .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
-    val candidates = allPairs.union(chainPairs).distinct()
-    (docs, sigs, candidates)
+    allPairs.union(chainPairs).distinct()
   }
 
   /** #123 dedup_minhash_eval: estimator-error report for the MinHash
