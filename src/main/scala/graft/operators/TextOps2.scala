@@ -367,16 +367,60 @@ object TextOps2 {
     * on the real tables. */
   private[graft] def bpeTrainBatchedDf(docs: DataFrame,
                                        rounds: Int = BpeBatchRounds,
-                                       k: Int = BpeBatchK): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    var words = docs
+                                       k: Int = BpeBatchK): DataFrame =
+    mergesDf(runBatched(baseWords(docs), rounds, k))
+
+  /** The shared bracketed word-vocabulary build (text → lowercased
+    * alphabetic tokens → weighted distinct words → per-symbol bracket
+    * encoding) — the words0 both trainers start from. */
+  private[graft] def baseWords(docs: DataFrame): DataFrame =
+    docs
       .select(explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(regexp_replace(col("w"), "(.)", "|$1|").as("w"), col("freq"))
+
+  /** A finished batched-training run: the ordered merge rows, the
+    * final fused vocabulary frame (the #370 vocab readout's input),
+    * and the (round, merges-so-far, occurrences, chars, tokens)
+    * snapshots taken at the requested rounds (the #371 curve). */
+  private[graft] final case class BatchedRun(
+      merges: Seq[(Int, Int, String, String, Long)],
+      snaps: Seq[(Int, Int, Long, Long, Long)],
+      words: DataFrame)
+
+  private def mergesDf(run: BatchedRun): DataFrame = {
+    val s = run.words.sparkSession
+    import s.implicits._
+    run.merges.toDF("step", "round", "sym_a", "sym_b", "n")
+      .orderBy(col("step"))
+  }
+
+  /** The batched training LOOP — shared by #364 (base corpus) and the
+    * #369-#371 rich-vocabulary family. Per round: one vocabulary-sized
+    * pair count, ONE ≤[[BpePoolM]]-row collect, the waved mutual-min
+    * batch selection, one fused map-only projection with a lineage
+    * cut. `snapAt` rounds additionally run one 1-row vocabulary
+    * aggregate (the compression-curve snapshot; round 0 = pre-training
+    * pure-chars state). */
+  private[graft] def runBatched(words0: DataFrame, rounds: Int, k: Int,
+                                snapAt: Set[Int] = Set.empty): BatchedRun = {
+    var words = words0
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    val snaps = Seq.newBuilder[(Int, Int, Long, Long, Long)]
     var step = 0
+    def snapshot(round: Int): Unit = if (snapAt(round)) {
+      val row = words.agg(
+        sum(col("freq")).as("occ"),
+        sum(col("freq") *
+          length(regexp_replace(col("w"), "\\|", ""))).as("chars"),
+        sum(col("freq") *
+          ((length(col("w")) -
+            length(regexp_replace(col("w"), "\\|", ""))) / 2).cast("long"))
+          .as("toks")).collect()(0)
+      snaps += ((round, step, row.getLong(0), row.getLong(1), row.getLong(2)))
+    }
+    snapshot(0)
     for (round <- 1 to rounds) {
       val pool = pairCountsOf(words)
         .orderBy(col("n").desc, col("sym_a"), col("sym_b"))
@@ -393,9 +437,9 @@ object TextOps2 {
         words = graft.Lineage.cut(
           words.select(expr(fusedExpr).as("w"), col("freq")))
       }
+      snapshot(round)
     }
-    merges.result().toDF("step", "round", "sym_a", "sym_b", "n")
-      .orderBy(col("step"))
+    BatchedRun(merges.result(), snaps.result(), words)
   }
 
   /** Oracle: per round, the same pair-count CTE, the pool window
@@ -406,17 +450,43 @@ object TextOps2 {
     * applied as k fixed replace slots (an absent slot falls back to a
     * chr(1) pattern that can never match the az+`|` alphabet). Steps
     * renumbered by (round, kn) at the readout. */
+  /** The base corpus's words0 CTE (DuckDB mirror of [[baseWords]]). */
+  private def baseWords0Cte: String =
+    s"""words0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS w, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+       |  GROUP BY 1)""".stripMargin
+
   def bpeTrainBatchedSql(rounds: Int = BpeBatchRounds,
                          k: Int = BpeBatchK,
-                         waves: Int = BpeBatchWaves): String = {
+                         waves: Int = BpeBatchWaves): String =
+    batchedReadoutSql(baseWords0Cte, rounds, k, waves)
+
+  /** The full batched-trainer oracle: CTE chain + (round, kn)-ordered
+    * merge readout — parameterized over the words0 derivation so the
+    * #369 rich corpus replays the identical chain. */
+  private def batchedReadoutSql(words0Cte: String, rounds: Int, k: Int,
+                                waves: Int): String = {
+    val all = batchedChainSql(words0Cte, rounds, k, waves) + "\n" +
+      (1 to rounds)
+        .map(r => s"SELECT $r AS r, kn, sym_a, sym_b, n FROM sel$r")
+        .mkString("\nUNION ALL\n")
+    s"""SELECT CAST(row_number() OVER (ORDER BY r, kn) AS INT) AS step,
+       |       CAST(r AS INT) AS round, sym_a, sym_b, n
+       |FROM ($all)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** The per-round CTE chain (words0 → cand/waves/sel/slots/words per
+    * round) WITHOUT a readout — shared by the #364/#369 merge readout,
+    * the #370 vocab rollup (reads words$rounds) and the #371 curve
+    * (reads every grid words$r + sel$r). */
+  private def batchedChainSql(words0Cte: String, rounds: Int, k: Int,
+                              waves: Int): String = {
     val sb = new StringBuilder
-    sb ++=
-      s"""WITH words0 AS MATERIALIZED (
-         |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS w, count(*) AS freq
-         |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
-         |        FROM documents)
-         |  WHERE length(w) >= 2 AND regexp_full_match(w, '[a-z]+')
-         |  GROUP BY 1)""".stripMargin
+    sb ++= "WITH " + words0Cte
     for (r <- 1 to rounds) {
       // slot values hoisted into ONE 1-row CTE (k pattern/replacement
       // column pairs) and cross-joined: inline scalar subqueries both
@@ -473,14 +543,177 @@ object TextOps2 {
            |words$r AS MATERIALIZED (
            |  SELECT $applied AS w, freq FROM words${r - 1} CROSS JOIN slots$r)""".stripMargin
     }
-    sb ++= "\n" + (1 to rounds)
-      .map(r => s"SELECT $r AS r, kn, sym_a, sym_b, n FROM sel$r")
-      .mkString("\nUNION ALL\n")
-    val all = sb.result()
-    s"""SELECT CAST(row_number() OVER (ORDER BY r, kn) AS INT) AS step,
-       |       CAST(r AS INT) AS round, sym_a, sym_b, n
-       |FROM ($all)
-       |ORDER BY step""".stripMargin
+    sb.result()
+  }
+
+  // ------------------------------------ #369-#371 rich-vocabulary BPE
+
+  /** The rich-corpus derivation knobs. The driver corpus draws from a
+    * ~30-word dictionary, so the real tables exhaust at 89 merges
+    * (documented at [[bpeTrainBatchedDf]]) — the ≥1024-merge regime
+    * the batched trainer was built for is unreachable on the raw text
+    * at ANY scale factor. The rich seam derives a WIDE vocabulary from
+    * the same committed tables, deterministically and identically in
+    * both engines: every alphabetic token occurrence maps to
+    * translate(substr(md5(word ':' doc_id%[[RichMod]]), 1, [[RichLen]]),
+    * digits→'g'..'p') — ~30×[[RichMod]] distinct purely-alphabetic
+    * pseudo-words of [[RichLen]] chars over a 16-letter alphabet, with
+    * corpus-shaped frequencies (each pseudo-word inherits the mass of
+    * its (word, doc-residue) slice). Early rounds are alphabet-bound
+    * (16 starting symbols ⇒ ≤8 disjoint pairs per wave); capacity
+    * grows with every merged symbol, so the schedule reaches the
+    * regime by exhaustively measured round counts (RichSpec pins
+    * ≥1024 realized merges at sf0.01). */
+  private[graft] val RichMod = 97
+  private[graft] val RichLen = 10
+
+  /** Measured schedule (26-letter starting alphabet, see [[richWords]];
+    * the data is committed and the loop deterministic, so these counts
+    * are exact, not statistical): 64 rounds realize 1129 merges at
+    * sf0.01, 1123 at sf0.001, 1090 at sf0.1 — ≥1024 at every committed
+    * SF, pinned in RichBpeSpec. */
+  private[graft] val RichRounds = 64
+  private[graft] val RichGrid = Seq(0, 16, 32, 48, 64)
+
+  /** The rich weighted bracketed vocabulary ([[baseWords]]'s rich
+    * twin). Each pseudo-word is two translated md5 halves with
+    * DISJOINT digit-target ranges so the starting alphabet is the full
+    * 26 letters (one hex-translate alone yields 16 — and early-round
+    * merge capacity is alphabet-bound at ~alphabet/2 pairs per wave,
+    * which is what sets the round count the oracle chain must replay;
+    * the chain's DuckDB bind cost is superlinear in rounds, measured
+    * 50 s at 64 → 141 s at 80, so buying early capacity with a wider
+    * alphabet is cheaper than buying rounds). */
+  private[graft] def richWords(docs: DataFrame): DataFrame = {
+    val key = concat(col("bw"), lit(":"),
+      pmod(col("doc_id"), lit(RichMod.toLong)).cast("string"))
+    val half = RichLen / 2
+    docs
+      .select(col("doc_id"),
+              explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("bw"))
+      .filter(length(col("bw")) >= 2 && col("bw").rlike("^[a-z]+$"))
+      .select(concat(
+        translate(substring(md5(key.cast("binary")), 1, half),
+                  "0123456789", "ghijklmnop"),
+        translate(substring(md5(concat(key, lit("~")).cast("binary")), 1, half),
+                  "0123456789abcdef", "qrstuvwxyzklmnop")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("w"), col("freq"))
+  }
+
+  /** DuckDB mirror of [[richWords]] as a words0 CTE. */
+  private def richWords0Cte: String = {
+    val key = s"bw || ':' || CAST(doc_id % $RichMod AS VARCHAR)"
+    val half = RichLen / 2
+    s"""words0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS w, count(*) AS freq
+       |  FROM (
+       |    SELECT translate(substr(md5($key), 1, $half),
+       |                     '0123456789', 'ghijklmnop') ||
+       |           translate(substr(md5($key || '~'), 1, $half),
+       |                     '0123456789abcdef', 'qrstuvwxyzklmnop') AS w
+       |    FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS bw
+       |          FROM documents)
+       |    WHERE length(bw) >= 2 AND regexp_full_match(bw, '[a-z]+'))
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private val richMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), BatchedRun]
+
+  /** The rich training run, memoized per (session, corpus): #369/#370/
+    * #371 all read it, so one session pays the [[RichRounds]]-round
+    * driver loop once. */
+  private[graft] def richRun(s: SparkSession, dir: String): BatchedRun =
+    richMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      runBatched(richWords(Tables.documents(s, dir)), RichRounds, BpeBatchK,
+                 RichGrid.toSet))
+
+  /** #369 bpe_train_rich: the batched trainer IN ITS DESIGN REGIME —
+    * ≥1024 realized merges on committed data via the rich-vocabulary
+    * seam. Same loop, same waved mutual-min rule, same oracle chain as
+    * #364; only words0 differs. */
+  def bpeTrainRich(s: SparkSession, dir: String): DataFrame =
+    mergesDf(richRun(s, dir))
+
+  def bpeTrainRichSql(): String =
+    batchedReadoutSql(richWords0Cte, RichRounds, BpeBatchK, BpeBatchWaves)
+
+  /** #370 bpe_vocab_rich: the #357 shippable-vocabulary rollup over
+    * the RICH training run's final fused vocabulary — the symbol
+    * inventory of a real-sized (1024+-merge) tokenizer, with
+    * corpus-weighted occurrence counts. */
+  def bpeVocabRich(s: SparkSession, dir: String): DataFrame =
+    richRun(s, dir).words
+      .select(col("freq"),
+              explode(expr("split(substring(w, 2, length(w) - 2), '\\\\|\\\\|')"))
+                .as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .withColumn("is_merged", length(col("token")) > 1)
+      .select(col("token"), col("n_occurrences"), col("is_merged"))
+      .orderBy(col("token"))
+
+  def bpeVocabRichSql(): String = {
+    val chain = batchedChainSql(richWords0Cte, RichRounds, BpeBatchK,
+                                BpeBatchWaves)
+    s"""$chain
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       |       length(token) > 1 AS is_merged
+       |FROM (
+       |  SELECT unnest(string_split(substr(w, 2, length(w) - 2), '||')) AS token,
+       |         freq
+       |  FROM words$RichRounds)
+       |GROUP BY token ORDER BY token""".stripMargin
+  }
+
+  /** #371 corpus_bpe_compression_rich: the #358 tokenizer-sizing curve
+    * AT REAL VOCAB SCALE — snapshots on the [[RichGrid]] round grid
+    * (n_merges = realized merges so far, the batched analog of #358's
+    * merge-count axis), showing compression through the 1024-merge
+    * regime instead of stopping at 64. */
+  def bpeCompressionRich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    richRun(s, dir).snaps
+      .toDF("n_rounds", "n_merges", "n_word_occurrences", "n_chars",
+            "n_tokens")
+      .select(col("n_rounds"), col("n_merges"), col("n_word_occurrences"),
+              col("n_chars"), col("n_tokens"),
+              r(col("n_tokens").cast("double") / col("n_word_occurrences"), 6)
+                .as("tokens_per_word"),
+              r(col("n_chars").cast("double") / col("n_tokens"), 6)
+                .as("chars_per_token"))
+      .orderBy(col("n_rounds"))
+  }
+
+  def bpeCompressionRichSql(): String = {
+    val chain = batchedChainSql(richWords0Cte, RichRounds, BpeBatchK,
+                                BpeBatchWaves)
+    val snaps = RichGrid.map { g =>
+      val nm =
+        if (g == 0) "CAST(0 AS INT)"
+        else {
+          val u = (1 to g).map(r => s"SELECT sym_a FROM sel$r")
+            .mkString(" UNION ALL ")
+          s"(SELECT CAST(count(*) AS INT) FROM ($u))"
+        }
+      s"""SELECT CAST($g AS INT) AS n_rounds, $nm AS n_merges,
+         |       CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+         |       CAST(sum(freq * length(replace(w, '|', ''))) AS BIGINT)
+         |         AS n_chars,
+         |       CAST(sum(freq * ((length(w) - length(replace(w, '|', ''))) // 2))
+         |         AS BIGINT) AS n_tokens
+         |FROM words$g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$chain,
+       |snaps AS (
+       |$snaps)
+       |SELECT n_rounds, n_merges, n_word_occurrences, n_chars, n_tokens,
+       |       ${graft.Parity.sqlR("CAST(n_tokens AS DOUBLE) / n_word_occurrences", 6)}
+       |         AS tokens_per_word,
+       |       ${graft.Parity.sqlR("CAST(n_chars AS DOUBLE) / n_tokens", 6)}
+       |         AS chars_per_token
+       |FROM snaps ORDER BY n_rounds""".stripMargin
   }
 
   def bpeTrainMergesSql(steps: Int = BpeSteps): String = {
