@@ -92,7 +92,10 @@ object Parity {
     val f = h - l
     val vl = element_at(vs, l + 1)
     val vu = element_at(vs, least(l + 2, n))
-    vl + (vu - vl) * f
+    // empty input (a group whose values are all null collects to []):
+    // NULL, matching the DuckDB mirror, whose out-of-range list index
+    // is NULL — Spark's element_at(·, 0) would instead raise
+    when(n === 0, lit(null)).otherwise(vl + (vu - vl) * f)
   }
 
   /** DuckDB mirror of [[linQuantile]] as an aggregate expression over

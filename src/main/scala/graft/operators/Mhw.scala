@@ -42,6 +42,10 @@ import graft.time.DoyFunctions._
   */
 object Mhw {
 
+  /** One-shot latch for the exact-overrides-sketch posture notice. */
+  private val ApproxNoticeLogged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Daily series: one observation per (series key, calendar day).
     * sst = mean event value that day, rounded (6dp) for cross-engine
     * parity. Adds year + leap-normalized DOY. Memoized + persisted per
@@ -161,6 +165,11 @@ object Mhw {
       val base = Seq(
         sum(v.cast(Dec)).as(s"s$sfx"),
         count(v).as(s"n$sfx"),
+        // eligible-ROW count, null-sst rows included: the raw fan emits
+        // a center whenever ANY eligible observation row exists (even
+        // all-null sst), so center existence must be keyed on rows, not
+        // on non-null values (round-11 advisory)
+        count(when(cond, lit(1))).as(s"ne$sfx"),
         max(when(cond && isnan(col("sst")), 1).otherwise(0)).as(s"nan$sfx"))
       if (withValues) collect_list(v).as(s"vs$sfx") +: base else base
     }
@@ -175,7 +184,8 @@ object Mhw {
         .otherwise(col(s"${c}_all"))
     val payload =
       (if (withValues) Seq(pick("vs").as("vs")) else Nil) ++
-        Seq(pick("s").as("s"), pick("n").as("n"), pick("nan").as("nan"))
+        Seq(pick("s").as("s"), pick("n").as("n"), pick("ne").as("ne"),
+            pick("nan").as("nan"))
     slots
       .withColumn("k", explode(sequence(lit(-hw), lit(hw))))
       .withColumn("c_raw", col("doy") + col("k"))
@@ -185,20 +195,24 @@ object Mhw {
   /** Merge (2hw+1) slot partials per window center: sorted pooled value
     * array (multiset-equal to the raw fan's, hence quantile-identical),
     * exact decimal sum + count (mean-identical), pooled NaN flag.
-    * Centers whose every contribution is empty (data confined to a
+    * Centers with NO eligible observation row (data confined to a
     * year-boundary sliver with no adjacent year) are dropped — the raw
-    * fan never emits them either. */
+    * fan never emits them either. Existence is keyed on the eligible-
+    * ROW count `ne` (null-sst rows included), not the non-null value
+    * count: a center whose eligible rows are all null-sst must survive
+    * with null seas/thresh, exactly as the raw fan emits it. */
   private[graft] def poolMerged(dailyDf: DataFrame, hw: Int,
                                 withValues: Boolean = true): DataFrame = {
     val merge =
       (if (withValues) Seq(sort_array(flatten(collect_list(col("vs")))).as("vs"))
        else Nil) ++
         Seq(sum(col("s")).as("s"), sum(col("n")).as("n"),
-            max(col("nan")).as("has_nan"))
+            sum(col("ne")).as("ne"), max(col("nan")).as("has_nan"))
     pooledSlots(dailyDf, hw, withValues)
       .groupBy(col("user_id"), col("doy"))
       .agg(merge.head, merge.tail: _*)
-      .filter(col("n") > 0)
+      .filter(col("ne") > 0)
+      .drop("ne")
   }
 
   /** Pooled per-DOY quantile (best-practice threshold before smoothing).
@@ -230,6 +244,16 @@ object Mhw {
     // contract is pinned there (MhwSpec) — for callers who genuinely
     // want it.
     val ex = exact
+    // one-time notice (round-11 advisory): a deployment that set the
+    // global sketch posture should see that this family intentionally
+    // ignores it rather than silently wonder which path ran
+    if (ex && graft.Hints.approxQuantiles(dailyDf.sparkSession) &&
+        ApproxNoticeLogged.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"${graft.Hints.ApproxQuantiles} is set, but the MHW pooled-" +
+        "climatology family keeps the exact slot-partials build by design " +
+        "(years-bounded groups; see pooledQuantile scaladoc). " +
+        "Pass exact = false to force the sketch branch.")
     if (ex)
       // slot-partials build ([[pooledSlots]]): bit-identical values,
       // ×years fewer rows through the heavy aggregate

@@ -187,7 +187,12 @@ object Round10Ops {
     val kept = chunks.join(canon, Seq("ch"), "left")
       .filter(col("canon_doc").isNull || col("doc_id") === col("canon_doc"))
       .select(col("doc_id"), col("s"), col("width"))
-    val toks = docs.select(col("doc_id"), lowerTokens(col("text")).as("w"))
+    // null text coalesces to '' BEFORE tokenizing (the BpeEncode
+    // contract): Spark's legacy sizeOfNull would emit n_tokens = -1
+    // where the oracle's len(NULL) is NULL — a parity break on
+    // null-text input (round-11 advisory)
+    val toks = docs.select(col("doc_id"),
+      lowerTokens(coalesce(col("text"), lit(""))).as("w"))
     val rebuilt = kept.join(toks, "doc_id")
       .select(col("doc_id"), col("s"),
               col("width").cast("long").as("width"),
@@ -199,7 +204,8 @@ object Round10Ops {
               array_join(flatten(expr("transform(ps, x -> x.piece)")), " ")
                 .as("text_out"))
     docs.select(col("doc_id"),
-        size(lowerTokens(col("text"))).cast("long").as("n_tokens"))
+        size(lowerTokens(coalesce(col("text"), lit("")))).cast("long")
+          .as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
               coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
@@ -248,11 +254,13 @@ object Round10Ops {
        |  SELECT doc_id, CAST(sum(width) AS BIGINT) AS tokens_out,
        |         string_agg(chunk_str, ' ' ORDER BY s) AS text_out
        |  FROM kept GROUP BY 1)
-       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(lower(trim(coalesce(d.text, ''))), ' '))
+       |            AS BIGINT) AS n_tokens,
        |       CAST(coalesce(a.tokens_out, 0) AS BIGINT) AS tokens_out,
        |       coalesce(a.text_out, '') AS text_out
-       |FROM toks t LEFT JOIN agg a USING (doc_id)
-       |ORDER BY t.doc_id""".stripMargin
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------------------------- #357 bpe_vocab
 

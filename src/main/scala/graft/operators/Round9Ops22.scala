@@ -129,23 +129,32 @@ object Round9Ops22 {
 
   /** DataFrame-generic core: expects (event_type, event_id, ts).
     * `bucketWidth = 0` (the default) derives the width from the
-    * observed id range — one 1-row min/max scalar over the input (the
-    * accepted scalar class; cheap next to the windowed pass that
-    * follows) — as max(floor, range/[[MaxLatenessBuckets]]). */
+    * observed id range as max(floor, range/[[MaxLatenessBuckets]]) —
+    * IN-PLAN, as a broadcast-cross-joined 1-row aggregate: building
+    * the DataFrame stays lazy (plan audits / explain / registration
+    * probes run no scan — the round-11 advisory), and the range scan
+    * executes once per action alongside the job that needs it. */
   def latenessAuditDf(ev: DataFrame, bucketWidth: Long = 0L): DataFrame = {
-    val bw =
-      if (bucketWidth > 0) bucketWidth
-      else {
-        val r = ev.agg(min(col("event_id")).cast("long"),
-                       max(col("event_id")).cast("long")).head()
-        if (r.isNullAt(0)) LatenessBucketWidth
-        else math.max(LatenessBucketWidth,
-          (r.getLong(1) - r.getLong(0)) / MaxLatenessBuckets + 1)
-      }
-    val base = ev
+    val sel = ev
       .select(col("event_type"), col("event_id"),
               unix_timestamp(col("ts")).as("es"))
-      .withColumn("bkt", floor(col("event_id") / lit(bw)))
+    val base =
+      if (bucketWidth > 0)
+        sel.withColumn("bkt", floor(col("event_id") / lit(bucketWidth)))
+      else {
+        // same arithmetic as the former driver-side derivation: Long
+        // floor-division of the (non-negative) id range, floored at
+        // LatenessBucketWidth; empty/null input coalesces to the floor
+        val bwDf = ev.agg(coalesce(
+          greatest(lit(LatenessBucketWidth),
+            floor((max(col("event_id")).cast("long") -
+                   min(col("event_id")).cast("long")) /
+                  lit(MaxLatenessBuckets)).cast("long") + 1),
+          lit(LatenessBucketWidth)).as("bw"))
+        sel.crossJoin(broadcast(bwDf))
+          .withColumn("bkt", floor(col("event_id") / col("bw")))
+          .drop("bw")
+      }
     // level 1: within-bucket running max (window bounded by bucketWidth)
     val wIn = Window.partitionBy(col("event_type"), col("bkt"))
       .orderBy(col("event_id"))

@@ -358,6 +358,27 @@ class MhwSpec extends AnyFunSuite {
     }
   }
 
+  test("slot-partials pooling ≡ raw fan with null-sst observations: a center " +
+       "whose eligible rows are all null survives with null seas/thresh") {
+    // day-of-year 1..10 null for key 1 (hw=2 ⇒ centers 1..3 of key 1
+    // draw ONLY null-sst rows on a single-year series) — the round-11
+    // advisory's failure shape
+    val dl = gappedYears
+      .filter($"yr" === 2000)
+      .withColumn("sst", when($"user_id" === 1 && $"doy" <= 10, lit(null))
+        .otherwise($"sst"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    val q = m(Mhw.pooledQuantile(dl, 2, 0.9))
+    val qRef = m(Mhw.pooledQuantileRawFan(dl, 2, 0.9))
+    assert(q == qRef, "pooled quantile diverged on null-sst input")
+    assert(q.contains((1L, 2)) && q((1L, 2)).isEmpty,
+      "all-null center was dropped or non-null")
+    val s = m(Mhw.pooledMean(dl, 2))
+    val sRef = m(Mhw.pooledMeanRawFan(dl, 2))
+    assert(s == sRef, "pooled mean diverged on null-sst input")
+  }
+
   test("slot-partials fused chain ≡ raw-fan separate operators on gapped years") {
     val dl = gappedYears
     val fused = Mhw.legacyClimThresh(dl, 5, 0.9).collect()
