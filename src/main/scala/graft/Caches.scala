@@ -135,6 +135,41 @@ object Caches {
     if (auditing(s)) build
     else getOrUpdate(s, key)(chainStore(s, build))
 
+  // ------------------------------------------------------- driver models
+
+  /** Driver-side MODEL memo — collected, model-sized training artifacts
+    * (IVF centroid tables, PQ codebooks) that several operators train
+    * IDENTICALLY from the same corpus. The frame registry above shares
+    * distributed tables; this shares the train-once/probe-many driver
+    * artifacts the persisted-index family (AnnIndex) stages to parquet,
+    * for the in-session operators that consume the model directly.
+    * Keyed (session, key) like the frame registry and cleared by
+    * [[clear]]. Unlike frames there is no plan-stub concern, so audit
+    * mode shares the memo too (training collects are eager either way).
+    * Values are model-sized by contract (≤ k×dims floats). */
+  private val models =
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, Any), Any]
+
+  def model[T](s: SparkSession, key: Any)(build: => T): T = {
+    val k = (s, key)
+    val hit = synchronized {
+      models.filterInPlace { case ((owner, _), _) => !owner.sparkContext.isStopped }
+      models.get(k)
+    }
+    hit match {
+      case Some(v) =>
+        nHits.incrementAndGet()
+        v.asInstanceOf[T]
+      case None =>
+        nMisses.incrementAndGet()
+        // build OUTSIDE the lock: training runs Spark jobs, and holding
+        // the registry lock across them would serialize concurrent
+        // driver threads (guide §2.6 overlap) against unrelated lookups
+        val v = build
+        synchronized { models.getOrElseUpdate(k, v) }.asInstanceOf[T]
+    }
+  }
+
   /** Unpersist and drop every entry owned by `s` (long-lived drivers call
     * this between corpora; Verify/Bench call it before stop). */
   def clear(s: SparkSession): Unit = synchronized {
@@ -143,6 +178,7 @@ object Caches {
       if (mine) safeUnpersist(e.df)
       !mine
     }
+    models.filterInPlace { case ((owner, _), _) => !(owner eq s) }
   }
 
   private def safeUnpersist(df: DataFrame): Unit =

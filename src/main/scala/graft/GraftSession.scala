@@ -64,6 +64,54 @@ object GraftSession {
     n
   }
 
+  /** Volume rule for MODEL-SIZED iterative loops (the BPE trainers'
+    * per-round pair counts): partitions ∝ the model table's own row
+    * count, floor 1 — deliberately NOT floored at the core count. The
+    * [[shufflePartitionsFor]] floor exists for corpus-proportional
+    * stages; a per-round job over a model-sized vocabulary is
+    * overhead-bound, not throughput-bound: at test SF the vocabulary
+    * is tens of rows and core-count-partition rounds pay ~2×cores task
+    * launches per merge round, while a real 10⁷-word vocabulary gets
+    * ~150 tasks from the same rule. rowsPerTask=65536 bracketed words
+    * ≈ a few MB of strings per task, ~25 MB after the ×(len−1) pair
+    * explode — far under [[AutoShuffleTargetBytes]]. */
+  def modelPartitionsFor(nRows: Long, rowsPerTask: Long = 65536,
+                         cap: Int = 4096): Int =
+    math.max(1L, math.min(cap.toLong,
+      (nRows + rowsPerTask - 1) / rowsPerTask)).toInt
+
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n`,
+    * restoring the previous value after — for driver loops whose
+    * per-round jobs execute INSIDE the operator (BPE trainers), so the
+    * scoped setting cannot leak into the next query's plan. Same
+    * single-threaded-driver contract as the streaming twin of this
+    * helper (Streaming.withStreamPartitions). */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
+  /** Scoped conf for MODEL-SIZED driver-loop rounds (the BPE trainers):
+    * [[modelPartitionsFor]]-derived shuffle partitioning AND adaptive
+    * execution OFF, both restored after `body`. Each round is a fixed
+    * two-stage query over a model-sized table — AQE's per-exchange
+    * materialization barrier + replanning is pure overhead there
+    * (measured on the 64-round sequential trainer at sf0.1: ~8.0 s
+    * AQE-on → ~5.5 s AQE-off at the same partitioning), while the
+    * partition count is already volume-derived, which is the decision
+    * AQE coalescing would have made. Corpus-proportional stages keep
+    * the session posture (AQE on) — this scope is only ever entered
+    * AFTER the vocabulary has been pinned down to model size. */
+  def withModelLoopConf[T](s: SparkSession, parts: Int)(body: => T): T = {
+    val kv = Seq("spark.sql.shuffle.partitions" -> parts.toString,
+                 "spark.sql.adaptive.enabled" -> "false")
+    val olds = kv.map { case (k, _) => k -> s.conf.get(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally olds.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")

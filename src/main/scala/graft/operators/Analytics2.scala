@@ -238,22 +238,20 @@ object Analytics2 {
     * brand marginals broadcast back. The association-rules shape for
     * recommender features. */
   def brandAffinity(s: SparkSession, dir: String, minPairs: Long = 20): DataFrame = {
-    // ob feeds four consumers (tot, marg, both self-join sides) —
-    // materialize once instead of re-running lineitem⋈part + distinct
-    // per consumer (localCheckpoint: no CacheManager registry entry)
-    val ob = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
-            col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
-      .transform(graft.Lineage.pinLazy)
+    // the memoized graph-family base tables: ob (order, brand) distinct
+    // and the weighted pair table — the (brand_a < brand_b) half of the
+    // symmetric pair counts IS n_ab (every unordered co-occurrence is
+    // counted once per direction), so the per-order self-join runs once
+    // per session, shared with #80/#80b/#216
+    val ob = Graph.brandOrders(s, dir)
     // total-orders is a lazy broadcast scalar, not a driver-side count —
     // constructing the plan must never run a job
     val tot = ob.agg(countDistinct(col("ok")).cast("double").as("n_total"))
     val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_orders"))
-    val pairs = ob.as("a").join(ob.as("b"),
-        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
-      .agg(count(lit(1)).as("n_ab"))
+    val pairs = Graph.brandPairsW(s, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("brand_a"), col("dst").as("brand_b"),
+              col("w").as("n_ab"))
       .filter(col("n_ab") >= minPairs)
     pairs
       .join(broadcast(marg.select(col("brand").as("brand_a"), col("n_orders").as("n_a"))), "brand_a")

@@ -69,7 +69,13 @@ object LshDedup {
     * band keys from the min columns. */
   def dedupMinhash(s: SparkSession, dir: String, tau: Double = 0.3,
                    k: Int = 64, bands: Int = 32): DataFrame =
-    dedupMinhashDf(Tables.documents(s, dir), tau, k, bands)
+    // verified-pair table memoized per (corpus, params) — the #42
+    // dedup_clusters precedent: #270 method agreement and the #128
+    // funnel consume the SAME pair set this query emits, so the banded
+    // join + exact verify runs once per session, not once per consumer
+    graft.Caches.persisted(s, ("minhash_pairs", dir, tau, k, bands)) {
+      dedupMinhashDf(Tables.documents(s, dir), tau, k, bands)
+    }
 
   /** DataFrame-generic core: expects canonical (doc_id, text). The
     * shingle table comes from TextOps.shingleTable — memoized, so the
@@ -139,7 +145,17 @@ object LshDedup {
       : (DataFrame, DataFrame, DataFrame) = {
     val docs = TextOps.shingleTable(input).filter(size(col("sh")) > 0)
     val sigs = signatureTable(docs, k)
-    (docs, sigs, bandCandidates(sigs, k, bands, maxBucket))
+    // candidate pairs memoized per (corpus, banding) for the IN-SESSION
+    // assembly only: #27's verify and the #123/#144 eval chain share
+    // one bucket window + self-join per session. The #368 artifact
+    // probe calls bandCandidates directly (un-memoized), so its plan
+    // always reads the persisted signatures — a memo there would both
+    // hide the artifact scan and survive a mid-session re-stage.
+    val cands = graft.Caches.persisted(input.sparkSession,
+        ("minhash_cands", input.semanticHash(), k, bands, maxBucket)) {
+      bandCandidates(sigs, k, bands, maxBucket)
+    }
+    (docs, sigs, cands)
   }
 
   /** The SIGNATURE JOB — shingle explode, one md5 + k affine re-hashes
@@ -148,6 +164,17 @@ object LshDedup {
     * persisted artifact ([[MinhashIndex]]) stages so daily probes never
     * re-run it. `docs` is the (filtered) shingle table. */
   private[graft] def signatureTable(docs: DataFrame, k: Int): DataFrame =
+    // memoized + persisted per (shingle table, k), like the shingle
+    // table itself: the signature build (shingle explode + k affine
+    // re-hashes + 64-min fold) is the expensive stage of EVERY MinHash
+    // operator — #27/#169/#173/#282 and the #368 artifact build all
+    // consume the identical table, so it computes once per session
+    graft.Caches.persisted(docs.sparkSession,
+        ("minhash_sigs", docs.semanticHash(), k)) {
+      signatureTableUncached(docs, k)
+    }
+
+  private def signatureTableUncached(docs: DataFrame, k: Int): DataFrame =
     docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
       // one md5 per shingle, then k cheap affine long re-hashes — vs
@@ -452,8 +479,12 @@ object LshDedup {
     * table with driver-side analytic literals. */
   def dedupMinhashBandCurve(s: SparkSession, dir: String, k: Int = 64,
                             maxBucket: Int = 256): DataFrame = {
-    val (docs, sigs, candidates) = minhashParts(Tables.documents(s, dir), k, 32, maxBucket)
-    val ex = exactJaccard(candidates, docs)
+    val (_, sigs, _) = minhashParts(Tables.documents(s, dir), k, 32, maxBucket)
+    // per-candidate exact Jaccard from the MEMOIZED #123/#144 eval-pair
+    // table (identical candidates and identical 6dp exact expression) —
+    // the curve adds only the signature flag join, instead of re-running
+    // the bucket join + shingle-set verify per invocation
+    val ex = minhashEvalPairs(s, dir, k, 32, maxBucket)
       .select(col("id_a"), col("id_b"), col("exact"))
     val caughtCols = BandConfigs.map { case (b, r0) =>
       (0 until b).map(j =>
@@ -461,11 +492,10 @@ object LshDedup {
           .reduce(_ && _)).reduce(_ || _)
         .cast("int").as(s"caught_$b")
     }
-    val flags = candidates
+    val flags = ex
       .join(sigs.as("a"), col("id_a") === col("a.doc_id"))
       .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
-      .select(Seq(col("id_a"), col("id_b")) ++ caughtCols: _*)
-      .join(ex, Seq("id_a", "id_b"))
+      .select(Seq(col("id_a"), col("id_b"), col("exact")) ++ caughtCols: _*)
       .withColumn("bin", least(floor(col("exact") * 10).cast("int"), lit(9)))
     val melted = flags.select(col("bin"),
       explode(array(BandConfigs.map { case (b, r0) =>

@@ -770,8 +770,18 @@ object Mhw {
   /** Query #10: full event metrics (pctile=0.6, minDuration=3, maxGap=2 —
     * parameters chosen so the test data exercises duration filtering AND
     * gap-merging; operator defaults stay Hobday 5/2). */
+  /** The #10-parameterized event table (pctile 0.6, minDuration 3,
+    * maxGap 2), memoized per (session, dir): EIGHT queries (#10, #317,
+    * #11e, #11l, #11g, #87b/#87, #11i, #345) consume the IDENTICAL
+    * detection output, so the window/gap-merge detection runs once per
+    * session on top of the already-memoized severity chain. */
+  private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.persisted(s, ("mhw_events06", dir)) {
+      detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    }
+
   def mhwEvents(s: SparkSession, dir: String): DataFrame =
-    detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    eventsTable(s, dir)
       .drop("severity_max")
 
   /** Query #317 mhw_onset_composite: SUPERPOSED EPOCH ANALYSIS around
@@ -795,7 +805,7 @@ object Mhw {
   def mhwOnsetComposite(s: SparkSession, dir: String, before: Int = 10,
                         after: Int = 20): DataFrame = {
     val sev = severityChain(s, dir, 0.6)
-    val ev = detectEvents(sev, minDuration = 3, maxGap = 2)
+    val ev = eventsTable(s, dir)
       .select(col("user_id").as("ev_uid"), col("index_start"))
     val origin = sev.agg(min(col("d")).as("d0"))
     val si = sev.crossJoin(broadcast(origin))
@@ -815,7 +825,7 @@ object Mhw {
 
   /** Query #11: Hobday-2018 category distribution over detected events. */
   def mhwCategory(s: SparkSession, dir: String): DataFrame =
-    detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    eventsTable(s, dir)
       .groupBy(categoryOf(col("severity_max")).as("category"))
       .agg(count(lit(1)).as("n_events"),
            davg(col("duration").cast("double"), 4).as("avg_duration"),
@@ -929,7 +939,7 @@ object Mhw {
     * events). Events are tiny relative to facts, so this is a free
     * post-aggregation on the detection output. */
   def mhwAnnualStats(s: SparkSession, dir: String): DataFrame =
-    detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    eventsTable(s, dir)
       .groupBy(col("user_id"), year(col("date_start")).as("yr"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("duration").cast("long")).as("mhw_days"),
@@ -951,7 +961,7 @@ object Mhw {
         r(expr(s"approx_percentile(CAST(duration AS DOUBLE), $p, 10000)"), 6)
       else
         r(linQuantile(sort_array(collect_list(col("duration").cast("double"))), p), 6)
-    detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    eventsTable(s, dir)
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_series"),
            davg(col("duration").cast("double"), 6).as("mean_duration"),
@@ -973,7 +983,7 @@ object Mhw {
     * ~decades/key: both sides of the final join are partial-aggregated
     * before the one exchange on user_id. */
   def mhwTrendAnnual(s: SparkSession, dir: String): DataFrame = {
-    val ev = detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    val ev = eventsTable(s, dir)
     val annual = ev
       .groupBy(col("user_id"), year(col("date_start")).as("yr"))
       .agg(sum(col("duration").cast("long")).as("days"))
@@ -1107,7 +1117,7 @@ object Mhw {
     * final algebra is IEEE, so the oracle lands on the same bits. Same
     * plan as mhwTrendAnnual: tiny per-key aggregates, one exchange. */
   def mhwTrendSignificance(s: SparkSession, dir: String): DataFrame = {
-    val ev = detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2)
+    val ev = eventsTable(s, dir)
     val annual = ev
       .groupBy(col("user_id"), year(col("date_start")).as("yr"))
       .agg(sum(col("duration").cast("long")).as("days"))
@@ -1218,7 +1228,7 @@ object Mhw {
     * sorts) and the per-key record-length table joins co-keyed. */
   def mhwEventRank(s: SparkSession, dir: String): DataFrame =
     eventRank(
-      detectEvents(severityChain(s, dir, 0.6), minDuration = 3, maxGap = 2),
+      eventsTable(s, dir),
       daily(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n_days")))
 
   /** Core of [[mhwEventRank]]: `ev` = detectEvents output (or any frame

@@ -280,11 +280,9 @@ object Round10Ops {
   def bpeVocab(s: SparkSession, dir: String,
                steps: Int = TextOps2.BpeSteps): DataFrame = {
     val merges = BpeEncode.trainedMerges(s, dir, steps)
-    val words0 = Tables.documents(s, dir)
-      .select(explode(lowerTokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)", "|$1|").as("w"), col("freq"))
+    // the trainers' memoized pinned vocabulary (identical derivation)
+    val (words0, _) =
+      TextOps2.preparedWords0(TextOps2.baseWords(Tables.documents(s, dir)))
     val fused = merges.zipWithIndex.foldLeft(words0) { case (df, ((a, b), i)) =>
       val next = df.withColumn("w", expr(s"replace(w, '|$a||$b|', '|$a$b|')"))
       if ((i + 1) % 16 == 0) graft.Lineage.cut(next) else next
@@ -425,12 +423,9 @@ object Round10Ops {
                           grid: Seq[Int] = CurveGrid): DataFrame = {
     import s.implicits._
     val merges = BpeEncode.trainedMerges(s, dir, grid.max)
-    var words = Tables.documents(s, dir)
-      .select(explode(lowerTokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)", "|$1|").as("w"), col("freq"))
-      .transform(graft.Lineage.pin)
+    // the trainers' memoized pinned vocabulary (identical derivation)
+    var words =
+      TextOps2.preparedWords0(TextOps2.baseWords(Tables.documents(s, dir)))._1
     def snapshot(k: Int): (Int, Long, Long, Long) = {
       val row = words.agg(
         sum(col("freq")).as("occ"),
@@ -447,8 +442,13 @@ object Round10Ops {
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       words = words.select(
         expr(s"replace(w, '|$a||$b|', '|$a$b|')").as("w"), col("freq"))
-      words = graft.Lineage.cut(words)
-      if (grid.contains(i + 1)) snaps += snapshot(i + 1)
+      // cut at the grid points the snapshots materialize (≤32 stacked
+      // replaces per segment) instead of after every merge — same
+      // values, 5 checkpoint layers instead of 64
+      if (grid.contains(i + 1)) {
+        words = graft.Lineage.cut(words)
+        snaps += snapshot(i + 1)
+      }
     }
     snaps.result()
       .toDF("n_merges", "n_word_occurrences", "n_chars", "n_tokens")

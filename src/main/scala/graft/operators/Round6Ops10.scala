@@ -176,16 +176,10 @@ object Round6Ops10 {
 
   /** The undirected brand co-purchase edge list (both directions), the
     * #80/#80b derivation. */
-  private[graft] def brandEdges(s: SparkSession, dir: String): DataFrame = {
-    val ob = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
-            col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand")).distinct()
-    ob.as("a").join(ob.as("b"),
-        col("a.ok") === col("b.ok") && col("a.brand") =!= col("b.brand"))
-      .select(col("a.brand").as("src"), col("b.brand").as("dst"))
-      .distinct()
-  }
+  private[graft] def brandEdges(s: SparkSession, dir: String): DataFrame =
+    // the memoized weighted pair table's key set (distinct by its
+    // groupBy construction) — shared with #80/#80b/#66
+    Graph.brandPairsW(s, dir).select(col("src"), col("dst"))
 
   /** #216 graph_kcore: CORE DECOMPOSITION of the brand co-purchase
     * graph by h-index iteration (Lü et al. 2016): h₀ = degree,

@@ -356,8 +356,8 @@ object Round6Ops14 {
   def annShardPlan(s: SparkSession, dir: String,
                    nCells: Int = 16, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
-    val centroids = Similarity.trainCentroids(corpus, nCells, iters)
+    val corpus = Similarity.pinnedEmbeddings(s, dir)
+    val centroids = Similarity.centroidsCached(s, (dir, "full"))(corpus, nCells, iters)
     val cells = Similarity.assignNearest(corpus, centroids)
       .groupBy(col("cluster").as("cell_id"))
       .agg(count(lit(1)).as("n_vecs"))

@@ -119,8 +119,8 @@ object Round6Ops18 {
     * with r6-before-ln discipline. */
   def embClusterNmi(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
-    val centroids = Similarity.trainCentroids(corpus, NmiCells, NmiIters)
+    val corpus = Similarity.pinnedEmbeddings(s, dir)
+    val centroids = Similarity.centroidsCached(s, (dir, "full"))(corpus, NmiCells, NmiIters)
     val assigned = Similarity.assignNearest(corpus, centroids)
       .select(col("vec_id"), col("cluster"), col("label"))
     embClusterNmiOf(assigned)

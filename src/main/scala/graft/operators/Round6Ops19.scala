@@ -196,6 +196,10 @@ object Round6Ops19 {
               col("revenue"),
               r(col("rev") / col("revenue"), 6).as("top_share"))
       .withColumn("risk", r(col("revenue") * col("top_share"), 2))
+      // lazily pinned: byPart feeds BOTH the totals rollup and the
+      // top-K readout — without the pin the lineitem groupBy + three
+      // windows run once per consumer subtree
+      .transform(graft.Lineage.pinLazy)
     val totals = byPart.agg(
       count(lit(1)).as("n_parts"),
       sum(when(col("n_suppliers") === 1, 1L).otherwise(0L)).as("n_single"))

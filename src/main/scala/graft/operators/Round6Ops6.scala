@@ -664,10 +664,8 @@ object Round6Ops6 {
     * key-equi joins against a node-cardinality table) and reduces to
     * decimal-exact moment sums — no pair space beyond the edges. */
   def graphAssortativity(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = Similarity.knnGraph(s, dir, k)
-      .select(col("q_id").as("src"), col("vec_id").as("dst"))
-    val und = e.union(e.select(col("dst"), col("src"))).distinct()
-      .transform(graft.Lineage.cut)
+    // the memoized symmetric kNN edge set shared with #302/#313/#347
+    val und = Round9Ops2.knnUndCached(s, dir, k)
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val joined = und
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))

@@ -126,12 +126,24 @@ object Round6Ops9 {
   /** DataFrame-generic core: expects (source, text). */
   def corpusSourceOverlapDf(docs: DataFrame, k: Int = SrcKmvK): DataFrame = {
     graft.functions.GraftFunctions.ensure(docs.sparkSession)
-    val hs = docs
-      .select(col("source"), explode(shingles3(lowerTokens(col("text")))).as("sh"))
-      .select(col("source"),
-              conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-                .cast("long").as("h"))
-      .distinct()
+    // memoized + persisted per input plan: the distinct (source, hash)
+    // vocabulary feeds BOTH the sketch rollup and the exact-audit
+    // self-join below — without it the shingle explode + md5 + distinct
+    // (the operator's heavy stage) executes once per consumer subtree
+    // (twice at ExactAudit=on). Persist (not localCheckpoint): the
+    // InMemoryRelation keeps Catalyst size statistics, so the audit
+    // self-join's strategy choice still sees a measured input (a
+    // checkpoint's LogicalRDD stub would not — measured 4.3 s → 6.9 s
+    // when this table was lazily checkpointed instead).
+    val hs = graft.Caches.persisted(docs.sparkSession,
+        ("src_overlap_hs", docs.semanticHash())) {
+      docs
+        .select(col("source"), explode(shingles3(lowerTokens(col("text")))).as("sh"))
+        .select(col("source"),
+                conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+                  .cast("long").as("h"))
+        .distinct()
+    }
     val sk = hs.groupBy(col("source"))
       .agg(array_sort(call_function("collect_top_k", col("h"), lit(k), lit(true)))
              .as("ks"),

@@ -147,8 +147,7 @@ object Round9Ops19 {
     * Scale shape: detection output is tiny vs facts; the regression
     * is one decimal moment fold to a single row. */
   def mhwDurationScaling(s: SparkSession, dir: String): DataFrame = {
-    val ev = Mhw.detectEvents(Mhw.severityChain(s, dir, 0.6),
-        minDuration = 3, maxGap = 2)
+    val ev = Mhw.eventsTable(s, dir)
       .filter(col("intensity_max") > 0)
       .select(r(log(col("duration").cast("double")), 6).as("y"),
               r(log(col("intensity_max")), 6).as("x"))

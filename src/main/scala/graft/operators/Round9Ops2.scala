@@ -42,8 +42,9 @@ object Round9Ops2 {
     * engines. */
   def graphLabelProp(s: SparkSession, dir: String, k: Int = 3,
                      iters: Int = 4): DataFrame =
-    labelPropDf(Similarity.knnGraph(s, dir, k)
-      .select(col("q_id").as("src"), col("vec_id").as("dst")), iters)
+    // rides the memoized symmetric edge set + converged label table
+    // shared with #313/#347
+    lpaFinalize(lpaLabelsCached(s, dir, k, iters))
 
   /** DataFrame-generic core: expects a DIRECTED edge list (src, dst);
     * symmetrizes internally. */
@@ -51,10 +52,36 @@ object Round9Ops2 {
     labelPropUnd(edges.union(edges.select(col("dst"), col("src")))
       .distinct().transform(graft.Lineage.cut), iters)
 
+  /** The symmetrized kNN edge table, memoized per (corpus, k): #302
+    * label propagation, #313 modularity and #347 conductance all
+    * symmetrize the SAME memoized knn_graph — one union+distinct per
+    * session instead of one per consumer. */
+  private[graft] def knnUndCached(s: SparkSession, dir: String,
+                                  k: Int): DataFrame =
+    graft.Caches.persisted(s, ("knn_und", dir, k)) {
+      val e = graft.operators.Similarity.knnGraph(s, dir, k)
+        .select(col("q_id").as("src"), col("vec_id").as("dst"))
+      e.union(e.select(col("dst"), col("src"))).distinct()
+    }
+
+  /** The converged (id, community) LPA label table over the memoized
+    * symmetric kNN graph, memoized per (corpus, k, iters): #313 and
+    * #347 consume the IDENTICAL partition #302 emits, so the
+    * fixed-round propagation runs once per session. */
+  private[graft] def lpaLabelsCached(s: SparkSession, dir: String,
+                                     k: Int, iters: Int): DataFrame =
+    graft.Caches.persisted(s, ("lpa_labels", dir, k, iters)) {
+      lpaRaw(knnUndCached(s, dir, k), iters)
+    }
+
   /** Core over an ALREADY-SYMMETRIZED (and lineage-pinned) edge table —
     * composing operators (#313 modularity) reuse their own `und`
     * instead of paying the symmetrize+cut twice. */
-  private[graft] def labelPropUnd(und: DataFrame, iters: Int): DataFrame = {
+  private[graft] def labelPropUnd(und: DataFrame, iters: Int): DataFrame =
+    lpaFinalize(lpaRaw(und, iters))
+
+  /** The fixed-round propagation to a raw (id, community) table. */
+  private[graft] def lpaRaw(und: DataFrame, iters: Int): DataFrame = {
     var lab = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
       .transform(graft.Lineage.cut)
@@ -70,6 +97,11 @@ object Round9Ops2 {
         .select(col("dst").as("id"), col("community"))
         .transform(graft.Lineage.cut)
     }
+    lab
+  }
+
+  /** Size rollup + canonical column names over a raw label table. */
+  private[graft] def lpaFinalize(lab: DataFrame): DataFrame = {
     val sizes = lab.groupBy(col("community"))
       .agg(count(lit(1)).as("community_size"))
     lab.join(sizes, "community")
@@ -128,9 +160,9 @@ object Round9Ops2 {
   def graphSeedDistance(s: SparkSession, dir: String, k: Int = 3,
                         maxHops: Int = 3): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    seedDistanceDf(
-      Similarity.knnGraph(s, dir, k)
-        .select(col("q_id").as("src"), col("vec_id").as("dst")),
+    // the memoized symmetric kNN edge set shared with #302/#313/#347
+    seedDistanceUnd(
+      knnUndCached(s, dir, k),
       emb.filter(col("label") === 0).select(col("vec_id").as("id")),
       emb.select(col("vec_id")),
       maxHops)
@@ -139,9 +171,13 @@ object Round9Ops2 {
   /** DataFrame-generic core: directed edges (src, dst) symmetrized
     * internally, seed ids, and the full node universe (vec_id). */
   def seedDistanceDf(edges: DataFrame, seeds: DataFrame, nodes: DataFrame,
-                     maxHops: Int): DataFrame = {
-    val und = edges.union(edges.select(col("dst"), col("src")))
-      .distinct().transform(graft.Lineage.cut)
+                     maxHops: Int): DataFrame =
+    seedDistanceUnd(edges.union(edges.select(col("dst"), col("src")))
+      .distinct().transform(graft.Lineage.cut), seeds, nodes, maxHops)
+
+  /** Core over an already-symmetrized edge table. */
+  private def seedDistanceUnd(und: DataFrame, seeds: DataFrame,
+                              nodes: DataFrame, maxHops: Int): DataFrame = {
     var d = seeds.select(col("id"), lit(0).as("dist"))
       .transform(graft.Lineage.cut)
     for (h <- 1 to maxHops) {

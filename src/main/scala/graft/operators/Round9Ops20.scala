@@ -31,17 +31,24 @@ object Round9Ops20 {
     * the bounded community table. */
   def graphConductance(s: SparkSession, dir: String, k: Int = 3,
                        iters: Int = 4): DataFrame =
-    conductanceDf(Similarity.knnGraph(s, dir, k)
-      .select(col("q_id").as("src"), col("vec_id").as("dst")), iters)
+    // rides the memoized symmetric edge set + converged LPA label
+    // table shared with #302/#313 (identical partition by contract)
+    conductanceCore(Round9Ops2.knnUndCached(s, dir, k),
+                    Round9Ops2.lpaLabelsCached(s, dir, k, iters))
 
   /** DataFrame-generic core: directed (src, dst) edges, symmetrized
     * internally; partitions with the #302 LPA at the same rounds. */
   def conductanceDf(e: DataFrame, iters: Int): DataFrame = {
     val und = e.union(e.select(col("dst"), col("src")))
       .distinct().transform(graft.Lineage.pin)
-    val lab = Round9Ops2.labelPropUnd(und, iters)
-      .select(col("vec_id").as("id"), col("community"))
+    val lab = Round9Ops2.lpaRaw(und, iters)
       .transform(graft.Lineage.cut)
+    conductanceCore(und, lab)
+  }
+
+  /** The conductance readout over an already-symmetrized edge table
+    * and its (id, community) label table. */
+  private def conductanceCore(und: DataFrame, lab: DataFrame): DataFrame = {
     val withLab = und
       .join(lab.select(col("id").as("src"), col("community").as("ca")), "src")
       .join(lab.select(col("id").as("dst"), col("community").as("cb")), "dst")

@@ -110,7 +110,16 @@ object Round9Ops3 {
   /** The shared RAKE chain up to per-(doc, phrase-occurrence) scores:
     * (doc_id, grp, score, phrase, n_words). #307 ranks per doc, #315
     * rolls up the corpus index. */
-  private[graft] def rakePhraseScores(docs: DataFrame): DataFrame = {
+  private[graft] def rakePhraseScores(docs: DataFrame): DataFrame =
+    // memoized + persisted per input plan (the shingleTable pattern):
+    // #307 doc_keyphrase_rake and #315 corpus_keyphrase_index score
+    // the IDENTICAL phrase table — one evaluation per session
+    graft.Caches.persisted(docs.sparkSession,
+        ("rake_phrases", docs.semanticHash())) {
+      rakePhraseScoresUncached(docs)
+    }
+
+  private def rakePhraseScoresUncached(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
               posexplode(split(lower(trim(col("text"))), " ")).as(Seq("pos0", "tok")))

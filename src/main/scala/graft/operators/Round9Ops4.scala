@@ -184,17 +184,24 @@ object Round9Ops4 {
     * divisions; contributions 6dp-round before the decimal sum. */
   def graphModularity(s: SparkSession, dir: String, k: Int = 3,
                       iters: Int = 4): DataFrame =
-    modularityDf(Similarity.knnGraph(s, dir, k)
-      .select(col("q_id").as("src"), col("vec_id").as("dst")), iters)
+    // rides the memoized symmetric edge set + converged LPA label
+    // table shared with #302/#347 (identical partition by contract)
+    modularityCore(Round9Ops2.knnUndCached(s, dir, k),
+                   Round9Ops2.lpaLabelsCached(s, dir, k, iters))
 
   /** DataFrame-generic core: directed (src, dst) edges, symmetrized
     * internally; partitions with the #302 LPA at the same rounds. */
   def modularityDf(e: DataFrame, iters: Int): DataFrame = {
     val und = e.union(e.select(col("dst"), col("src")))
       .distinct().transform(graft.Lineage.pin)
-    val lab = Round9Ops2.labelPropUnd(und, iters)
-      .select(col("vec_id").as("id"), col("community"))
+    val lab = Round9Ops2.lpaRaw(und, iters)
       .transform(graft.Lineage.cut)
+    modularityCore(und, lab)
+  }
+
+  /** The modularity readout over an already-symmetrized edge table and
+    * its (id, community) label table. */
+  private def modularityCore(und: DataFrame, lab: DataFrame): DataFrame = {
     val withLab = und
       .join(lab.select(col("id").as("src"), col("community").as("ca")), "src")
       .join(lab.select(col("id").as("dst"), col("community").as("cb")), "dst")
@@ -277,7 +284,9 @@ object Round9Ops4 {
   def dedupLpaCommunities(s: SparkSession, dir: String, tau: Double = 0.3,
                           iters: Int = 4): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val pairs = TextOps.dedupNgramJaccardDf(Tables.documents(s, dir), tau)
+    // the (s, dir) entry point shares the memoized verified-pair table
+    // with #26/#42 instead of rebuilding the inverted-index join here
+    val pairs = TextOps.dedupNgramJaccard(s, dir, tau)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val lpa = Round9Ops2.labelPropDf(pairs, iters)
       .select(col("vec_id").as("doc_id"), col("community"))

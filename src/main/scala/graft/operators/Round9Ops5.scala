@@ -28,13 +28,16 @@ object Round9Ops5 {
     * left-joined onto the u<v edge list — no structure beyond the
     * wedges materializes; integer counts end-to-end. */
   def graphLocalBridges(s: SparkSession, dir: String, k: Int = 3): DataFrame =
-    localBridgesDf(Similarity.knnGraph(s, dir, k)
-      .select(col("q_id").as("src"), col("vec_id").as("dst")))
+    // rides the memoized symmetric edge set shared with #302/#313/#347
+    localBridgesCore(Round9Ops2.knnUndCached(s, dir, k))
 
   /** DataFrame-generic core: directed (src, dst), symmetrized inside. */
-  def localBridgesDf(e: DataFrame): DataFrame = {
-    val und = e.union(e.select(col("dst"), col("src")))
-      .distinct().transform(graft.Lineage.pin)
+  def localBridgesDf(e: DataFrame): DataFrame =
+    localBridgesCore(e.union(e.select(col("dst"), col("src")))
+      .distinct().transform(graft.Lineage.pin))
+
+  /** The readout over an already-symmetrized edge table. */
+  private def localBridgesCore(und: DataFrame): DataFrame = {
     val common = und.select(col("dst").as("n"), col("src").as("a"))
       .join(und.select(col("src").as("n"), col("dst").as("b")), Seq("n"))
       .filter(col("a") < col("b"))

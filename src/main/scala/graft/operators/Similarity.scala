@@ -92,7 +92,13 @@ object Similarity {
     * corpus map-only, bounded partial top-k per query (see [[topK]]).
     * Deterministic: cosine rounded before ranking, vec_id tiebreak. */
   def knnBrute(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame =
-    knnBruteDf(Tables.embeddings(s, dir), queries(s, dir, nQueries), k)
+    // queries×k-row result memoized per (corpus, params): the exact
+    // top-k is the ground-truth baseline of #142/#146/#176 and the #150
+    // nprobe curve — the full-corpus scoring scan behind it runs once
+    // per session, not once per consumer (the knn_graph precedent)
+    graft.Caches.persisted(s, ("knn_brute", dir, k, nQueries)) {
+      knnBruteDf(Tables.embeddings(s, dir), queries(s, dir, nQueries), k)
+    }
 
   /** DataFrame-generic core: corpus (vec_id, embedding), queries
     * (q_id, q_emb). */
@@ -155,7 +161,15 @@ object Similarity {
     * in SimilaritySpec (random uniform vectors are LSH's worst case —
     * real clustered embeddings bucket far better). */
   def annLsh(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
-             tables: Int = 16, bits: Int = 6): DataFrame = {
+             tables: Int = 16, bits: Int = 6): DataFrame =
+    // queries×k-row result memoized per (corpus, params): #142's recall
+    // curve re-retrieves the same lists this query emits
+    graft.Caches.persisted(s, ("ann_lsh", dir, k, nQueries, tables, bits)) {
+      annLshUncached(s, dir, k, nQueries, tables, bits)
+    }
+
+  private def annLshUncached(s: SparkSession, dir: String, k: Int, nQueries: Int,
+                             tables: Int, bits: Int): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
     val ps = planes(tables, bits, 64)
     def withBuckets(df: DataFrame, embCol: String): DataFrame =
@@ -244,6 +258,33 @@ object Similarity {
     * means use decimal-exact averaging (order-independent → identical
     * assignments every run); only the k×dim centroid table is ever
     * collected (the "model" — tiny). */
+  /** Session-pinned corpus per (session, plan): the eager
+    * localCheckpoint every similarity/ANN operator opens with is paid
+    * once per session instead of once per call, and the family shares
+    * ONE set of pinned blocks instead of accumulating per-call copies
+    * (the [[graft.Caches]] registry bounds + clears them). Audit mode
+    * falls through to the unpinned frame, as before. */
+  private[graft] def pinnedCorpus(df: DataFrame): DataFrame =
+    graft.Caches.getOrUpdate(df.sparkSession,
+      ("pinned_corpus", df.semanticHash())) { graft.Lineage.pin(df) }
+
+  private[graft] def pinnedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    pinnedCorpus(Tables.embeddings(s, dir))
+
+  /** Memoized [[trainCentroids]] per (session, key): the Lloyd model is
+    * a pure function of its training slice and parameters, and the
+    * similarity battery trains the IDENTICAL (k=16, iters=3) model in
+    * eight operators (#31b/#150/#31f/#31i/#198/#232/#248 and #156's
+    * k=16 grid point) — train once per session, share the collected
+    * model: the in-session analog of the #363 persisted index's
+    * build-once/probe-many contract. `key` must name the training
+    * slice + params (corpus identity, slice tag, k, iters). */
+  private[graft] def centroidsCached(s: SparkSession, key: Any)
+      (train: => DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] =
+    graft.Caches.model(s, ("centroids", key, k, iters)) {
+      trainCentroids(train, k, iters)
+    }
+
   private[graft] def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
     // init = the first k vectors BY ID of the given corpus (identical to
     // `vec_id < k` on the contiguous full corpus; well-defined for
@@ -298,12 +339,22 @@ object Similarity {
     * nProbe/k of the corpus). Rows-only oracle; recall vs brute is
     * spec-pinned alongside the LSH path. */
   def annIvf(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+             nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame =
+    // queries×k-row result memoized per (corpus, params): the #146
+    // bake-off re-retrieves the same lists this query emits
+    graft.Caches.persisted(s,
+        ("ann_ivf", dir, k, nQueries, nCells, nProbe, iters)) {
+      annIvfUncached(s, dir, k, nQueries, nCells, nProbe, iters)
+    }
+
+  private def annIvfUncached(s: SparkSession, dir: String, k: Int, nQueries: Int,
+                             nCells: Int, nProbe: Int, iters: Int): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
     // the training loop scans the corpus iters+1 times — materialize
-    // once (localCheckpoint: no dangling CacheManager entry per call)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
-    val centroids = trainCentroids(corpus, nCells, iters)
+    // once, session-shared (pinnedEmbeddings), and share the trained
+    // model with the rest of the k=16 battery (centroidsCached)
+    val corpus = pinnedEmbeddings(s, dir)
+    val centroids = centroidsCached(s, (dir, "full"))(corpus, nCells, iters)
     val bucketed = assignNearest(corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
       .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
     // query-side: nProbe nearest cells via the same scoring, as array
@@ -394,9 +445,10 @@ object Similarity {
   def embIvfIncremental(s: SparkSession, dir: String, nCells: Int = 16,
                         iters: Int = 3, mod: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+    val corpus = pinnedEmbeddings(s, dir)
     val isDelta = pmod(col("vec_id"), lit(mod.toLong)) === (mod - 1)
-    val cents = trainCentroids(corpus.filter(!isDelta), nCells, iters)
+    val cents = centroidsCached(s, (dir, s"idx-mod$mod"))(
+      corpus.filter(!isDelta), nCells, iters)
     val ti = corpus.filter(!isDelta).count()
     val td = corpus.filter(isDelta).count()
     assignNearest(corpus, cents)
@@ -501,9 +553,9 @@ object Similarity {
   def embKmeansElbow(s: SparkSession, dir: String,
                      iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+    val corpus = pinnedEmbeddings(s, dir)
     ElbowGrid.map { k =>
-      val centroids = trainCentroids(corpus, k, iters)
+      val centroids = centroidsCached(s, (dir, "full"))(corpus, k, iters)
       val centDf = s.createDataFrame(centroids.toSeq).toDF("cluster", "c")
       assignNearest(corpus, centroids)
         .join(broadcast(centDf), "cluster")
@@ -548,8 +600,8 @@ object Similarity {
                      nQueries: Int = 5, nCells: Int = 16,
                      iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
-    val centroids = trainCentroids(corpus, nCells, iters)
+    val corpus = pinnedEmbeddings(s, dir)
+    val centroids = centroidsCached(s, (dir, "full"))(corpus, nCells, iters)
     val bucketed = assignNearest(corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
       .select(col("vec_id"), col("embedding"), col("e_norm"), col("cluster"))
     val qs = queries(s, dir, nQueries)
@@ -647,7 +699,13 @@ object Similarity {
     * the exhaustive [[embDedupCosineExactDf]] baseline in LshSpec.
     * The oracle replays the buckets bit-identically, like knn_graph. */
   def embDedupCosine(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame =
-    embDedupCosineDf(Tables.embeddings(s, dir), tau)
+    // verified-pair table memoized per (corpus, τ) — #270 method
+    // agreement consumes the SAME pair set this query emits (the #42
+    // dedup_clusters precedent), so the 16-table bucket self-join +
+    // exact-cosine verify runs once per session, not once per consumer
+    graft.Caches.persisted(s, ("cosine_pairs", dir, tau)) {
+      embDedupCosineDf(Tables.embeddings(s, dir), tau)
+    }
 
   /** DataFrame-generic core: expects (vec_id, embedding, label). */
   def embDedupCosineDf(input: DataFrame, tau: Double = 0.35,
@@ -747,8 +805,8 @@ object Similarity {
   def embSemanticDedup(s: SparkSession, dir: String, tau: Double = 0.3,
                        nCells: Int = 16, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
-    val centroids = trainCentroids(corpus, nCells, iters)
+    val corpus = pinnedEmbeddings(s, dir)
+    val centroids = centroidsCached(s, (dir, "full"))(corpus, nCells, iters)
     // truncate lineage: the bucketed table feeds both self-join sides
     // and the final output
     val bucketed = assignNearest(
@@ -833,8 +891,9 @@ object Similarity {
           lit(0.3) * least(lit(1.0), len / lit(500.0)), 6))
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
-    val corpus = graft.Lineage.pin(embeddings)
-    val centroids = trainCentroids(corpus, nCells, iters)
+    val corpus = pinnedCorpus(embeddings)
+    val centroids = centroidsCached(documents.sparkSession,
+      ("sh", embeddings.semanticHash(), "full"))(corpus, nCells, iters)
     val bucketed = assignNearest(
         corpus.withColumn("e_norm", norm(col("embedding"))), centroids)
       .join(gated, col("vec_id") === col("doc_id"))
@@ -1203,11 +1262,13 @@ object Similarity {
   def embClusterStability(s: SparkSession, dir: String,
                           nCells: Int = 16, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
-    val full = assignNearest(corpus, trainCentroids(corpus, nCells, iters))
+    val corpus = pinnedEmbeddings(s, dir)
+    val full = assignNearest(corpus,
+        centroidsCached(s, (dir, "full"))(corpus, nCells, iters))
       .select(col("vec_id"), col("cluster").as("cluster_full"))
     val half = assignNearest(corpus,
-        trainCentroids(corpus.filter(col("vec_id") % 2 === 0), nCells, iters))
+        centroidsCached(s, (dir, "even"))(
+          corpus.filter(col("vec_id") % 2 === 0), nCells, iters))
       .select(col("vec_id"), col("cluster").as("cluster_half"))
     val ct = full.join(half, Seq("vec_id"))
       .groupBy(col("cluster_full"), col("cluster_half"))

@@ -50,7 +50,15 @@ object Similarity2 {
   private[graft] def hammingExpr: Column =
     (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)")).cast("int")
 
-  def embHammingKnn(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
+  def embHammingKnn(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame =
+    // queries×k-row result memoized per (corpus, params): #124 rank
+    // fusion and the #146 bake-off re-retrieve the same lists
+    graft.Caches.persisted(s, ("hamming_knn", dir, k, nQueries)) {
+      embHammingKnnUncached(s, dir, k, nQueries)
+    }
+
+  private def embHammingKnnUncached(s: SparkSession, dir: String,
+                                    k: Int, nQueries: Int): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
     val packed = packCols(Tables.embeddings(s, dir))
     val qs = packedQueries(packed, nQueries)

@@ -75,6 +75,19 @@ object SimilarityPq {
     * the literal argmax and recomputes decimal-exact 8dp means (codes
     * that lose all members drop out, same as the oracle chain). Only the
     * 8×16×8-float codebook is ever collected — model-sized. */
+  /** Memoized [[trainCodebooks]] per (session, dir, iters): the PQ
+    * model is a pure function of (corpus, iters) and both #31g ann_pq
+    * and #160 emb_pq_distortion train the identical (8×16, iters=2)
+    * codebooks — train once per session, share the collected model
+    * (the in-session analog of the #365 persisted artifact's frozen
+    * codebooks). */
+  private[graft] def codebooksCached(s: SparkSession, dir: String,
+                                     iters: Int)(train: => DataFrame)
+      : Map[(Int, Int), Array[Float]] =
+    graft.Caches.model(s, ("pq_codebooks", dir, iters)) {
+      trainCodebooks(train, iters)
+    }
+
   private[graft] def trainCodebooks(corpus: DataFrame, iters: Int): Map[(Int, Int), Array[Float]] = {
     graft.functions.GraftFunctions.ensure(corpus.sparkSession)
     val init = corpus.filter(col("vec_id") < Codes)
@@ -120,8 +133,8 @@ object SimilarityPq {
   def annPq(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
             iters: Int = 2, shortlist: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
-    val cb = trainCodebooks(corpus, iters)
+    val corpus = Similarity.pinnedEmbeddings(s, dir)
+    val cb = codebooksCached(s, dir, iters)(corpus)
     val codes = withCodes(corpus, cb)
       .select(col("vec_id") +: (0 until SubSpaces).map(m => col(s"code_$m")): _*)
     adcTopK(corpus, codes, cb, k, nQueries, shortlist)
@@ -310,9 +323,9 @@ object SimilarityPq {
     * two-row readout is a global rollup. */
   def embPqDistortion(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val corpus = graft.Lineage.pin(Tables.embeddings(s, dir))
+    val corpus = Similarity.pinnedEmbeddings(s, dir)
     // PQ path: encode, reconstruct from the broadcast codebook
-    val cb = trainCodebooks(corpus, iters)
+    val cb = codebooksCached(s, dir, iters)(corpus)
     val cbDf = s.createDataFrame(cb.toSeq.map { case ((m, code), c) => (m, code, c) })
       .toDF("m", "code", "c")
     val structCols = (0 until SubSpaces).map(m =>

@@ -262,7 +262,13 @@ object TextOps {
     * are bounded by maxDf · |postings| — linear in corpus size. The
     * oracle applies the identical cap. */
   def dedupNgramJaccard(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame =
-    dedupNgramJaccardSh(shingleTable(Tables.documents(s, dir)), tau)
+    // verified-pair table memoized per (corpus, τ) — #42 dedup_clusters
+    // and #312 LPA communities build their edge sets from the SAME
+    // pair table, so the inverted-index join + exact verify runs once
+    // per session, not once per consumer (the dedup_clusters precedent)
+    graft.Caches.persisted(s, ("ngram_pairs", dir, tau)) {
+      dedupNgramJaccardSh(shingleTable(Tables.documents(s, dir)), tau)
+    }
 
   /** Persisted (doc_id, sh) shingle table, memoized per input plan —
     * the n-gram Jaccard and MinHash operators share one evaluation.

@@ -220,12 +220,15 @@ object TextOps2 {
   def bpeTrainMerges(s: SparkSession, dir: String,
                      steps: Int = BpeSteps): DataFrame = {
     import s.implicits._
-    var words = Tables.documents(s, dir)
-      .select(explode(graft.functions.TextFunctions.lowerTokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)", "|$1|").as("w"), col("freq"))
+    // the memoized, model-partitioned vocabulary (shared with the
+    // batched trainer); the round loop runs at vocabulary-proportional
+    // shuffle partitioning — at test SF one task per round stage
+    // instead of one per core (the rounds are overhead-bound), at a
+    // real 10⁷-word vocabulary ~150 (GraftSession.modelPartitionsFor)
+    val (words0, parts) = preparedWords0(baseWords(Tables.documents(s, dir)))
+    var words = words0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    graft.GraftSession.withModelLoopConf(s, parts) {
     for (step <- 1 to steps) {
       val win = words
         .select(col("freq"),
@@ -251,7 +254,25 @@ object TextOps2 {
       // so a 64-round training pays O(rounds²) vocabulary scans
       words = graft.Lineage.cut(words)
     }
+    }
     merges.result().toDF("step", "sym_a", "sym_b", "n").orderBy(col("step"))
+  }
+
+  /** The (pinned, model-partitioned) words0 + its partition count,
+    * memoized per (session, words0 plan). Both trainers' round loops
+    * are per-round jobs over THIS table; pinning it once per session
+    * dedups the corpus-proportional vocabulary build across the BPE
+    * query family, and repartitioning it to
+    * [[graft.GraftSession.modelPartitionsFor]] makes every round's map
+    * side match the vocabulary's own volume instead of the corpus
+    * posture's core count. */
+  private[graft] def preparedWords0(words0: DataFrame): (DataFrame, Int) = {
+    val s = words0.sparkSession
+    graft.Caches.model(s, ("bpe_words0", words0.semanticHash())) {
+      val p0 = graft.Lineage.pin(words0)
+      val parts = graft.GraftSession.modelPartitionsFor(p0.count())
+      (graft.Lineage.pin(p0.repartition(parts)), parts)
+    }
   }
 
   // -------------------------------------------- #364 bpe_train_batched
@@ -403,8 +424,13 @@ object TextOps2 {
     * cut. `snapAt` rounds additionally run one 1-row vocabulary
     * aggregate (the compression-curve snapshot; round 0 = pre-training
     * pure-chars state). */
-  private[graft] def runBatched(words0: DataFrame, rounds: Int, k: Int,
+  private[graft] def runBatched(words0in: DataFrame, rounds: Int, k: Int,
                                 snapAt: Set[Int] = Set.empty): BatchedRun = {
+    // model-partitioned vocabulary + vocabulary-proportional round
+    // partitioning, exactly as in the sequential trainer
+    val (words0, parts) = preparedWords0(words0in)
+    val s = words0.sparkSession
+    graft.GraftSession.withModelLoopConf(s, parts) {
     var words = words0
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
     val snaps = Seq.newBuilder[(Int, Int, Long, Long, Long)]
@@ -440,6 +466,7 @@ object TextOps2 {
       snapshot(round)
     }
     BatchedRun(merges.result(), snaps.result(), words)
+    }
   }
 
   /** Oracle: per round, the same pair-count CTE, the pool window
